@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, filters, joins, aggregations, set ops,
+  * top-k — the reference's pandas/eval surface (SURVEY §2.2–§2.4,
+  * §2.6; e.g. utils/get_ava_active_speaker_performance.py:81–148's
+  * scan→filter→join→agg shape) re-expressed as Catalyst-planned
+  * DataFrame queries.
+  *
+  * Scale notes: dimension tables (region/nation/part) are broadcast —
+  * no shuffle of the fact side for those joins; fact↔fact joins
+  * hash-partition on the join key; every aggregation is partial
+  * (map-side combine) by construction. All filters/projections sit
+  * directly on the parquet scan so pushdown + column pruning apply.
+  */
+object Relational extends QueryPack {
+  import Q._
+
+  val queries = Map[String, Fn](
+    // TPC-H Q1 shape: scan → filter → groupBy → multi-agg.
+    // Mirrors the reference's per-group sum/mean evals (SURVEY §2.4).
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      li.filter($"l_shipdate" <= lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          centsSum($"l_quantity").as("qty_c"),
+          centsSum($"l_extendedprice").as("price_c"),
+          centsSum($"l_extendedprice" * (lit(1) - $"l_discount")).as("disc_c"),
+          centsSum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("charge_c"),
+          count(lit(1)).as("count_order"))
+        .select($"l_returnflag", $"l_linestatus",
+          ($"qty_c".cast("double") / 100.0).as("sum_qty"),
+          ($"price_c".cast("double") / 100.0).as("sum_base_price"),
+          ($"disc_c".cast("double") / 100.0).as("sum_disc_price"),
+          ($"charge_c".cast("double") / 100.0).as("sum_charge"),
+          ($"qty_c".cast("double") / 100.0 / $"count_order").as("avg_qty"),
+          ($"price_c".cast("double") / 100.0 / $"count_order").as("avg_price"),
+          $"count_order")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // TPC-H Q6 shape: tight scan-side predicate (pushdown), single agg.
+    "q02_filtered_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      li.filter(
+          $"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(centsSum($"l_extendedprice" * $"l_discount").as("rev_c"),
+             count(lit(1)).as("n"))
+        .select(($"rev_c".cast("double") / 100.0).as("revenue"), $"n")
+    },
+
+    // Star join: facts ⋈ broadcast dims, grouped revenue per nation.
+    "q03_region_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.table(s, dir, "orders")
+      val cust = Tables.table(s, dir, "customer")
+      val nation = Tables.table(s, dir, "nation")
+      val region = Tables.table(s, dir, "region")
+      orders.join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(centsSum($"o_totalprice").as("rev_c"),
+             count(lit(1)).as("n_orders"),
+             countDistinct($"c_custkey").as("n_customers"))
+        .select($"r_name", $"n_name",
+          ($"rev_c".cast("double") / 100.0).as("revenue"),
+          $"n_orders", $"n_customers")
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // Fact ⋈ broadcast dim with dim-side predicate + grouped volume.
+    "q04_brand_volume" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.table(s, dir, "lineitem")
+      val part = Tables.table(s, dir, "part")
+      li.join(broadcast(part.filter($"p_size" >= 10)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(centsSum($"l_quantity").as("qty_c"),
+             centsSum($"l_extendedprice").as("price_c"),
+             count(lit(1)).as("n"))
+        .select($"p_brand",
+          ($"qty_c".cast("double") / 100.0).as("sum_qty"),
+          ($"price_c".cast("double") / 100.0 / $"n").as("avg_price"),
+          $"n")
+        .orderBy($"p_brand")
+    },
+
+    // Global top-k: TakeOrderedAndProject, no full sort at scale.
+    "q05_topk_orders" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // Distinct (reference: pandas .unique(), utils/tools.py:112–121).
+    "q06_distinct_segments" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select($"c_mktsegment").distinct().orderBy($"c_mktsegment")
+    },
+
+    // Left-semi join: customers having orders (EXISTS).
+    "q07_customers_with_orders" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer")
+      val orders = Tables.table(s, dir, "orders").select($"o_custkey")
+      cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Left-anti join: customers without orders, per nation (NOT EXISTS;
+    // reference's set-difference shape, dataLoader.py:16).
+    "q08_customers_without_orders" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.table(s, dir, "customer")
+      val orders = Tables.table(s, dir, "orders").select($"o_custkey")
+      val nation = Tables.table(s, dir, "nation")
+      cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(count(lit(1)).as("n"))
+        .orderBy($"n_name")
+    },
+
+    // Union + distinct + group (reference: pos∪neg label frames,
+    // utils/tools.py:110–114).
+    "q09_union_priority" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.table(s, dir, "orders")
+      val big = orders.filter($"o_totalprice" > 300000.0)
+        .select($"o_orderkey", $"o_orderpriority")
+      val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderpriority")
+      big.unionByName(urgent).distinct()
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+  )
+
+  val oracle = Map(
+    "q01_pricing_summary" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_c,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS charge_c,
+        |    count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(qty_c AS DOUBLE)/100.0 AS sum_qty,
+        |  CAST(price_c AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(disc_c AS DOUBLE)/100.0 AS sum_disc_price,
+        |  CAST(charge_c AS DOUBLE)/100.0 AS sum_charge,
+        |  CAST(qty_c AS DOUBLE)/100.0/count_order AS avg_qty,
+        |  CAST(price_c AS DOUBLE)/100.0/count_order AS avg_price,
+        |  count_order
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filtered_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_brand_volume" ->
+      """WITH a AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c,
+        |    count(*) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size >= 10
+        |  GROUP BY p_brand)
+        |SELECT p_brand, CAST(qty_c AS DOUBLE)/100.0 AS sum_qty,
+        |  CAST(price_c AS DOUBLE)/100.0/n AS avg_price, n
+        |FROM a ORDER BY p_brand""".stripMargin,
+
+    "q05_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q06_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q07_customers_with_orders" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q08_customers_without_orders" ->
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q09_union_priority" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000.0
+        |  UNION
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, count(*) AS n FROM u
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}
