@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aliases match exactly (the driver's compare sorts columns by name).
   */
 object SparkEntry {
-  private val packs: Seq[QueryPack] = Seq(Relational, Windowed)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, Windowed, TextQueries, VectorQueries, KernelQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

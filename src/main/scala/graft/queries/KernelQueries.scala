@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Kernel- and streaming-backed queries: results come from a
+  * mapPartitions partition kernel (multimodal byte features) and a
+  * real Structured Streaming query (hourly rollup) — but both stay
+  * oracle-checkable because the outputs are exact integers / strings.
+  */
+object KernelQueries extends QueryPack {
+  import Q._
+
+  val queries = Map[String, Fn](
+    // Binary-payload partition kernel (STUB decode; real plumbing).
+    // documents.text is cast to binary to stand in for a media payload.
+    "q29_payload_features" -> { (s, dir) =>
+      val payloads = graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").as("payload"))
+      Multimodal.extractFeatures(s, payloads)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    // Structured Streaming tumbling-window rollup driven to completion.
+    "q30_stream_hourly" -> { (s, dir) => EventStream.hourlyRollup(s, dir) },
+  )
+
+  val oracle = Map(
+    // documents text is ASCII (driver-generated), so byte == codepoint.
+    "q29_payload_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE list_reduce(list_transform(range(1, length(text)+1),
+        |           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)), (x,y) -> x+y)
+        |  END AS BIGINT) AS byte_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

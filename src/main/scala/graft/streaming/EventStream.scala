@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: the reference's only stream shape is
+  * "watch a source and process what arrives" (HF streaming iterator,
+  * batchProcessVideos.py:111–124). Here the same events table is
+  * consumed through `readStream` with event-time tumbling windows —
+  * the batch parquet drives the stream to completion synchronously,
+  * so the result is deterministic and oracle-checkable.
+  *
+  * Scale notes: in production this is the identical plan over a
+  * file-arrival or Kafka source with a watermark; windowed state is
+  * partitioned by (window, event_type) and bounded.
+  */
+object EventStream {
+
+  /** Hourly tumbling-window counts/sums per event_type, computed by a
+    * real streaming query (memory sink, complete mode). */
+  def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stable per-sfDir sink name; stop any leftover run of the same query
+    val name = "graft_stream_hourly_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-stream source requires a directory/glob ("basePath must be a
+    // directory") — the [e] glob keeps basePath = sfDir but matches only
+    // the events table
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
+    val agg = stream
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"),
+        (col("sum_c").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+}
