@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbour over embedding columns: random
+  * hyperplane LSH (sign-bit bucketing) on top of the exact cosine
+  * kernel. The brute-force baseline is VectorQueries.q27; this is the
+  * scale path — at 100 TB the bucket join touches only colliding
+  * candidates instead of the full corpus per query.
+  *
+  * The plane matrix is generated from a fixed seed, so buckets are
+  * deterministic across executors/JVMs (java.util.Random LCG is
+  * platform-independent).
+  */
+object Similarity {
+
+  /** Deterministic hyperplanes: `bits` planes × `dim` components. */
+  def planes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket of one vector. */
+  def bucketOf(v: Array[Float], pl: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < pl.length) {
+      var dot = 0.0
+      val p = pl(j)
+      var d = 0
+      while (d < p.length && d < v.length) { dot += p(d) * v(d); d += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** (vec_id, embedding) → (vec_id, bucket) via a partition kernel. */
+  def bucketed(spark: SparkSession, emb: DataFrame, bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(bits, dim, seed)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it => it.map { case (id, v) => (id, bucketOf(v, pl)) } }
+      .toDF("vec_id", "bucket")
+  }
+
+  /** ANN top-k: candidates share an LSH bucket; exact cosine ranks
+    * them. Queries = vec_id % `queryEvery` == 0 (as q27). */
+  def annTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
+      bits: Int = 12, queryEvery: Int = 50): DataFrame = {
+    val withB = emb
+      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
+      .join(bucketed(spark, emb, bits), "vec_id")
+    val qs = withB.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val corpus = withB.select(col("vec_id").as("cid"), col("vd").as("cv"),
+      col("n2").as("cn2"), col("bucket"))
+    corpus.join(qs, col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
+      .withColumn("cos",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+          / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
+  }
+}

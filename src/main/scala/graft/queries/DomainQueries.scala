@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.functions.RollingHash
+import graft.operators.{Dedup, Similarity, SpeakingSegments, Tracker}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-domain + scale-path operators as queries:
+  *  - q31: custom codegen'd Catalyst expression (rolling hash), oracle
+  *    mirrored via DuckDB list_reduce over byte codes (ASCII corpus);
+  *  - q32: SpeakingSegments library operator with the reference's exact
+  *    extract semantics over a dense per-user frame index;
+  *  - q40–q43 (rows-only; semantics not SQL-expressible or
+  *    probabilistic): MinHash-LSH near-dup pairs, SimHash buckets,
+  *    greedy IoU tracker, hyperplane-LSH ANN. Each has ScalaTest
+  *    coverage pinning its semantics instead of a SQL oracle.
+  */
+object DomainQueries extends QueryPack {
+  import Q._
+
+  /** Dense per-user frame index + score columns from events (the
+    * score-series shape of the reference's scores.pckl). */
+  private def scoreSeries(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("frame", (row_number().over(w) - 1).cast("int"))
+      .select(col("user_id").as("video_id"), lit(0L).as("track_id"),
+        col("frame"), col("value").as("score"), col("event_id"))
+  }
+
+  val queries = Map[String, Fn](
+    // Custom native Expression with codegen, registered for SQL use.
+    "q31_rolling_fingerprint" -> { (s, dir) =>
+      RollingHash.register(s)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Reference-exact speaking segments via the library operator
+    // (threshold strict >, end-exclusive runs, >= minFrames gate,
+    // frame/25 seconds).
+    "q32_segments_ref" -> { (s, dir) =>
+      SpeakingSegments.extract(scoreSeries(s, dir), threshold = 30.0,
+          minDurationS = 0.2, fps = 25, keyCols = Seq("video_id", "track_id"))
+        .orderBy(col("video_id"), col("seg_id"))
+    },
+
+    // ——— rows-only (no SQL oracle) ———
+    "q40_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashCandidatePairs(Tables.table(s, dir, "documents"),
+          "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.6, shingleK = 3)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q41_simhash_buckets" -> { (s, dir) =>
+      Dedup.simhashBuckets(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    "q42_greedy_tracks" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val dets = Tables.events(s, dir)
+        .withColumn("frame", (row_number().over(w) - 1).cast("int"))
+        // slow drift + small jitter so consecutive-frame IoU can exceed
+        // 0.5 (box 20×15, jitter ≤ 5/3) — a trackable synthetic scene
+        .select(col("user_id").as("video_id"), lit(0L).as("scene_id"),
+          col("frame"), lit(0).as("det_idx"),
+          ((col("frame") % 200) / 10.0 + col("value") % 5).as("x1"),
+          ((col("event_id") % 3).cast("double") + (col("frame") % 100) / 20.0).as("y1"))
+        .withColumn("x2", col("x1") + 20.0)
+        .withColumn("y2", col("y1") + 15.0)
+      Tracker.trackAll(s, dets).toDF()
+        .orderBy(col("video_id"), col("track_id"), col("frame"))
+    },
+
+    "q43_ann_topk" -> { (s, dir) =>
+      Similarity.annTopK(s, Tables.table(s, dir, "embeddings"), k = 10, bits = 8)
+        .orderBy(col("qid"), col("rank"))
+    },
+  )
+
+  val oracle = Map(
+    "q31_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE list_reduce(list_transform(range(1, length(text)+1),
+        |           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |         (h, b) -> (h * 31 + b) % 1000000007)
+        |  END AS BIGINT) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_segments_ref" ->
+      """WITH e AS (SELECT user_id AS video_id, CAST(0 AS BIGINT) AS track_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS INT) AS frame,
+        |    value AS score
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN score > 30.0 THEN 1 ELSE 0 END AS speaking FROM e),
+        |c AS (SELECT *,
+        |  CASE WHEN lag(speaking) OVER w IS NULL OR lag(speaking) OVER w <> speaking
+        |       THEN 1 ELSE 0 END AS changed
+        |  FROM f WINDOW w AS (PARTITION BY video_id, track_id ORDER BY frame)),
+        |g AS (SELECT *,
+        |  CAST(sum(changed) OVER (PARTITION BY video_id, track_id ORDER BY frame
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM c),
+        |runs AS (SELECT video_id, track_id, grp,
+        |    CAST(min(frame) AS INT) AS start_frame,
+        |    CAST(max(frame) + 1 AS BIGINT) AS end_frame,
+        |    count(*) AS n_frames
+        |  FROM g WHERE speaking = 1 GROUP BY video_id, track_id, grp
+        |  HAVING max(frame) + 1 - min(frame) >= 5)
+        |SELECT video_id, track_id,
+        |  CAST(row_number() OVER (PARTITION BY video_id, track_id ORDER BY start_frame) AS BIGINT) AS seg_id,
+        |  start_frame, end_frame, n_frames,
+        |  CAST(start_frame AS DOUBLE)/25 AS start_s,
+        |  CAST(end_frame AS DOUBLE)/25 AS end_s,
+        |  CAST(end_frame - start_frame AS DOUBLE)/25 AS duration_s
+        |FROM runs ORDER BY video_id, seg_id""".stripMargin,
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH / SimHash / ANN behavior on planted near-duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val nearDup = base.replace("tonight", "today") // 1-word edit
+    val other = (1 to 20).map(i => s"word$i item$i thing$i").mkString(" ")
+    Seq((0L, base), (1L, nearDup), (2L, other), (3L, base)) // 3 = exact dup of 0
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs, not unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, shingleK = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: always caught
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never
+  }
+
+  test("minhash signature is deterministic and length-stable") {
+    val sigs = corpus.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L).length === 64)
+    assert(sigs(0L) === sigs(3L)) // identical text → identical signature
+    assert(sigs(0L) !== sigs(2L))
+  }
+
+  test("simhash: identical text → identical hash; near-dup → small hamming distance") {
+    val hs = Dedup.simhashBuckets(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(0L) === hs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(1L)) < ham(hs(0L), hs(2L)))
+    assert(ham(hs(0L), hs(1L)) <= 8) // 1-word edit flips few bits
+  }
+
+  test("ANN finds the planted exact-duplicate neighbor (bucket-certain)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val vecs = (0 until 120).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v, 0)
+    }
+    // vec 100 := copy of vec 0 → same bucket, cosine 1.0
+    val planted = vecs.updated(100, (100L, vecs(0)._2.clone(), 0))
+    val df = planted.toDF("vec_id", "embedding", "label")
+    val top = Similarity.annTopK(spark, df, k = 5, bits = 8, queryEvery = 100)
+      .filter(col("qid") === 0).select("cid", "rank").collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) === 100L) // rank 1 = the planted duplicate
+  }
+}
