@@ -31,17 +31,22 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for i in [0, numHashes), min over tokens of
-    * (aᵢ·h32(tok) + bᵢ) mod P32, h32 = xxhash64 reduced mod P32.
-    * All arithmetic stays < 2^63 (a,b < 2^31; h32 < 2^32). */
-  def minhashSignature(toks: Column, numHashes: Int): Column = {
-    val h32 = transform(toks, t => pmod(xxhash64(t), lit(P32)))
+  /** MinHash signature over PRE-HASHED tokens (`h32` = xxhash64 mod
+    * P32): for i in [0, numHashes), min over tokens of (aᵢ·h+bᵢ) mod
+    * P32. Taking the hashed array (not the tokens) as input matters:
+    * Catalyst does no CSE across the numHashes lambda bodies, so
+    * hashing inside this expression would re-hash every token
+    * numHashes times. All arithmetic stays < 2^63. */
+  def minhashSignature(h32: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i => {
       val a = pmod(i.cast("long") * lit(2654435761L), lit(1L << 30)) * 2 + 1
       val b = pmod(i.cast("long") * lit(40503L) + lit(778797L), lit(1L << 30))
       array_min(transform(h32, h => pmod(a * h + b, lit(P32))))
     })
-  }
+
+  /** xxhash64 of each token reduced into the P32 ring. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => pmod(xxhash64(t), lit(P32)))
 
   /** LSH candidate pairs with exact-Jaccard verification. Signatures
     * are banded (bands × rowsPerBand = numHashes); docs sharing any
@@ -54,9 +59,20 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
+    // shingles → token hashes → signature as SEPARATE projections
+    // (each column referenced many times downstream, which blocks
+    // CollapseProject from re-inlining the expensive expressions).
+    // The plan below is diamond-shaped (banded self-join + two toks
+    // re-attach joins all read `base`), so materialize the signatures
+    // exactly once and truncate lineage — at cluster scale this is the
+    // standard checkpoint-before-reuse; recomputing shingling+minhash
+    // per branch would multiply the dominant cost 4×.
     val base = docs.select(col(idCol).cast("long").as("id"),
         wordShingles(col(textCol), shingleK).as("toks"))
-      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+      .withColumn("h32", tokenHashes(col("toks")))
+      .withColumn("sig", minhashSignature(col("h32"), numHashes))
+      .drop("h32")
+      .localCheckpoint()
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",

@@ -50,13 +50,16 @@ object Eval {
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(tieCol))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
-    val wSuf = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // suffix max via reversed-order prefix frame (O(n), not O(n²))
+    val wSufAsPrefix = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("rn", row_number().over(wOrd).cast("long"))
       .withColumn("tp", sum(col(labelCol)).over(wCum))
       .withColumn("pos", sum(col(labelCol)).over(wAll))
       .withColumn("prec", col("tp").cast("double") / col("rn"))
       .withColumn("rec", col("tp").cast("double") / col("pos"))
-      .withColumn("prec_env", max(col("prec")).over(wSuf))
+      .withColumn("prec_env", max(col("prec")).over(wSufAsPrefix))
       .withColumn("delta_rec", col("rec") - lag(col("rec"), 1, 0.0).over(wOrd))
       .groupBy(col(groupCol))
       .agg(sum(col("prec_env") * col("delta_rec")).as("ap"),

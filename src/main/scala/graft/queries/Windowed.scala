@@ -128,7 +128,13 @@ object Windowed extends QueryPack {
         .orderBy(col("value_c").desc, col("event_id"))
       val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("event_type"))
-      val wSuf = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // suffix running-max as a REVERSED-order prefix max: Spark's
+      // [CURRENT, UNBOUNDED FOLLOWING] frame is O(n²) per partition
+      // (recomputed per row); the reversed prefix frame is O(n)
+      // incremental and max is order-insensitive → identical values.
+      val wSufAsPrefix = Window.partitionBy(col("event_type"))
+        .orderBy(col("value_c").asc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val scored = ev(s, dir)
         .withColumn("label", (col("event_id") % 2).cast("long"))
         .select(col("event_type"), col("event_id"), col("value_c"), col("label"))
@@ -138,7 +144,7 @@ object Windowed extends QueryPack {
         .withColumn("prec", col("tp").cast("double") / col("rn"))
         .withColumn("rec", col("tp").cast("double") / col("pos"))
       scored
-        .withColumn("prec_env", max(col("prec")).over(wSuf))
+        .withColumn("prec_env", max(col("prec")).over(wSufAsPrefix))
         .withColumn("delta_rec", col("rec") - lag(col("rec"), 1, 0.0).over(wOrd))
         .withColumn("contrib_n", round(col("prec_env") * col("delta_rec") * 1e9).cast("long"))
         .groupBy(col("event_type"))
@@ -195,14 +201,18 @@ object Windowed extends QueryPack {
     // nearest observed neighbors (endpoints clamp).
     "q18_interpolate" -> { (s, dir) =>
       val wPrev = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = wUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // next-non-null via REVERSED-order prefix `last` — avoids Spark's
+      // O(n²) [CURRENT, UNBOUNDED FOLLOWING] frame; identical values.
+      val wNextAsPrefix = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val base = ev(s, dir)
         .withColumn("pos", row_number().over(wUser).cast("long"))
         .withColumn("obs_c", when(col("event_id") % 3 === 0, col("value_c")))
         .withColumn("prev_c", last(col("obs_c"), ignoreNulls = true).over(wPrev))
         .withColumn("prev_pos", last(when(col("obs_c").isNotNull, col("pos")), ignoreNulls = true).over(wPrev))
-        .withColumn("next_c", first(col("obs_c"), ignoreNulls = true).over(wNext))
-        .withColumn("next_pos", first(when(col("obs_c").isNotNull, col("pos")), ignoreNulls = true).over(wNext))
+        .withColumn("next_c", last(col("obs_c"), ignoreNulls = true).over(wNextAsPrefix))
+        .withColumn("next_pos", last(when(col("obs_c").isNotNull, col("pos")), ignoreNulls = true).over(wNextAsPrefix))
       base.withColumn("interp_c",
           when(col("obs_c").isNotNull, col("obs_c").cast("double"))
             .when(col("prev_c").isNull, col("next_c").cast("double"))

@@ -26,7 +26,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash signature is deterministic and length-stable") {
     val sigs = corpus.select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 64).as("sig"))
+        Dedup.minhashSignature(Dedup.tokenHashes(Dedup.wordShingles(col("text"), 3)), 64).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L).length === 64)
     assert(sigs(0L) === sigs(3L)) // identical text → identical signature
