@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.Platform
 
 /** Near-duplicate detection at corpus scale: MinHash + banded LSH
   * (shingle → minhash → band → bucket-join) and SimHash. These are the
@@ -48,6 +50,73 @@ object Dedup {
   def tokenHashes(toks: Column): Column =
     transform(toks, t => pmod(xxhash64(t), lit(P32)))
 
+  // ——— kernel variant: same outputs, JIT'd tight loops ———
+  // Catalyst interprets higher-order-function lambdas per element, so
+  // the expression form pays ~numHashes interpreted calls per token.
+  // This partition kernel computes shingles + signature in plain Scala
+  // (~10× faster) while staying bit-identical: same split/slice
+  // semantics, same XXH64(seed=42) as functions.xxhash64, same
+  // (a·h+b) mod P32 family.
+
+  private def pmodL(x: Long, p: Long): Long = { val m = x % p; if (m < 0) m + p else m }
+
+  /** Scala mirror of functions.xxhash64 on a string (seed 42). */
+  def xxhash64String(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** Scala mirror of wordShingles (distinct, first-occurrence order). */
+  def wordShinglesKernel(text: String, k: Int): Array[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+", -1)
+    val n = toks.length
+    val upper = math.max(n - k, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= upper) {
+      val end = math.min(i + k, n)
+      seen.add(toks.slice(i, end).mkString(" "))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Scala mirror of tokenHashes + minhashSignature. */
+  def minhashSignatureKernel(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val h32 = shingles.map(s => pmodL(xxhash64String(s), P32))
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = pmodL(i.toLong * 2654435761L, 1L << 30) * 2 + 1
+      val b = pmodL(i.toLong * 40503L + 778797L, 1L << 30)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < h32.length) {
+        val v = pmodL(a * h32(j) + b, P32)
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** (id, toks, sig) via the kernel — drop-in for the expression base. */
+  def minhashBase(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, shingleK: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = wordShinglesKernel(text, shingleK)
+          (id, sh, minhashSignatureKernel(sh, numHashes))
+        }
+      }
+      .toDF("id", "toks", "sig")
+  }
+
   /** LSH candidate pairs with exact-Jaccard verification. Signatures
     * are banded (bands × rowsPerBand = numHashes); docs sharing any
     * band bucket become candidates; only candidates are verified.
@@ -59,19 +128,13 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    // shingles → token hashes → signature as SEPARATE projections
-    // (each column referenced many times downstream, which blocks
-    // CollapseProject from re-inlining the expensive expressions).
-    // The plan below is diamond-shaped (banded self-join + two toks
-    // re-attach joins all read `base`), so materialize the signatures
-    // exactly once and truncate lineage — at cluster scale this is the
-    // standard checkpoint-before-reuse; recomputing shingling+minhash
-    // per branch would multiply the dominant cost 4×.
-    val base = docs.select(col(idCol).cast("long").as("id"),
-        wordShingles(col(textCol), shingleK).as("toks"))
-      .withColumn("h32", tokenHashes(col("toks")))
-      .withColumn("sig", minhashSignature(col("h32"), numHashes))
-      .drop("h32")
+    val spark = docs.sparkSession
+    // signatures via the JIT'd kernel; the plan below is diamond-shaped
+    // (banded self-join + two toks re-attach joins all read `base`), so
+    // materialize once and truncate lineage — checkpoint-before-reuse;
+    // recomputing shingling+minhash per branch would multiply the
+    // dominant cost 4×.
+    val base = minhashBase(spark, docs, idCol, textCol, numHashes, shingleK)
       .localCheckpoint()
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -108,6 +171,38 @@ object Dedup {
           |       shiftleft(1L, j), 0L)),
           |  0L, (acc, x) -> acc | x)""".stripMargin))
       .drop("_hs")
+
+  /** Exact word-set Jaccard pairs within blocks, as a per-block
+    * kernel: the relational self-join would shuffle the token arrays
+    * once per pair; grouping by the blocking key ships each doc's
+    * token set once and scores all in-block pairs with hash sets.
+    * Semantics identical to
+    * size(array_intersect)/size(array_union) over distinct tokens.
+    * Precondition: blocks are bounded (entity-resolution style
+    * blocking) — unbounded blocks need the LSH path instead. */
+  def jaccardBlockedPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, blockCols: Seq[String], threshold: Double): DataFrame = {
+    import spark.implicits._
+    docs.select(concat_ws("", blockCols.map(col): _*).as("block"),
+        col(idCol).cast("long").as("id"),
+        tokens(col(textCol)).as("ws"))
+      .as[(String, Long, Array[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: String, it: Iterator[(String, Long, Array[String])]) =>
+        val ds = it.map { case (_, id, ws) => (id, ws.toSet) }.toArray.sortBy(_._1)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.length
+          (ida, wa) = ds(i)
+          (idb, wb) = ds(j)
+          inter = wa.count(wb.contains)
+          uni = wa.size + wb.size - inter
+          jac = inter.toDouble / uni
+          if jac >= threshold
+        } yield (ida, idb, inter.toLong, uni.toLong, jac)
+      }
+      .toDF("id_a", "id_b", "inter", "uni", "jac")
+  }
 
   /** SimHash bucketing: same top-`prefixBits` ⇒ candidate group. */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,

@@ -92,20 +92,15 @@ object TextQueries extends QueryPack {
     },
 
     // Near-dup pairs: exact word-set Jaccard within (lang, source)
-    // blocks. Blocking bounds candidates; the full-scale probabilistic
-    // path is MinHash-LSH (operators/Dedup.scala, q42).
+    // blocks via the per-block kernel (operators/Dedup.scala).
+    // Blocking bounds candidates; the full-scale probabilistic path is
+    // MinHash-LSH (q40).
     "q25_jaccard_pairs" -> { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
-      val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("ws").as("ws_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("source").as("source_b"), col("ws").as("ws_b"))
-      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") && col("id_a") < col("id_b"))
-        .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
-        .withColumn("uni", size(array_union(col("ws_a"), col("ws_b"))).cast("long"))
-        .withColumn("jac", col("inter").cast("double") / col("uni"))
-        .filter(col("jac") >= 0.8)
-        .select(col("id_a"), col("id_b"), col("inter"), col("uni"), round(col("jac"), 6).as("jac_r"))
+      graft.operators.Dedup.jaccardBlockedPairs(s,
+          Tables.table(s, dir, "documents"), "doc_id", "text",
+          Seq("lang", "source"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          round(col("jac"), 6).as("jac_r"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
