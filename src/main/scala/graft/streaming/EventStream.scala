@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface: the reference's only stream shape is
   * "watch a source and process what arrives" (HF streaming iterator,
@@ -42,5 +43,35 @@ object EventStream {
         col("event_type"), col("n"),
         (col("sum_c").cast("double") / 100.0).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
+  final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
+
+  /** Custom stateful streaming sessionization via
+    * flatMapGroupsWithState (§2.8's KeyValueGroupedDataset path):
+    * per-user state carries the open session across micro-batches; a
+    * gap > `gapNs` closes and emits it. Events inside one micro-batch
+    * are sorted by time (sources deliver them unordered). Input rows:
+    * (user_id, ts_ns, value_c). */
+  def sessionizeStateful(events: Dataset[(Long, Long, Long)],
+      gapNs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val fn = (userId: Long, it: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) => {
+      val sorted = it.toArray.sortBy(_._2)
+      val out = Seq.newBuilder[SessionOut]
+      var st = state.getOption.orNull
+      sorted.foreach { case (_, ts, vc) =>
+        if (st == null) st = SessionState(ts, ts, 1L, vc)
+        else if (ts - st.lastNs > gapNs) {
+          out += SessionOut(userId, st.startNs, st.lastNs, st.n, st.sumC)
+          st = SessionState(ts, ts, 1L, vc)
+        } else st = SessionState(st.startNs, ts, st.n + 1, st.sumC + vc)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 }
