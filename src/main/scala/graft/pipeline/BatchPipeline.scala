@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import graft.operators.{SceneDetect, SpeakingSegments, Tracker, TrackGeometry}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The whole reference pipeline as ONE Spark DAG — the Spark-native
+  * `batchProcessVideos.py` + `demoTalkNet.py main()` (SURVEY §3.1–3.2):
+  *
+  *   frames ─ scene detect ─ detect faces ─ track ─ geometry ─ score
+  *   (duration ensemble) ─ smooth ─ sessionize ─ segments + summary
+  *
+  * Where the reference crosses a process boundary per stage and per
+  * video (subprocess + pickle), here every stage is a DataFrame
+  * transform partitioned by video/scene — lineage replaces pickles and
+  * stage checkpoints are optional parquet writes with the same names.
+  *
+  * The GPU/codec kernels (S3FD, TalkNet, ffmpeg) are pluggable traits;
+  * the defaults are deterministic STUBS (weights aren't shipped in the
+  * reference repo either — demoTalkNet.py:58–61 downloads them), so the
+  * pipeline is testable end-to-end; swap in real kernels per executor
+  * and nothing else changes.
+  *
+  * Reference quirks reproduced:
+  *  - duration "multiset" {1,1,1,2,2,2,3,3,4,5,6} is a Python set ⇒
+  *    SIX distinct durations {1..6} (demoTalkNet.py:234);
+  *  - ensemble = mean over durations then numpy.round(·, 1) =
+  *    HALF_EVEN ⇒ Spark `bround` (demoTalkNet.py:270);
+  *  - visualization smoothing slice [max(i-2,0), min(i+3, n-1))
+  *    EXCLUDES the final score for the last three frames
+  *    (demoTalkNet.py:350).
+  */
+object BatchPipeline {
+
+  /** Pluggable per-frame face detector (S3FD's seat). */
+  trait FaceDetector extends Serializable {
+    def detect(videoId: Long, frame: Int, content: Double): Seq[(Double, Double, Double, Double, Double)] // x1,y1,x2,y2,conf
+  }
+
+  /** Pluggable per-(track,frame,duration) scorer (TalkNet's seat). */
+  trait SpeakerScorer extends Serializable {
+    def score(videoId: Long, trackId: Long, frame: Int, duration: Int): Double
+  }
+
+  /** STUB detector: one slowly-drifting face per frame, conf from a
+    * deterministic hash. Replace with the real model kernel. */
+  object StubDetector extends FaceDetector {
+    def detect(videoId: Long, frame: Int, content: Double): Seq[(Double, Double, Double, Double, Double)] = {
+      val x = (frame % 200) / 10.0
+      val conf = 0.90 + ((videoId * 31 + frame) % 10) / 100.0
+      Seq((x, 10.0, x + 20.0, 25.0, conf))
+    }
+  }
+
+  /** STUB scorer: deterministic and temporally smooth (real speaking
+    * activity comes in multi-frame runs, which the segment extractor
+    * depends on) with a small per-duration perturbation so the
+    * ensemble actually averages distinct values. */
+  object StubScorer extends SpeakerScorer {
+    def score(videoId: Long, trackId: Long, frame: Int, duration: Int): Double =
+      math.sin((frame + videoId * 13.0 + trackId * 7.0) / 10.0) * 0.8 +
+        (duration - 3.5) * 0.01
+  }
+
+  val DurationSet: Seq[Int] = Seq(1, 2, 3, 4, 5, 6) // the set, not the multiset
+
+  /** frames(video_id, frame, content) → detections with conf filter
+    * (the reference's conf gate sits inside the detector call). */
+  def detectFaces(spark: SparkSession, frames: DataFrame, detector: FaceDetector,
+      confTh: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    frames.select(col("video_id").cast("long"), col("frame").cast("int"),
+        col("content").cast("double"))
+      .as[(Long, Int, Double)]
+      .mapPartitions { it =>
+        // per-partition init point for the real model
+        it.flatMap { case (v, f, c) =>
+          detector.detect(v, f, c).zipWithIndex.collect {
+            case ((x1, y1, x2, y2, conf), i) if conf > confTh => (v, f, i, x1, y1, x2, y2, conf)
+          }
+        }
+      }
+      .toDF("video_id", "frame", "det_idx", "x1", "y1", "x2", "y2", "conf")
+  }
+
+  /** Attach scene_id to detections: broadcast the (small) scene table
+    * and range-join frame ∈ [start, end) — scenes per video are few,
+    * so this is a broadcast range join, never a shuffle of detections. */
+  def assignScenes(dets: DataFrame, scenes: DataFrame, minSceneLen: Int = 11): DataFrame = {
+    val keptScenes = scenes
+      .filter(col("end_frame") - col("start_frame") >= minSceneLen) // shot-length gate
+      .select(col("video_id").as("s_vid"), col("scene_id"),
+        col("start_frame"), col("end_frame"))
+    dets.join(broadcast(keptScenes),
+        col("video_id") === col("s_vid") &&
+          col("frame") >= col("start_frame") && col("frame") < col("end_frame"))
+      .drop("s_vid", "start_frame", "end_frame")
+  }
+
+  /** Duration-ensemble scoring: one score per (track-frame, duration),
+    * ensembled as mean over durations then bround(·, 1) — numpy's
+    * HALF_EVEN round, demoTalkNet.py:270. The mean over exactly 6
+    * per-row doubles is a fixed-order sum / 6.0 (deterministic). */
+  def scoreTracks(spark: SparkSession, trackFrames: Dataset[Tracker.TrackFrame],
+      scorer: SpeakerScorer): DataFrame = {
+    import spark.implicits._
+    trackFrames
+      .mapPartitions { it =>
+        it.map { tf =>
+          var s = 0.0
+          DurationSet.foreach(d => s += scorer.score(tf.video_id, tf.track_id, tf.frame, d))
+          (tf.video_id, tf.scene_id, tf.track_id, tf.frame, s / DurationSet.length)
+        }
+      }
+      .toDF("video_id", "scene_id", "track_id", "frame", "raw_score")
+      .withColumn("score", bround(col("raw_score"), 1))
+      .drop("raw_score")
+  }
+
+  /** Visualization smoothing with the reference's tail quirk
+    * (slice upper bound min(i+3, n-1) is EXCLUSIVE of the last score):
+    * per-track kernel mirroring the numpy slice exactly. */
+  def smoothScoresQuirk(spark: SparkSession, scores: DataFrame): DataFrame = {
+    import spark.implicits._
+    scores.select(col("video_id").cast("long"), col("track_id").cast("long"),
+        col("frame").cast("int"), col("score").cast("double"))
+      .as[(Long, Long, Int, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Double)]) =>
+        val rows = it.toArray.sortBy(_._3)
+        val n = rows.length
+        rows.indices.iterator.map { i =>
+          val lo = math.max(i - 2, 0)
+          val hi = math.min(i + 3, n - 1) // exclusive — the quirk
+          val slice = rows.slice(lo, hi)
+          val m = if (slice.isEmpty) Double.NaN else slice.map(_._4).sum / slice.length
+          (key._1, key._2, rows(i)._3, rows(i)._4, m)
+        }
+      }
+      .toDF("video_id", "track_id", "frame", "score", "smoothed")
+  }
+
+  final case class PipelineResult(
+      scenes: DataFrame, detections: DataFrame, tracks: DataFrame,
+      procTracks: DataFrame, scores: DataFrame, segments: DataFrame,
+      summary: DataFrame)
+
+  /** The full DAG. `frames` = (video_id, frame, content) — the decoded
+    * canonical-media table the ffmpeg kernel would produce. Optional
+    * `checkpointDir` writes each stage as parquet with the reference's
+    * stage names (scene/faces/tracks/scores — the pckl contract). */
+  def run(spark: SparkSession, frames: DataFrame,
+      detector: FaceDetector = StubDetector, scorer: SpeakerScorer = StubScorer,
+      threshold: Double = 0.0, minDurationS: Double = 0.2,
+      checkpointDir: Option[String] = None): PipelineResult = {
+
+    def checkpoint(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name"); spark.read.parquet(s"$dir/$name")
+      case None => df
+    }
+
+    import spark.implicits._
+    val scenes = checkpoint(SceneDetect.detectAll(spark, frames).toDF(), "scene")
+    val dets = checkpoint(detectFaces(spark, frames, detector), "faces")
+    val sceneDets = assignScenes(dets, scenes)
+    val tracks = Tracker.trackAll(spark, sceneDets)
+    val tracksDf = checkpoint(tracks.toDF(), "tracks")
+    val proc = TrackGeometry.procTracks(spark, tracksDf).toDF()
+    val scores = checkpoint(
+      scoreTracks(spark, tracksDf.as[Tracker.TrackFrame], scorer), "scores")
+    val segments = SpeakingSegments.extract(scores,
+      threshold, minDurationS, fps = 25, keyCols = Seq("video_id", "track_id"))
+    // per-video human summary (extractSpeakingSegments.py:152–175)
+    val summary = segments.groupBy(col("video_id"))
+      .agg(countDistinct(col("track_id")).as("n_tracks"),
+        count(lit(1)).as("n_segments"),
+        sum(col("n_frames")).as("total_frames"),
+        round(sum(col("duration_s") * 1000).cast("long") / 1000.0, 3).as("total_speaking_s"))
+    PipelineResult(scenes, dets, tracksDf, proc, scores, segments, summary)
+  }
+}

@@ -81,6 +81,20 @@ object DomainQueries extends QueryPack {
       Similarity.annTopK(s, Tables.table(s, dir, "embeddings"), k = 10, bits = 8)
         .orderBy(col("qid"), col("rank"))
     },
+
+    // The WHOLE reference pipeline as one DAG (scenes → faces → tracks
+    // → geometry → ensemble scores → segments), stub kernels, driven by
+    // an events-derived synthetic frame table; returns the segments.
+    "q44_pipeline_e2e" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val frames = Tables.events(s, dir)
+        .withColumn("frame", (row_number().over(w) - 1).cast("int"))
+        .select(col("user_id").as("video_id"), col("frame"),
+          // a content cut every 100 frames → multi-scene videos
+          (floor(col("frame") / 100) * 80.0 + 10.0).as("content"))
+      graft.pipeline.BatchPipeline.run(s, frames).segments
+        .orderBy(col("video_id"), col("track_id"), col("seg_id"))
+    },
   )
 
   val oracle = Map(

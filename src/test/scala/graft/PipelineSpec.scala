@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline.BatchPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end DAG: frames → scenes → detections → tracks → geometry →
+  * ensemble scores → segments → summary, with stage checkpoints. */
+class PipelineSpec extends SparkSpec {
+
+  private def frames = {
+    import spark.implicits._
+    // two videos; video 1 has a hard content cut at frame 100
+    (for {
+      v <- Seq(1L, 2L)
+      f <- 0 until 200
+    } yield (v, f, if (v == 1 && f >= 100) 120.0 else 10.0))
+      .toDF("video_id", "frame", "content")
+  }
+
+  test("full pipeline produces scenes, tracks, scores, segments, summary") {
+    val r = BatchPipeline.run(spark, frames)
+    // video 1: cut at 100 → 2 scenes; video 2: fallback single scene
+    val sc = r.scenes.groupBy("video_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(sc === Map(1L -> 2L, 2L -> 1L))
+    assert(r.detections.count() > 0)
+    val trackedScenes = r.tracks.select("video_id", "scene_id").distinct().count()
+    assert(trackedScenes === 3) // one drifting face per scene
+    // every track-frame scored, scores are bround(x, 1)
+    assert(r.scores.count() === r.tracks.count())
+    val badRound = r.scores.filter(
+      abs(col("score") * 10 - round(col("score") * 10)) > 1e-9).count()
+    assert(badRound === 0)
+    assert(r.segments.count() > 0)
+    val sm = r.summary.collect()
+    assert(sm.nonEmpty && sm.forall(_.getAs[Long]("n_segments") > 0))
+  }
+
+  test("stage checkpoints write the reference's pckl-contract names") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    BatchPipeline.run(spark, frames, checkpointDir = Some(dir))
+    for (stage <- Seq("scene", "faces", "tracks", "scores"))
+      assert(spark.read.parquet(s"$dir/$stage").count() > 0, s"stage $stage empty")
+  }
+
+  test("ensemble is mean over the DISTINCT duration set then HALF_EVEN") {
+    // mean of the stub scorer over {1..6}, banker's-rounded to 1 decimal
+    val v = BatchPipeline.DurationSet.map(d => BatchPipeline.StubScorer.score(1L, 0L, 7, d))
+    val mean = v.sum / v.length
+    val expected = BigDecimal(mean).setScale(1, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val r = BatchPipeline.run(spark, frames)
+    val got = r.scores.filter(col("video_id") === 1 && col("track_id") === 0 && col("frame") === 7)
+      .select("score").head().getDouble(0)
+    assert(got === expected)
+  }
+
+  test("smoothScoresQuirk excludes the final score at the tail (reference :350)") {
+    import spark.implicits._
+    val scores = Seq(0.0, 0.0, 0.0, 0.0, 10.0).zipWithIndex
+      .map { case (s, i) => (1L, 0L, i, s) }.toDF("video_id", "track_id", "frame", "score")
+    val sm = BatchPipeline.smoothScoresQuirk(spark, scores)
+      .orderBy("frame").select("smoothed").collect().map(_.getDouble(0))
+    // n=5; i=4: slice [2, min(7,4)) = [2,4) = {0,0} → 0.0 (10 excluded!)
+    assert(sm(4) === 0.0)
+    // i=2: slice [0, min(5,4)) = [0,4) = {0,0,0,0} → 0.0 (10 excluded)
+    assert(sm(2) === 0.0)
+    // i=1: slice [0,4) → 0.0
+    assert(sm(0) === 0.0)
+  }
+}
