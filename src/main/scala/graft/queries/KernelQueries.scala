@@ -25,6 +25,26 @@ object KernelQueries extends QueryPack {
 
     // Structured Streaming tumbling-window rollup driven to completion.
     "q30_stream_hourly" -> { (s, dir) => EventStream.hourlyRollup(s, dir) },
+
+    // Audio DSP kernel: synthesize deterministic PCM per supplier,
+    // WAV encode→decode roundtrip, MFCC framing (demoTalkNet.py:238
+    // defaults: 25 ms / 10 ms @ 16 kHz → frame_len 400, step 160).
+    // Integer outputs keep it DuckDB-oracle-checkable; MFCC numerics
+    // are golden-tested in SignalSpec.
+    "q45_mfcc_frames" -> { (s, dir) =>
+      import s.implicits._
+      graft.sources.Tables.table(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (400 + (id % 97) * 160).toInt
+          val pcm = Array.tabulate(n)(i => (math.sin(i * (0.01 + (id % 7) * 0.005)) * 8000).toShort)
+          val w = graft.sources.Wav.decode(graft.sources.Wav.encode(16000, 1, pcm))
+          val cep = graft.functions.Mfcc.mfcc(w.samples.map(_.toDouble), w.sampleRate)
+          (id, w.samples.length.toLong, cep.length.toLong, cep(0).length.toLong)
+        })
+        .toDF("s_suppkey", "n_samples", "n_frames", "n_ceps")
+        .orderBy("s_suppkey")
+    },
   )
 
   val oracle = Map(
@@ -44,5 +64,12 @@ object KernelQueries extends QueryPack {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q45_mfcc_frames" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |  CAST(400 + (s_suppkey % 97) * 160 AS BIGINT) AS n_samples,
+        |  CAST(1 + (s_suppkey % 97) AS BIGINT) AS n_frames,
+        |  CAST(13 AS BIGINT) AS n_ceps
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
   )
 }
