@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] =
-    Seq(Relational, Windowed, TextQueries, VectorQueries, KernelQueries, DomainQueries)
+    Seq(Relational, Windowed, TextQueries, VectorQueries, KernelQueries, DomainQueries, RefOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

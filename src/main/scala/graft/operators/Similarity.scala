@@ -71,4 +71,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
   }
+
+  /** IVF-style ANN, nprobe=1: a small deterministic coarse codebook
+    * (every `centroidEvery`-th vector — a trained k-means codebook
+    * drops in unchanged), every vector assigned to its max-dot cell by
+    * a broadcast partition kernel, exact cosine only within the cell.
+    * At scale: codebook ≪ corpus is broadcast once per executor; the
+    * only shuffle is the cell-keyed candidate join.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
+      centroidEvery: Int = 100, queryEvery: Int = 50): DataFrame = {
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = 0L; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val p = cs(c)._2
+            var dot = 0.0; var d = 0
+            while (d < p.length && d < v.length) { dot += p(d) * v(d); d += 1 }
+            if (dot > bestDot) { bestDot = dot; best = cs(c)._1 }
+            c += 1
+          }
+          (id, best)
+        }
+      }.toDF("vec_id", "cell")
+    val withC = emb
+      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
+      .join(assigned, "vec_id")
+    val qs = withC.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val corpus = withC.select(col("vec_id").as("cid"), col("vd").as("cv"),
+      col("n2").as("cn2"), col("cell"))
+    corpus.join(qs, col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      .withColumn("cos",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+          / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cell").cast("long").as("cell"), col("rank"),
+        col("cid"), round(col("cos"), 6).as("cos_r"))
+  }
 }
