@@ -1,14 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest neighbour over embedding columns: random
-  * hyperplane LSH (sign-bit bucketing) on top of the exact cosine
-  * kernel. The brute-force baseline is VectorQueries.q27; this is the
-  * scale path — at 100 TB the bucket join touches only colliding
+  * hyperplane LSH (sign-bit bucketing) and IVF-style coarse
+  * quantization (nprobe=1) on top of the exact cosine kernel. The
+  * brute-force baseline is VectorQueries.q27; these are the scale
+  * paths — at 100 TB the bucket/cell join touches only colliding
   * candidates instead of the full corpus per query.
+  *
+  * Scale shape (both paths): ONE kernel pass over the corpus computes
+  * (vd, n2, bucket) — no self-join back onto the scan — and the small
+  * query side is broadcast, so the corpus is never shuffled; the only
+  * wide exchange is the per-bucket top-k window, keyed by qid.
   *
   * The plane matrix is generated from a fixed seed, so buckets are
   * deterministic across executors/JVMs (java.util.Random LCG is
@@ -49,35 +55,58 @@ object Similarity {
       .toDF("vec_id", "bucket")
   }
 
-  /** ANN top-k: candidates share an LSH bucket; exact cosine ranks
-    * them. Queries = vec_id % `queryEvery` == 0 (as q27). */
-  def annTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
-      bits: Int = 12, queryEvery: Int = 50): DataFrame = {
-    val withB = emb
-      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
-      .join(bucketed(spark, emb, bits), "vec_id")
+  /** Single corpus pass: (vec_id, vd, n2, bucket) with `bucket` from
+    * an arbitrary per-vector function — no join back onto the scan. */
+  private def corpusPass(spark: SparkSession, emb: DataFrame)(
+      f: Array[Float] => Long): DataFrame = {
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var n2 = 0.0
+          var d = 0
+          while (d < v.length) { vd(d) = v(d).toDouble; n2 += vd(d) * vd(d); d += 1 }
+          (id, vd, n2, f(v))
+        }
+      }.toDF("vec_id", "vd", "n2", "bucket")
+  }
+
+  /** Shared tail: broadcast the query rows, candidate-join within
+    * bucket, exact-cosine rank, top-k. */
+  private def topKWithin(withB: DataFrame, k: Int, queryEvery: Int): DataFrame = {
     val qs = withB.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("qid"), col("vd").as("qv"),
         col("n2").as("qn2"), col("bucket").as("qbucket"))
     val corpus = withB.select(col("vec_id").as("cid"), col("vd").as("cv"),
       col("n2").as("cn2"), col("bucket"))
-    corpus.join(qs, col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
+    corpus.join(broadcast(qs), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
       .withColumn("cos",
         aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
           / (sqrt(col("qn2")) * sqrt(col("cn2"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** ANN top-k: candidates share an LSH bucket; exact cosine ranks
+    * them. Queries = vec_id % `queryEvery` == 0 (as q27). */
+  def annTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
+      bits: Int = 12, queryEvery: Int = 50): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(bits, dim)
+    val withB = corpusPass(spark, emb)(v => bucketOf(v, pl))
+    topKWithin(withB, k, queryEvery)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
   }
 
   /** IVF-style ANN, nprobe=1: a small deterministic coarse codebook
     * (every `centroidEvery`-th vector — a trained k-means codebook
-    * drops in unchanged), every vector assigned to its max-dot cell by
-    * a broadcast partition kernel, exact cosine only within the cell.
-    * At scale: codebook ≪ corpus is broadcast once per executor; the
-    * only shuffle is the cell-keyed candidate join.
+    * drops in unchanged), every vector assigned to its max-dot cell
+    * inside the same corpus pass, exact cosine only within the cell.
+    * At scale: codebook ≪ corpus rides the closure/broadcast once per
+    * executor; the corpus itself is never shuffled.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
       centroidEvery: Int = 100, queryEvery: Int = 50): DataFrame = {
@@ -88,41 +117,22 @@ object Similarity {
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) => (id, v.map(_.toDouble)) }
       .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(cents)
-    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) =>
-          var best = 0L; var bestDot = Double.NegativeInfinity
-          var c = 0
-          while (c < cs.length) {
-            val p = cs(c)._2
-            var dot = 0.0; var d = 0
-            while (d < p.length && d < v.length) { dot += p(d) * v(d); d += 1 }
-            if (dot > bestDot) { bestDot = dot; best = cs(c)._1 }
-            c += 1
-          }
-          (id, best)
-        }
-      }.toDF("vec_id", "cell")
-    val withC = emb
-      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
-      .join(assigned, "vec_id")
-    val qs = withC.filter(col("vec_id") % queryEvery === 0)
-      .select(col("vec_id").as("qid"), col("vd").as("qv"),
-        col("n2").as("qn2"), col("cell").as("qcell"))
-    val corpus = withC.select(col("vec_id").as("cid"), col("vd").as("cv"),
-      col("n2").as("cn2"), col("cell"))
-    corpus.join(qs, col("cell") === col("qcell") && col("cid") =!= col("qid"))
-      .withColumn("cos",
-        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-          / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cell").cast("long").as("cell"), col("rank"),
+    val bc = emb.sparkSession.sparkContext.broadcast(cents)
+    val withC = corpusPass(spark, emb) { v =>
+      val cs = bc.value
+      var best = 0L; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val p = cs(c)._2
+        var dot = 0.0; var d = 0
+        while (d < p.length && d < v.length) { dot += p(d) * v(d); d += 1 }
+        if (dot > bestDot) { bestDot = dot; best = cs(c)._1 }
+        c += 1
+      }
+      best
+    }
+    topKWithin(withC, k, queryEvery)
+      .select(col("qid"), col("bucket").cast("long").as("cell"), col("rank"),
         col("cid"), round(col("cos"), 6).as("cos_r"))
   }
 }

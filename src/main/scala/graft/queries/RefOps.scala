@@ -113,9 +113,10 @@ object RefOps extends QueryPack {
         .withColumn("pv", coalesce(lead(col("vd"), 1).over(w),
           first(col("vd")).over(wAll)))
         .filter(col("partner_id") =!= col("vec_id"))
+        .withColumn("pv32", slice(col("pv"), 1, 32))
       val clean = slice(col("vd"), 1, 48)
       val noise = transform(sequence(lit(0), lit(47)),
-        i => element_at(slice(col("pv"), 1, 32), i % 32 + 1))
+        i => element_at(col("pv32"), i % 32 + 1))
       def db(a: org.apache.spark.sql.Column, n: Int) =
         lit(10.0) * log10(aggregate(a, lit(0.0), (acc, x) => acc + x * x) / n + lit(1e-4))
       emb
