@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints the formatted physical plan of the
+  * named queries (all queries if no names given) at the given sf dir.
+  * Usage: runMain graft.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      try println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Exception => println(s"[explain] failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

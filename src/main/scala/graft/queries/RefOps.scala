@@ -153,6 +153,38 @@ object RefOps extends QueryPack {
       Similarity.ivfTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
         .orderBy(col("qid"), col("rank"))
     },
+
+    // Built-in session_window over event time (the engine-native form
+    // of q11's gaps-and-islands; 30-min gap). New session iff
+    // gap >= 30 min — pinned by RefOpsSpec.
+    "q53_session_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c_sum"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("value_c_sum"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Prediction-CSV sink + scan roundtrip (talkNet.py:107–115): add
+    // score/label columns, drop internal ids, write CSV with header,
+    // read back with an explicit schema, aggregate.
+    "q54_csv_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/pred"
+      Tables.events(s, dir)
+        .withColumn("score", cents(col("value")))
+        .withColumn("label", when(col("value") > 50, lit(1)).otherwise(lit(0)))
+        .drop("props", "ts_ns", "ts")
+        .select(col("user_id"), col("event_type"), col("score"), col("label"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("user_id LONG, event_type STRING, score LONG, label INT")
+        .option("header", "true").csv(tmp)
+        .groupBy(col("event_type"), col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+        .orderBy(col("event_type"), col("label"))
+    },
   )
 
   private val hashSql =
@@ -242,5 +274,26 @@ object RefOps extends QueryPack {
         |  printf('%05d_%06d', o_orderkey % 100000, (o_orderkey * 31) % 1000000) AS fname,
         |  printf('%.2f', floor(CAST(o_totalprice AS DOUBLE) / 7 * 100) / 100) AS price_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q53_session_window" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |              > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c_sum
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    "q54_csv_roundtrip" ->
+      """SELECT event_type, CAST(CASE WHEN value > 50 THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS score_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -67,6 +67,17 @@ class RefOpsSpec extends SparkSpec {
     assert(df.first().getSeq[Int](0) === Seq(1, 2, 3, 1, 2, 3, 1, 2))
   }
 
+  test("session_window: exactly-gap-apart events MERGE (split only when diff > gap)") {
+    import spark.implicits._
+    val df = Seq((1L, "2026-01-01 00:00:00"), (1L, "2026-01-01 00:30:00"),
+      (1L, "2026-01-01 01:00:01")).toDF("u", "t")
+      .withColumn("ts", to_timestamp(col("t")))
+    val out = df.groupBy(col("u"), session_window(col("ts"), "30 minutes")).count().collect()
+    // 00:00→00:30 diff == gap → merge; 00:30→01:00:01 diff > gap → split
+    assert(out.length === 2)
+    assert(out.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("frame remap matches python int(f/29.97*25) truncation") {
     // python: [int(f/29.97*25) for f in [0,1,29,30,59,60,2997]] == [0,0,24,25,49,50,2500]
     val got = spark.range(0, 3000)
