@@ -167,6 +167,33 @@ object RefOps extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Custom DataSource V2 trial-list scan (TalkSet list shape): write
+    // TalkSet-format lines, read through TrialListSource with a
+    // category filter (pushed to the raw-line prefix) and column
+    // pruning (only 3 of 9 fields parsed), aggregate.
+    "q55_triallist_v2" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tl").toString + "/lists"
+      Tables.table(s, dir, "orders")
+        .select(concat(
+          format_string("c%d id%05d/clip%d id%05d/clip%d %.2f 0 %.2f 0 0",
+            col("o_orderkey") % 5, col("o_custkey"), col("o_orderkey"),
+            col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice").cast("double")).cast("double") / 100,
+            cents(col("o_totalprice").cast("double")).cast("double") / 100),
+          when(col("o_orderkey") % 3 === 0,
+            format_string(" %06d", col("o_orderkey") % 1000000)).otherwise(lit("")))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.format(classOf[graft.sources.v2.TrialListSource].getName)
+        .option("path", tmp).load()
+        .filter(col("category") === "c1")
+        .select(col("audio_name"), col("d1"), col("tag"))
+        .groupBy(isnull(col("tag")).cast("int").cast("long").as("no_tag"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("d1"))).as("d1_c_sum"),
+          min(col("audio_name")).as("first_audio"))
+        .orderBy(col("no_tag"))
+    },
+
     // Prediction-CSV sink + scan roundtrip (talkNet.py:107–115): add
     // score/label columns, drop internal ids, write CSV with header,
     // read back with an explicit schema, aggregate.
@@ -274,6 +301,19 @@ object RefOps extends QueryPack {
         |  printf('%05d_%06d', o_orderkey % 100000, (o_orderkey * 31) % 1000000) AS fname,
         |  printf('%.2f', floor(CAST(o_totalprice AS DOUBLE) / 7 * 100) / 100) AS price_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q55_triallist_v2" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE)*100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 5 = 1),
+        |f AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS no_tag,
+        |    CAST(c AS DOUBLE)/100 AS d1,
+        |    printf('id%05d/clip%d', o_custkey, o_orderkey) AS audio_name
+        |  FROM t)
+        |SELECT CAST(no_tag AS BIGINT) AS no_tag, count(*) AS n,
+        |  CAST(sum(CAST(round(d1*100) AS BIGINT)) AS BIGINT) AS d1_c_sum,
+        |  min(audio_name) AS first_audio
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q53_session_window" ->
       """WITH e AS (SELECT user_id, ts, value,
