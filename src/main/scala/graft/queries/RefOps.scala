@@ -148,6 +148,20 @@ object RefOps extends QueryPack {
         .orderBy(col("o_orderkey"))
     },
 
+    // Single-pass AP via the typed Aggregator (same numbers as q15's
+    // window plan — the oracle is q15's, regrouped).
+    "q56_ap_aggregator" -> { (s, dir) =>
+      val apUdaf = udaf(graft.functions.ApAggregator,
+        org.apache.spark.sql.Encoders.product[graft.functions.ApIn])
+      Tables.events(s, dir)
+        .withColumn("value_c", cents(col("value")))
+        .withColumn("label", (col("event_id") % 2).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(apUdaf(col("value_c"), col("label"), col("event_id")).as("ap"),
+          sum(col("label")).as("n_pos"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // ——— rows-only (codebook assignment isn't SQL-expressible) ———
     "q52_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
@@ -314,6 +328,28 @@ object RefOps extends QueryPack {
         |  CAST(sum(CAST(round(d1*100) AS BIGINT)) AS BIGINT) AS d1_c_sum,
         |  min(audio_name) AS first_audio
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_ap_aggregator" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS value_c,
+        |    CAST(event_id % 2 AS BIGINT) AS label
+        |  FROM events),
+        |s AS (SELECT *,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(label) OVER (PARTITION BY event_type ORDER BY value_c DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |  CAST(sum(label) OVER (PARTITION BY event_type) AS BIGINT) AS pos
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value_c DESC, event_id)),
+        |p AS (SELECT *, CAST(tp AS DOUBLE)/rn AS prec, CAST(tp AS DOUBLE)/pos AS rec FROM s),
+        |v AS (SELECT *,
+        |  max(prec) OVER (PARTITION BY event_type ORDER BY value_c DESC, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS prec_env,
+        |  rec - lag(rec, 1, 0.0) OVER (PARTITION BY event_type ORDER BY value_c DESC, event_id) AS delta_rec
+        |  FROM p)
+        |SELECT event_type,
+        |  CAST(sum(CAST(round(prec_env*delta_rec*1e9) AS BIGINT)) AS DOUBLE)/1000000000.0 AS ap,
+        |  CAST(max(pos) AS BIGINT) AS n_pos, count(*) AS n
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q53_session_window" ->
       """WITH e AS (SELECT user_id, ts, value,
