@@ -162,6 +162,29 @@ object RefOps extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // Embedding-cosine near-duplicate pairs (the dedup-family member
+    // over vectors): exact cosine >= 0.2 within label blocks — at
+    // corpus scale the block key comes from LSH buckets (q43) instead
+    // of labels; the pair plan is identical.
+    "q57_embedding_neardup" -> { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
+      val a = emb.select(col("label"), col("vec_id").as("id_a"),
+        col("vd").as("va"), col("n2").as("na"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"),
+        col("vd").as("vb"), col("n2").as("nb"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.2)
+        .select(col("label").cast("long").as("label"),
+          col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("label"), col("id_a"), col("id_b"))
+    },
+
     // ——— rows-only (codebook assignment isn't SQL-expressible) ———
     "q52_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
@@ -328,6 +351,20 @@ object RefOps extends QueryPack {
         |  CAST(sum(CAST(round(d1*100) AS BIGINT)) AS BIGINT) AS d1_c_sum,
         |  min(audio_name) AS first_audio
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q57_embedding_neardup" ->
+      """WITH n AS (SELECT label, vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+        |    list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b) -> a+b) AS n2
+        |  FROM embeddings),
+        |p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.vd)+1),
+        |      i -> a.vd[CAST(i AS INT)] * b.vd[CAST(i AS INT)])), (x,y) -> x+y)
+        |      / (sqrt(a.n2)*sqrt(b.n2)) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(id_a AS BIGINT) AS id_a,
+        |  CAST(id_b AS BIGINT) AS id_b, round(cos, 6) AS cos_r
+        |FROM p WHERE cos >= 0.2 ORDER BY label, id_a, id_b""".stripMargin,
 
     "q56_ap_aggregator" ->
       """WITH e AS (SELECT event_id, event_type,
