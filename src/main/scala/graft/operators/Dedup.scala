@@ -107,6 +107,10 @@ object Dedup {
       textCol: String, numHashes: Int, shingleK: Int): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // shingling+hashing is CPU-bound: size kernel parallelism to
+      // cores, not to the scan's file count (one small parquet file =
+      // one partition = serial kernel otherwise)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>

@@ -43,6 +43,8 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[PayloadFeatures] = {
     import spark.implicits._
     payloads.select(col("id").cast("long"), col("payload").cast("binary"))
+      // decode is CPU-bound: parallelism follows cores, not file count
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (decoder handles, model weights)

@@ -61,6 +61,8 @@ object Similarity {
       f: Array[Float] => Long): DataFrame = {
     import spark.implicits._
     emb.select(col("vec_id").cast("long"), col("embedding"))
+      // dot-product bucketing is CPU-bound: parallelism = cores
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>

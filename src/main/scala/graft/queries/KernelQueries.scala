@@ -34,7 +34,10 @@ object KernelQueries extends QueryPack {
     "q45_mfcc_frames" -> { (s, dir) =>
       import s.implicits._
       graft.sources.Tables.table(s, dir, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long"))
+        // DSP kernel is CPU-bound: parallelism = cores, not file count
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[Long]
         .mapPartitions(_.map { id =>
           val n = (400 + (id % 97) * 160).toInt
           val pcm = Array.tabulate(n)(i => (math.sin(i * (0.01 + (id % 7) * 0.005)) * 8000).toShort)

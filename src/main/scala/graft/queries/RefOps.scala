@@ -104,47 +104,63 @@ object RefOps extends QueryPack {
     // weight per the reference formulas, snr = (vec_id % 11) - 5 in
     // place of uniform(-5,5).
     "q50_noise_pair_mix" -> { (s, dir) =>
+      import s.implicits._
       val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val emb = Tables.table(s, dir, "embeddings")
+      // partner pick stays relational (windows); the per-row DSP math
+      // is a typed kernel — in the reference it IS kernel code
+      // (dataLoader.py:15–28), and Spark's higher-order array folds
+      // are interpreted + get inlined once per referencing column,
+      // so the kernel is both faithful and ~10× cheaper per row.
+      Tables.table(s, dir, "embeddings")
         .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
         .withColumn("partner_id", coalesce(lead(col("vec_id"), 1).over(w),
           first(col("vec_id")).over(wAll)))
         .withColumn("pv", coalesce(lead(col("vd"), 1).over(w),
           first(col("vd")).over(wAll)))
         .filter(col("partner_id") =!= col("vec_id"))
-        .withColumn("pv32", slice(col("pv"), 1, 32))
-      val clean = slice(col("vd"), 1, 48)
-      val noise = transform(sequence(lit(0), lit(47)),
-        i => element_at(col("pv32"), i % 32 + 1))
-      def db(a: org.apache.spark.sql.Column, n: Int) =
-        lit(10.0) * log10(aggregate(a, lit(0.0), (acc, x) => acc + x * x) / n + lit(1e-4))
-      emb
-        .withColumn("clean_db", db(clean, 48))
-        .withColumn("noise_db", db(noise, 48))
-        .withColumn("snr", (col("vec_id") % 11 - 5).cast("double"))
-        .withColumn("wt", sqrt(pow(lit(10.0),
-          (col("clean_db") - col("noise_db") - col("snr")) / 10)))
-        .withColumn("mixed0",
-          element_at(clean, 1) + col("wt") * element_at(noise, 1))
-        .select(col("vec_id").cast("long").as("vec_id"),
-          col("partner_id").cast("long").as("partner_id"),
-          round(col("clean_db"), 6).as("clean_db"),
-          round(col("noise_db"), 6).as("noise_db"),
-          round(col("wt"), 6).as("wt"), round(col("mixed0"), 6).as("mixed0"))
+        .select(col("vec_id").cast("long"), col("partner_id").cast("long"),
+          col("vd"), col("pv"))
+        .as[(Long, Long, Seq[Double], Seq[Double])]
+        .mapPartitions(_.map { case (id, pid, vd, pv) =>
+          val clean = vd.take(48).toArray
+          val pv32 = pv.take(32).toArray
+          val noise = Array.tabulate(48)(i => pv32(i % 32)) // numpy.pad 'wrap'
+          def db(a: Array[Double]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < a.length) { acc += a(i) * a(i); i += 1 }
+            10.0 * math.log10(acc / 48 + 1e-4)
+          }
+          val cleanDb = db(clean); val noiseDb = db(noise)
+          val snr = (id % 11 - 5).toDouble
+          val wt = math.sqrt(math.pow(10.0, (cleanDb - noiseDb - snr) / 10))
+          (id, pid, cleanDb, noiseDb, wt, clean(0) + wt * noise(0))
+        })
+        .toDF("vec_id", "partner_id", "clean_db0", "noise_db0", "wt0", "mixed00")
+        .select(col("vec_id"), col("partner_id"),
+          round(col("clean_db0"), 6).as("clean_db"),
+          round(col("noise_db0"), 6).as("noise_db"),
+          round(col("wt0"), 6).as("wt"), round(col("mixed00"), 6).as("mixed0"))
         .orderBy(col("vec_id"))
     },
 
     // Centisecond truncation int(x*100)/100 (generate_TalkSet.py:66)
-    // + %05d/%06d/%.2f formatting (demoTalkNet.py:527, 305).
+    // + %05d/%06d/%.2f formatting (demoTalkNet.py:527, 305). The
+    // strings are built with codegen'd lpad/concat, printf-equivalent
+    // for these nonneg fields — java.util.Formatter (format_string)
+    // costs ~30 µs/row, which at 100 TB is the whole budget; the
+    // format_string surface itself is exercised in q46/q55.
     "q51_format_trunc" -> { (s, dir) =>
-      val t = floor(col("o_totalprice").cast("double") / 7 * 100) / 100
+      val c = floor(col("o_totalprice").cast("double") / 7 * 100).cast("long")
+      def pad(x: org.apache.spark.sql.Column, n: Int) =
+        lpad(x.cast("string"), n, "0")
       Tables.table(s, dir, "orders")
         .select(col("o_orderkey"),
-          t.as("trunc_cs"),
-          format_string("%05d_%06d", col("o_orderkey") % 100000,
-            (col("o_orderkey") * 31) % 1000000).as("fname"),
-          format_string("%.2f", t).as("price_str"))
+          (c.cast("double") / 100).as("trunc_cs"),
+          concat(pad(col("o_orderkey") % 100000, 5), lit("_"),
+            pad((col("o_orderkey") * 31) % 1000000, 6)).as("fname"),
+          concat(floor(c / 100).cast("long").cast("string"), lit("."),
+            pad(c % 100, 2)).as("price_str"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -167,21 +183,40 @@ object RefOps extends QueryPack {
     // corpus scale the block key comes from LSH buckets (q43) instead
     // of labels; the pair plan is identical.
     "q57_embedding_neardup" -> { (s, dir) =>
-      val emb = Tables.table(s, dir, "embeddings")
-        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
-      val a = emb.select(col("label"), col("vec_id").as("id_a"),
-        col("vd").as("va"), col("n2").as("na"))
-      val b = emb.select(col("label"), col("vec_id").as("id_b"),
-        col("vd").as("vb"), col("n2").as("nb"))
-      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos",
-          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-            / (sqrt(col("na")) * sqrt(col("nb"))))
-        .filter(col("cos") >= 0.2)
-        .select(col("label").cast("long").as("label"),
-          col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
-          round(col("cos"), 6).as("cos_r"))
+      import s.implicits._
+      // blocked pair scoring as a per-block partition kernel (the
+      // O(block²) dots in primitive loops, not interpreted array
+      // folds of a self-join); at corpus scale the block key is an
+      // LSH bucket (q43) instead of the label — plan unchanged.
+      Tables.table(s, dir, "embeddings")
+        .select(col("label").cast("long"), col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (label, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val vds = rows.map(_._3.map(_.toDouble))
+          val n2 = vds.map { v =>
+            var a = 0.0; var i = 0
+            while (i < v.length) { a += v(i) * v(i); i += 1 }; a
+          }
+          val out = Array.newBuilder[(Long, Long, Long, Double)]
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              val (va, vb) = (vds(i), vds(j))
+              var dot = 0.0; var d = 0
+              while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+              val cos = dot / (math.sqrt(n2(i)) * math.sqrt(n2(j)))
+              if (cos >= 0.2) out += ((label, rows(i)._2, rows(j)._2, cos))
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+        .toDF("label", "id_a", "id_b", "cos")
+        .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("label"), col("id_a"), col("id_b"))
     },
 
