@@ -162,11 +162,22 @@ object BatchPipeline {
     }
 
     import spark.implicits._
-    val scenes = checkpoint(SceneDetect.detectAll(spark, frames).toDF(), "scene")
-    val dets = checkpoint(detectFaces(spark, frames, detector), "faces")
+    // frames fans out to scene detection AND face detection; tracks
+    // fan out to geometry AND scoring. Without stage checkpoints the
+    // shared lineage would execute once per consumer — persist at the
+    // two fan-out points (at 100 TB the parquet stage checkpoints play
+    // this role, which is exactly the reference's pckl contract).
+    val framesIn = if (checkpointDir.isEmpty)
+      frames.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else frames
+    val scenes = checkpoint(SceneDetect.detectAll(spark, framesIn).toDF(), "scene")
+    val dets = checkpoint(detectFaces(spark, framesIn, detector), "faces")
     val sceneDets = assignScenes(dets, scenes)
     val tracks = Tracker.trackAll(spark, sceneDets)
-    val tracksDf = checkpoint(tracks.toDF(), "tracks")
+    val tracksDf0 = checkpoint(tracks.toDF(), "tracks")
+    val tracksDf = if (checkpointDir.isEmpty)
+      tracksDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tracksDf0
     val proc = TrackGeometry.procTracks(spark, tracksDf).toDF()
     val scores = checkpoint(
       scoreTracks(spark, tracksDf.as[Tracker.TrackFrame], scorer), "scores")
