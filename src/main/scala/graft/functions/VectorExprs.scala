@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Strict left-fold dot product over two ARRAY<DOUBLE> columns as a
+  * native codegen'd Catalyst `Expression` — the vector-kernel hot op
+  * (SURVEY §2.9 "cheap pure functions" tier, used by the similarity
+  * extension q27/q43/q52/q57).
+  *
+  * Numerically identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * (0.0-seeded left fold, so `((0+p₀)+p₁)+…`) and to DuckDB's
+  * `list_reduce(list_prepend(0.0, products), +)` — but those
+  * higher-order forms are interpreted row-at-a-time AND re-inlined
+  * once per referencing column; this stays inside whole-stage codegen
+  * with one primitive loop.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dotp"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column-API entry: dotp(a, b) over ARRAY<DOUBLE>. */
+  def dotp(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register `dotp(a, b)` for SQL use in this session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotp", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+}

@@ -85,7 +85,7 @@ object Similarity {
       col("n2").as("cn2"), col("bucket"))
     corpus.join(broadcast(qs), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
       .withColumn("cos",
-        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+        graft.functions.VectorExprs.dotp(col("qv"), col("cv"))
           / (sqrt(col("qn2")) * sqrt(col("cn2"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))

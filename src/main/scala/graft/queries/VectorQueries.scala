@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
 object VectorQueries extends QueryPack {
   import Q._
 
-  /** Σ aᵢ·bᵢ as a strict left fold — same IEEE order as the oracle. */
+  /** Σ aᵢ·bᵢ as a strict left fold — same IEEE order as the oracle;
+    * native codegen'd expression (graft.functions.DotProduct). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotp(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("n2", aggregate(col("vd"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("n2", dot(col("vd"), col("vd")))
 
   val queries = Map[String, Fn](
     // Brute-force cosine top-10 for every 50th vector (exact ANN
