@@ -155,9 +155,13 @@ object BatchPipeline {
       threshold: Double = 0.0, minDurationS: Double = 0.2,
       checkpointDir: Option[String] = None): PipelineResult = {
 
+    // Stage checkpoints are hive-partitioned by video_id (SURVEY §1.3):
+    // per-video reads (the reference's resume/debug unit) prune to one
+    // directory instead of scanning the corpus.
     def checkpoint(df: DataFrame, name: String): DataFrame = checkpointDir match {
       case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name"); spark.read.parquet(s"$dir/$name")
+        df.write.mode("overwrite").partitionBy("video_id").parquet(s"$dir/$name")
+        spark.read.parquet(s"$dir/$name")
       case None => df
     }
 

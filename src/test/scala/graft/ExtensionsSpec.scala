@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the native expressions at session build
+  * time (needs its own SparkSession, so not SparkSpec). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions exposes rolling_hash and dotp in SQL") {
+    // getOrCreate reuses a shared session and skips extensions — build
+    // an isolated one, then restore the previous default for the rest
+    // of the suite run.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // .withExtensions works on fresh AND pre-existing SparkContexts;
+    // the "spark.sql.extensions" config form is equivalent but only
+    // read when the SparkContext itself is created.
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        "SELECT rolling_hash('abc') AS h, dotp(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head()
+      // ((0*31+97)*31+98)*31+99 = 96354 (mod 1e9+7 unchanged)
+      assert(r.getLong(0) === (('a'.toLong * 31 + 'b') * 31 + 'c') % 1000000007L)
+      assert(r.getDouble(1) === 11.0)
+    } finally {
+      // do NOT spark.stop(): the SparkContext is shared JVM-wide with
+      // the other suites; just restore the session slots
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

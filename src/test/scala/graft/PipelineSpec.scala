@@ -37,11 +37,21 @@ class PipelineSpec extends SparkSpec {
     assert(sm.nonEmpty && sm.forall(_.getAs[Long]("n_segments") > 0))
   }
 
-  test("stage checkpoints write the reference's pckl-contract names") {
+  test("stage checkpoints write the reference's pckl-contract names, " +
+    "hive-partitioned by video_id with working pruning") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     BatchPipeline.run(spark, frames, checkpointDir = Some(dir))
-    for (stage <- Seq("scene", "faces", "tracks", "scores"))
+    for (stage <- Seq("scene", "faces", "tracks", "scores")) {
       assert(spark.read.parquet(s"$dir/$stage").count() > 0, s"stage $stage empty")
+      assert(new java.io.File(s"$dir/$stage").listFiles()
+        .exists(_.getName.startsWith("video_id=")), s"stage $stage not partitioned")
+    }
+    // a per-video read (the reference's resume/debug unit) prunes to
+    // one partition directory
+    val one = spark.read.parquet(s"$dir/scores")
+      .filter(org.apache.spark.sql.functions.col("video_id") === 1L)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(video_id"), scan)
   }
 
   test("ensemble is mean over the DISTINCT duration set then HALF_EVEN") {
