@@ -226,6 +226,42 @@ object RefOps extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Speaking segments via the custom Catalyst Generator (UDTF form
+    // of q32's windows plan): per-track score arrays → segment rows.
+    "q59_segments_generator" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val series = Tables.events(s, dir)
+        .withColumn("frame", (row_number().over(w) - 1).cast("int"))
+        .select(col("user_id").as("video_id"), col("frame"), col("value").as("score"))
+        .groupBy(col("video_id"))
+        .agg(sort_array(collect_list(struct(col("frame"), col("score")))).as("series"))
+      series.select(col("video_id"), GraftBridge.column(
+          graft.functions.ExplodeSegments(
+            GraftBridge.expression(col("series")),
+            GraftBridge.expression(lit(30.0)),
+            GraftBridge.expression(lit(5)))))
+        .select(col("video_id"), col("seg_id"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("end_frame").cast("long").as("end_frame"), col("n_frames"))
+        .orderBy(col("video_id"), col("seg_id"))
+    },
+
+    // Two-phase salted aggregation over the (skewed) event_type key —
+    // identical results to the plain single-phase agg (the oracle IS
+    // the plain agg), balanced shuffles at any skew.
+    "q58_salted_agg" -> { (s, dir) =>
+      graft.operators.SkewTools.saltedLongStats(
+          Tables.events(s, dir).withColumn("value_c", cents(col("value"))),
+          keys = Seq("event_type"), longCol = col("value_c"),
+          saltSrc = col("event_id"), buckets = 16)
+        .select(col("event_type"), col("n"),
+          (col("sum").cast("double") / 100.0).as("sum_value"),
+          (col("min").cast("double") / 100.0).as("min_value"),
+          (col("max").cast("double") / 100.0).as("max_value"))
+        .orderBy(col("event_type"))
+    },
+
     // Built-in session_window over event time (the engine-native form
     // of q11's gaps-and-islands; 30-min gap). New session iff
     // gap >= 30 min — pinned by RefOpsSpec.
@@ -422,6 +458,38 @@ object RefOps extends QueryPack {
         |  CAST(sum(CAST(round(prec_env*delta_rec*1e9) AS BIGINT)) AS DOUBLE)/1000000000.0 AS ap,
         |  CAST(max(pos) AS BIGINT) AS n_pos, count(*) AS n
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q59_segments_generator" ->
+      """WITH e AS (SELECT user_id AS video_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS INT) AS frame,
+        |    value AS score
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN score > 30.0 THEN 1 ELSE 0 END AS speaking FROM e),
+        |c AS (SELECT *,
+        |  CASE WHEN lag(speaking) OVER w IS NULL OR lag(speaking) OVER w <> speaking
+        |       THEN 1 ELSE 0 END AS changed
+        |  FROM f WINDOW w AS (PARTITION BY video_id ORDER BY frame)),
+        |g AS (SELECT *,
+        |  CAST(sum(changed) OVER (PARTITION BY video_id ORDER BY frame
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM c),
+        |runs AS (SELECT video_id, grp,
+        |    CAST(min(frame) AS BIGINT) AS start_frame,
+        |    CAST(max(frame) + 1 AS BIGINT) AS end_frame,
+        |    count(*) AS n_frames
+        |  FROM g WHERE speaking = 1 GROUP BY video_id, grp
+        |  HAVING max(frame) + 1 - min(frame) >= 5)
+        |SELECT video_id,
+        |  CAST(row_number() OVER (PARTITION BY video_id ORDER BY start_frame) AS BIGINT) AS seg_id,
+        |  start_frame, end_frame, n_frames
+        |FROM runs ORDER BY video_id, seg_id""".stripMargin,
+
+    "q58_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+        |  CAST(min(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS min_value,
+        |  CAST(max(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q53_session_window" ->
       """WITH e AS (SELECT user_id, ts, value,
