@@ -45,6 +45,21 @@ object EventStream {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Watermarked APPEND-mode tumbling aggregation (§2.8 "watermarks +
+    * windowed aggs"): events later than `delay` behind the max seen
+    * event time are dropped; a window's row is emitted exactly once,
+    * when the watermark passes its end. Input columns:
+    * (ets timestamp, event_type string, value_c long). State is
+    * bounded by open windows — the production shape for an unbounded
+    * source, where complete-mode (q30) state would grow forever. */
+  def windowedCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ets", delay)
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_c"))
+
   final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
 

@@ -78,6 +78,22 @@ class RefOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("kernel queries are partition-count independent (3 vs 17 shuffle partitions)") {
+    val dir = "/root/testdata/sf0.001"
+    def digest(name: String): Seq[String] = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", 3)
+      val at3 = Seq("q50_noise_pair_mix", "q57_embedding_neardup", "q56_ap_aggregator").map(digest)
+      spark.conf.set("spark.sql.shuffle.partitions", 17)
+      val at17 = Seq("q50_noise_pair_mix", "q57_embedding_neardup", "q56_ap_aggregator").map(digest)
+      assert(at3 === at17)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("frame remap matches python int(f/29.97*25) truncation") {
     // python: [int(f/29.97*25) for f in [0,1,29,30,59,60,2997]] == [0,0,24,25,49,50,2500]
     val got = spark.range(0, 3000)
