@@ -208,10 +208,32 @@ object Dedup {
       .toDF("id_a", "id_b", "inter", "uni", "jac")
   }
 
-  /** SimHash bucketing: same top-`prefixBits` ⇒ candidate group. */
+  /** SimHash bucketing: same top-`prefixBits` ⇒ candidate group.
+    * Token hashes stay SQL `xxhash64` (exactly `withSimhash64`'s
+    * values); the 64-bit majority vote runs as a partition kernel —
+    * the SQL-lambda form is 64 interpreted folds per row, this is one
+    * primitive loop (same outputs, ~10× cheaper). */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-      prefixBits: Int = 16): DataFrame =
-    withSimhash64(docs.select(col(idCol).cast("long").as("id"), col(textCol)), textCol)
+      prefixBits: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Seq[Long])]
+      .mapPartitions(_.map { case (id, hs) =>
+        val counts = new Array[Int](64)
+        hs.foreach { h =>
+          var j = 0
+          while (j < 64) { counts(j) += ((h >>> j) & 1L).toInt; j += 1 }
+        }
+        var sim = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) * 2 > hs.length) sim |= (1L << j); j += 1 }
+        (id, sim)
+      })
+      .toDF("id", "sim64")
       .withColumn("bucket", shiftrightunsigned(col("sim64"), 64 - prefixBits))
       .select(col("id"), col("sim64"), col("bucket"))
+  }
 }
