@@ -24,12 +24,17 @@ object TextQueries extends QueryPack {
   private val STOP_FR = "\\b(le|les|des|une|est|dans)\\b"
 
   val queries = Map[String, Fn](
-    // Token counting: whitespace tokenization + length stats.
+    // Token counting: whitespace tokenization + a BPE-ish regex
+    // (GPT-2-style pre-tokenizer shape: contractions, space-prefixed
+    // letter/digit runs, punctuation runs — RE2/Java-compatible
+    // subset) + length stats.
     "q20_token_stats" -> { (s, dir) =>
+      val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars_m"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("long").as("n_bpe_tokens"),
           length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace"))
         .withColumn("avg_token_len",
           col("n_nonspace").cast("double") / col("n_tokens"))
@@ -123,9 +128,11 @@ object TextQueries extends QueryPack {
       """WITH t AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_m,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace
         |FROM documents)
-        |SELECT doc_id, n_chars_m, n_tokens, n_nonspace,
+        |SELECT doc_id, n_chars_m, n_tokens, n_bpe_tokens, n_nonspace,
         |  CAST(n_nonspace AS DOUBLE)/n_tokens AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
 
