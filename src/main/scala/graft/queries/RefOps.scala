@@ -226,6 +226,48 @@ object RefOps extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // The complete Columbia eval (demoTalkNet.py:372–437): per-frame
+    // theta join with the evalCol IoU variant (inter / GT area,
+    // :140–141) > 0.5, max-IoU face per GT box, binarized score vs GT
+    // label, per-speaker F1 + accuracy (:425–437).
+    "q60_columbia_eval" -> { (s, dir) =>
+      def boxes(of: String, id: String) = Tables.events(s, dir)
+        .withColumn("value_c", cents(col("value")))
+        .filter(col("event_type") === of)
+        .select(col("event_id").as(id), col("user_id").as(s"frame_$id"),
+          col("value_c").as(s"vc_$id"),
+          (col("value") % 50).as(s"x1_$id"),
+          (col("event_id") % 40).cast("double").as(s"y1_$id"))
+        .withColumn(s"x2_$id", col(s"x1_$id") + 20.0)
+        .withColumn(s"y2_$id", col(s"y1_$id") + 15.0)
+      val gt = boxes("view", "g")
+        .withColumn("speaker", concat(lit("spk"), col("g") % 5))
+        .withColumn("gt_label", (col("g") % 2).cast("long"))
+      val pred = boxes("click", "p")
+        .withColumn("pred_label", when(col("vc_p") > 25000L, 1L).otherwise(0L))
+      val matched = gt.join(pred, col("frame_g") === col("frame_p"))
+        .withColumn("ix", greatest(lit(0.0),
+          least(col("x2_g"), col("x2_p")) - greatest(col("x1_g"), col("x1_p"))))
+        .withColumn("iy", greatest(lit(0.0),
+          least(col("y2_g"), col("y2_p")) - greatest(col("y1_g"), col("y1_p"))))
+        .withColumn("iou_col", col("ix") * col("iy") / lit(300.0)) // GT area 20×15
+        .filter(col("iou_col") > 0.5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("iou_col").desc, col("p"))))
+        .filter(col("rn") === 1)
+      matched.groupBy(col("speaker"))
+        .agg(
+          sum(when(col("pred_label") === 1 && col("gt_label") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred_label") === 1 && col("gt_label") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred_label") === 0 && col("gt_label") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pred_label") === 0 && col("gt_label") === 0, 1L).otherwise(0L)).as("tn"))
+        .withColumn("f1", (lit(2) * col("tp")).cast("double")
+          / (lit(2) * col("tp") + col("fp") + col("fn")))
+        .withColumn("accuracy", (col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("fn") + col("tn")))
+        .orderBy(col("speaker"))
+    },
+
     // Speaking segments via the custom Catalyst Generator (UDTF form
     // of q32's windows plan): per-track score arrays → segment rows.
     "q59_segments_generator" -> { (s, dir) =>
@@ -458,6 +500,35 @@ object RefOps extends QueryPack {
         |  CAST(sum(CAST(round(prec_env*delta_rec*1e9) AS BIGINT)) AS DOUBLE)/1000000000.0 AS ap,
         |  CAST(max(pos) AS BIGINT) AS n_pos, count(*) AS n
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q60_columbia_eval" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |    CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |gt AS (SELECT event_id AS g, user_id AS frame, value_c,
+        |    value % 50 AS x1, CAST(event_id % 40 AS DOUBLE) AS y1,
+        |    'spk' || CAST(event_id % 5 AS VARCHAR) AS speaker,
+        |    CAST(event_id % 2 AS BIGINT) AS gt_label
+        |  FROM ev WHERE event_type = 'view'),
+        |pr AS (SELECT event_id AS p, user_id AS frame, value % 50 AS x1,
+        |    CAST(event_id % 40 AS DOUBLE) AS y1,
+        |    CASE WHEN value_c > 25000 THEN 1 ELSE 0 END AS pred_label
+        |  FROM ev WHERE event_type = 'click'),
+        |j AS (SELECT gt.g, gt.speaker, gt.gt_label, pr.p, pr.pred_label,
+        |    greatest(0.0, least(gt.x1+20.0, pr.x1+20.0) - greatest(gt.x1, pr.x1)) *
+        |    greatest(0.0, least(gt.y1+15.0, pr.y1+15.0) - greatest(gt.y1, pr.y1)) / 300.0 AS iou_col
+        |  FROM gt JOIN pr ON gt.frame = pr.frame),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY iou_col DESC, p) AS rn
+        |  FROM j WHERE iou_col > 0.5),
+        |a AS (SELECT speaker,
+        |    CAST(sum(CASE WHEN pred_label = 1 AND gt_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred_label = 1 AND gt_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN pred_label = 0 AND gt_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN pred_label = 0 AND gt_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM m WHERE rn = 1 GROUP BY speaker)
+        |SELECT speaker, tp, fp, fn, tn,
+        |  CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) AS f1,
+        |  CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+        |FROM a ORDER BY speaker""".stripMargin,
 
     "q59_segments_generator" ->
       """WITH e AS (SELECT user_id AS video_id,
