@@ -226,6 +226,24 @@ object RefOps extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // AVA clip extraction bounds (utils/tools.py:115–138): sort by
+    // (entity, ts), group by entity, take [min ts, max ts] as the clip
+    // plus the first row's payload (min_by/max_by).
+    "q61_entity_clip_bounds" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_c", cents(col("value")))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_ns")).as("clip_start_ns"),
+          max(col("ts_ns")).as("clip_end_ns"),
+          min_by(col("event_type"), struct(col("ts_ns"), col("event_id"))).as("first_type"),
+          max_by(col("value_c"), struct(col("ts_ns"), col("event_id"))).as("last_value_c"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("clip_start_ns"), col("clip_end_ns"),
+          expr("(clip_end_ns - clip_start_ns) DIV 1000000000").as("clip_len_s"),
+          col("first_type"), col("last_value_c"), col("n"))
+        .orderBy(col("user_id"))
+    },
+
     // The complete Columbia eval (demoTalkNet.py:372–437): per-frame
     // theta join with the evalCol IoU variant (inter / GT area,
     // :140–141) > 0.5, max-IoU face per GT box, binarized score vs GT
@@ -500,6 +518,23 @@ object RefOps extends QueryPack {
         |  CAST(sum(CAST(round(prec_env*delta_rec*1e9) AS BIGINT)) AS DOUBLE)/1000000000.0 AS ap,
         |  CAST(max(pos) AS BIGINT) AS n_pos, count(*) AS n
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q61_entity_clip_bounds" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+        |    CAST(round(value*100) AS BIGINT) AS value_c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rrn
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(min(ts_ns) AS BIGINT) AS clip_start_ns,
+        |    CAST(max(ts_ns) AS BIGINT) AS clip_end_ns, count(*) AS n
+        |  FROM e GROUP BY user_id)
+        |SELECT a.user_id, clip_start_ns, clip_end_ns,
+        |  CAST((clip_end_ns - clip_start_ns) // 1000000000 AS BIGINT) AS clip_len_s,
+        |  f.event_type AS first_type, l.value_c AS last_value_c, n
+        |FROM a
+        |JOIN e f ON f.user_id = a.user_id AND f.rn = 1
+        |JOIN e l ON l.user_id = a.user_id AND l.rrn = 1
+        |ORDER BY a.user_id""".stripMargin,
 
     "q60_columbia_eval" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,
