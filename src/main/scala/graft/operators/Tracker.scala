@@ -12,8 +12,13 @@ import scala.collection.mutable.ArrayBuffer
   * unit (SURVEY §2.3 "Greedy IoU track association").
   *
   * Faithfully reproduced quirks (each is observable in outputs):
-  *  - a pass may append MULTIPLE faces of the SAME frame to one track
-  *    (the `continue` at demoTalkNet.py:161 resumes the face loop);
+  *  - CPython list-iterator mutation: `frameFaces.remove(face)` inside
+  *    `for face in frameFaces` (demoTalkNet.py:153–162) shifts the list
+  *    left but the iterator index is NOT adjusted, so the face that
+  *    shifts into the removed slot is SKIPPED for the rest of this
+  *    pass — it is only reconsidered by a later pass. With >=3 faces in
+  *    a frame a pass can still append several same-frame faces (take
+  *    one, skip one, examine the next);
   *  - `else: break` (demoTalkNet.py:163) aborts the frame scan once
   *    the gap to the track tail exceeds `numFailedDet`;
   *  - tracks with length <= minTrack are DISCARDED but their faces
@@ -55,15 +60,20 @@ object Tracker {
     while (go) {
       val track = ArrayBuffer.empty[Det]
       for (frameFaces <- frames) {
-        var i = 0
+        // `idx` models CPython's listiterator it_index: incremented when a
+        // face is yielded, NOT adjusted when the body removes an element —
+        // so the face shifting into the removed slot is skipped this pass.
+        var idx = 0
         var broke = false
-        while (i < frameFaces.length && !broke) {
-          val face = frameFaces(i)
+        while (idx < frameFaces.length && !broke) {
+          val face = frameFaces(idx)
+          idx += 1
           if (track.isEmpty) {
-            track += face; frameFaces.remove(i) // don't advance: next face shifts in
+            track += face; frameFaces.remove(frameFaces.indexOf(face))
           } else if (face.frame - track.last.frame <= numFailedDet) {
-            if (iou(face, track.last) > iouThres) { track += face; frameFaces.remove(i) }
-            else i += 1
+            if (iou(face, track.last) > iouThres) {
+              track += face; frameFaces.remove(frameFaces.indexOf(face))
+            }
           } else {
             broke = true // reference's `else: break`
           }

@@ -98,6 +98,11 @@ object DomainQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // ASCII-only corpus assumption (same as q29): Spark-side RollingHash
+    // folds UTF-8 OCTETS while this oracle folds per-CHARACTER codepoints
+    // via ascii(substr(..)) — identical only while byte == codepoint.
+    // Non-ASCII text would contribute several byte terms per char in
+    // Spark vs one here. Driver generator emits ASCII; revisit if not.
     "q31_rolling_fingerprint" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(text) = 0 THEN 0

@@ -324,7 +324,8 @@ object RefOps extends QueryPack {
 
     // Built-in session_window over event time (the engine-native form
     // of q11's gaps-and-islands; 30-min gap). New session iff
-    // gap >= 30 min — pinned by RefOpsSpec.
+    // gap > 30 min — events exactly 30 min apart MERGE (pinned by
+    // RefOpsSpec; the DuckDB oracle uses strict > to match).
     "q53_session_window" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -429,6 +430,9 @@ object RefOps extends QueryPack {
         |  AND s.rn < b.start_rn + greatest(1, 2500 // (SELECT len FROM s s2 WHERE s2.cat = b.bcat AND s2.rn = b.start_rn))
         |ORDER BY cat, batch_id, len DESC, id DESC""".stripMargin,
 
+    // ASCII-only corpus assumption (see q29/q31): $hashSql folds
+    // per-character codepoints; Spark's RollingHash folds UTF-8 octets.
+    // They agree only while the documents text is pure ASCII.
     "q49_split_hash" ->
       s"""WITH h AS (SELECT CAST($hashSql AS BIGINT) AS h FROM documents),
          |sp AS (SELECT CASE WHEN h % 10 < 9 THEN 'train' ELSE 'test' END AS split, h FROM h)

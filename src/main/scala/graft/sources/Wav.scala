@@ -17,9 +17,11 @@ object Wav {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.getInt(0) == 0x46464952, "not RIFF") // "RIFF"
     require(bb.getInt(8) == 0x45564157, "not WAVE") // "WAVE"
+    // Walk ALL chunks first (RIFF allows data before fmt), then
+    // validate bits and decode — chunk order must not matter.
     var pos = 12
     var sampleRate = 0; var channels = 0; var bits = 0
-    var samples: Array[Short] = null
+    var dataPos = -1; var dataSize = 0
     while (pos + 8 <= bytes.length) {
       val id = bb.getInt(pos)
       val size = bb.getInt(pos + 4)
@@ -28,15 +30,16 @@ object Wav {
         sampleRate = bb.getInt(pos + 12)
         bits = bb.getShort(pos + 22)
       } else if (id == 0x61746164) { // "data"
-        require(bits == 16, s"only PCM16 supported, got $bits-bit")
-        val n = size / 2
-        samples = new Array[Short](n)
-        var i = 0
-        while (i < n) { samples(i) = bb.getShort(pos + 8 + 2 * i); i += 1 }
+        dataPos = pos + 8; dataSize = size
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(samples != null, "no data chunk")
+    require(dataPos >= 0, "no data chunk")
+    require(bits == 16, s"only PCM16 supported, got $bits-bit")
+    val n = dataSize / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = bb.getShort(dataPos + 2 * i); i += 1 }
     WavData(sampleRate, channels, samples)
   }
 

@@ -51,6 +51,22 @@ class SignalSpec extends SparkSpec {
     assert(c(0) === samples(4000))
   }
 
+  test("WAV decode is chunk-order independent (data before fmt)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build a legal RIFF with the data chunk FIRST, then fmt
+    val samples = Array.tabulate(100)(_.toShort)
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + dataLen).putInt(0x45564157)
+    bb.putInt(0x61746164).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.putInt(0x20746d66).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+    val w = Wav.decode(bb.array())
+    assert(w.sampleRate === 16000 && w.channels === 1)
+    assert(w.samples.toSeq === samples.toSeq)
+  }
+
   test("WAV decode inside a binaryFile-scan kernel") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_wav").toString

@@ -41,16 +41,27 @@ class TrackerSpec extends SparkSpec {
     assert(tracks(1).head.frame === 32)
   }
 
-  test("a pass may take multiple faces of the same frame (continue quirk)") {
-    // frame 5 has two near-identical faces; both IoU>0.5 with the tail
+  test("skip-after-remove: the face shifting into a removed slot is skipped this pass") {
+    // frame 5 has two near-identical faces; both IoU>0.5 with the tail.
+    // CPython's remove-during-iteration skips the second one for pass 1
+    // (it shifts into the removed slot), so pass 1 takes only x1=0;
+    // the leftover face forms a length-1 pass-2 track that is discarded.
     val dets = (0 until 12).map(f => box(f, 0)) :+ box(5, 0.5)
     val tracks = Tracker.trackScene(dets, minTrack = 11)
-    // both frame-5 faces are consumed by the one pass (no second track),
-    // and the interpolated dense output keeps the LAST duplicate
-    // (interp1d last-x-wins): x1 at frame 5 is 0.5, not 0
     assert(tracks.size === 1)
     assert(tracks.head.size === 12) // dense frames 0..11
-    assert(tracks.head.find(_.frame == 5).get.x1 === 0.5)
+    assert(tracks.head.find(_.frame == 5).get.x1 === 0.0)
+  }
+
+  test("a pass can still take several same-frame faces when >=3 are present") {
+    // frame 5 holds [A=0, B=0.2, C=0.4]: pass 1 takes A, skips B
+    // (shifted into A's slot), examines C and takes it (IoU with tail
+    // A is ~0.9) — two same-frame faces in one pass, B left for pass 2.
+    val dets = (0 until 12).map(f => box(f, 0)) :+ box(5, 0.2) :+ box(5, 0.4)
+    val tracks = Tracker.trackScene(dets, minTrack = 11)
+    assert(tracks.size === 1)
+    // interp1d last-x-wins at duplicate frame 5: C (x1=0.4) wins the sample
+    assert(tracks.head.find(_.frame == 5).get.x1 === 0.4)
   }
 
   test("short tracks consume their faces (destructive pass quirk)") {
