@@ -66,6 +66,27 @@ object Dedup {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** Polynomial rolling hash over UTF-8 bytes — the Scala mirror of
+    * graft.functions.RollingHash (h·31+b mod 1e9+7). Unlike xxhash64
+    * it is DuckDB-expressible (fold over ascii codes on an ASCII
+    * corpus), so the LSH paths built on it get a full SQL oracle. */
+  def polyHash(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31L + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    h
+  }
+
+  /** The i-th universal hash (aᵢ, bᵢ) — shared by the minhash
+    * signature, the SimHash bit family, and the ANN hyperplanes (with
+    * disjoint index ranges); arithmetic stays < 2^63 for h < 2^32. */
+  def affine(i: Int): (Long, Long) = {
+    val a = pmodL(i.toLong * 2654435761L, 1L << 30) * 2 + 1
+    val b = pmodL(i.toLong * 40503L + 778797L, 1L << 30)
+    (a, b)
+  }
+
   /** Scala mirror of wordShingles (distinct, first-occurrence order). */
   def wordShinglesKernel(text: String, k: Int): Array[String] = {
     val toks = text.trim.toLowerCase.split("\\s+", -1)
@@ -81,14 +102,16 @@ object Dedup {
     seen.toArray(new Array[String](seen.size))
   }
 
-  /** Scala mirror of tokenHashes + minhashSignature. */
-  def minhashSignatureKernel(shingles: Array[String], numHashes: Int): Array[Long] = {
-    val h32 = shingles.map(s => pmodL(xxhash64String(s), P32))
+  /** Scala mirror of tokenHashes + minhashSignature. `hashFn` picks
+    * the token hash: xxhash64String (production default, best mixing)
+    * or polyHash (oracle-parity path, DuckDB-expressible). */
+  def minhashSignatureKernel(shingles: Array[String], numHashes: Int,
+      hashFn: String => Long = xxhash64String): Array[Long] = {
+    val h32 = shingles.map(s => pmodL(hashFn(s), P32))
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
-      val a = pmodL(i.toLong * 2654435761L, 1L << 30) * 2 + 1
-      val b = pmodL(i.toLong * 40503L + 778797L, 1L << 30)
+      val (a, b) = affine(i)
       var m = Long.MaxValue
       var j = 0
       while (j < h32.length) {
@@ -104,7 +127,8 @@ object Dedup {
 
   /** (id, toks, sig) via the kernel — drop-in for the expression base. */
   def minhashBase(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, numHashes: Int, shingleK: Int): DataFrame = {
+      textCol: String, numHashes: Int, shingleK: Int,
+      hashFn: String => Long = xxhash64String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       // shingling+hashing is CPU-bound: size kernel parallelism to
@@ -115,7 +139,7 @@ object Dedup {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val sh = wordShinglesKernel(text, shingleK)
-          (id, sh, minhashSignatureKernel(sh, numHashes))
+          (id, sh, minhashSignatureKernel(sh, numHashes, hashFn))
         }
       }
       .toDF("id", "toks", "sig")
@@ -129,7 +153,7 @@ object Dedup {
     * are never shuffled through the LSH join. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.8,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, hashFn: String => Long = xxhash64String): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val spark = docs.sparkSession
@@ -138,12 +162,16 @@ object Dedup {
     // materialize once and truncate lineage — checkpoint-before-reuse;
     // recomputing shingling+minhash per branch would multiply the
     // dominant cost 4×.
-    val base = minhashBase(spark, docs, idCol, textCol, numHashes, shingleK)
+    val base = minhashBase(spark, docs, idCol, textCol, numHashes, shingleK, hashFn)
       .localCheckpoint()
+    // band key = the signature slice itself (joined as a string):
+    // collision ⟺ slice equality EXACTLY, which keeps the candidate
+    // set SQL-derivable. At 100 TB you'd xxhash64 this key down to 8
+    // bytes before the exchange — same pairs modulo 2^-64 collisions.
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))), b)))
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
         .as(Seq("band", "bucket")))
     val cand = banded.as("l")
       .join(banded.as("r"),
@@ -232,6 +260,45 @@ object Dedup {
         while (j < 64) { if (counts(j) * 2 > hs.length) sim |= (1L << j); j += 1 }
         (id, sim)
       })
+      .toDF("id", "sim64")
+      .withColumn("bucket", shiftrightunsigned(col("sim64"), 64 - prefixBits))
+      .select(col("id"), col("sim64"), col("bucket"))
+  }
+
+  /** SimHash via the polynomial family — bit j of a token's influence
+    * is the 1-bit universal hash ((aⱼ·polyHash(t)+bⱼ) mod P32) & 1
+    * (family indices 100..163), instead of bit j of one 64-bit hash.
+    * Random-projection semantics are identical (64 independent ±1
+    * votes per token); every step is plain integer arithmetic, so the
+    * whole query has an exact DuckDB oracle. Kernel-shaped like
+    * simhashBuckets: one primitive loop per row, no interpreted
+    * lambdas. */
+  def simhashBucketsPoly(docs: DataFrame, idCol: String, textCol: String,
+      prefixBits: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ab = Array.tabulate(64)(j => affine(100 + j))
+        it.map { case (id, toks) =>
+        val counts = new Array[Int](64)
+        toks.foreach { t =>
+          val h = polyHash(t)
+          var j = 0
+          while (j < 64) {
+            val (a, b) = ab(j)
+            counts(j) += (pmodL(a * h + b, P32) & 1L).toInt
+            j += 1
+          }
+        }
+        var sim = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) * 2 > toks.length) sim |= (1L << j); j += 1 }
+        (id, sim)
+        }
+      }
       .toDF("id", "sim64")
       .withColumn("bucket", shiftrightunsigned(col("sim64"), 64 - prefixBits))
       .select(col("id"), col("sim64"), col("bucket"))

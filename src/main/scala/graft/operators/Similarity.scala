@@ -16,17 +16,24 @@ import org.apache.spark.sql.functions._
   * query side is broadcast, so the corpus is never shuffled; the only
   * wide exchange is the per-bucket top-k window, keyed by qid.
   *
-  * The plane matrix is generated from a fixed seed, so buckets are
-  * deterministic across executors/JVMs (java.util.Random LCG is
-  * platform-independent).
+  * The plane matrix is hash-derived (universal family indices
+  * 1000+j), not PRNG-drawn: component (j,d) is
+  * ((aⱼ·(d+1)+bⱼ) mod P32)/P32 − 0.5 — uniform in [−0.5, 0.5),
+  * deterministic across executors/JVMs, and reproducible in plain
+  * SQL, which gives the ANN queries an exact DuckDB oracle (sign-LSH
+  * needs any symmetric component distribution, not specifically a
+  * Gaussian).
   */
 object Similarity {
 
-  /** Deterministic hyperplanes: `bits` planes × `dim` components. */
-  def planes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(bits, dim)(rnd.nextGaussian())
-  }
+  private val P32 = 4294967291L
+
+  /** Deterministic hash-derived hyperplanes: `bits` planes × `dim`. */
+  def planes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, d) =>
+      val (a, b) = Dedup.affine(1000 + j)
+      (((a * (d + 1) + b) % P32).toDouble / P32) - 0.5
+    }
 
   /** Sign-bit bucket of one vector. */
   def bucketOf(v: Array[Float], pl: Array[Array[Double]]): Long = {
@@ -44,11 +51,10 @@ object Similarity {
   }
 
   /** (vec_id, embedding) → (vec_id, bucket) via a partition kernel. */
-  def bucketed(spark: SparkSession, emb: DataFrame, bits: Int = 12,
-      seed: Long = 42L): DataFrame = {
+  def bucketed(spark: SparkSession, emb: DataFrame, bits: Int = 12): DataFrame = {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val pl = planes(bits, dim, seed)
+    val pl = planes(bits, dim)
     emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it => it.map { case (id, v) => (id, bucketOf(v, pl)) } }

@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   *    mirrored via DuckDB list_reduce over byte codes (ASCII corpus);
   *  - q32: SpeakingSegments library operator with the reference's exact
   *    extract semantics over a dense per-user frame index;
-  *  - q40–q43 (rows-only; semantics not SQL-expressible or
-  *    probabilistic): MinHash-LSH near-dup pairs, SimHash buckets,
-  *    greedy IoU tracker, hyperplane-LSH ANN. Each has ScalaTest
-  *    coverage pinning its semantics instead of a SQL oracle.
+  *  - q40/q41/q43: MinHash-LSH near-dup pairs, SimHash buckets and
+  *    hyperplane-LSH ANN on the polynomial universal-hash family —
+  *    every step is plain integer/IEEE arithmetic, so each has an
+  *    exact DuckDB oracle (the xxhash64-based variants remain as the
+  *    production surface, spec-pinned);
+  *  - q42/q44 (rows-only): the greedy IoU tracker and the e2e
+  *    pipeline are order-dependent sequential kernels with no SQL
+  *    equivalent — TrackerSpec/PipelineSpec pin their semantics and
+  *    QueriesSmokeSpec pins sf0.001 checksums.
   */
 object DomainQueries extends QueryPack {
   import Q._
@@ -48,19 +53,32 @@ object DomainQueries extends QueryPack {
         .orderBy(col("video_id"), col("seg_id"))
     },
 
-    // ——— rows-only (no SQL oracle) ———
+    // MinHash-LSH near-dup pairs on the polynomial family: shingle →
+    // polyHash → 128-way minhash → 32 bands → slice-equality buckets →
+    // exact-Jaccard verify ≥ 0.6. Raw double jac (inter/uni of the
+    // same longs on both engines — bit-identical).
     "q40_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashCandidatePairs(Tables.table(s, dir, "documents"),
-          "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.6, shingleK = 3)
-        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac_r"))
+          "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.6,
+          shingleK = 3, hashFn = Dedup.polyHash)
+        .select(col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
     "q41_simhash_buckets" -> { (s, dir) =>
-      Dedup.simhashBuckets(Tables.table(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashBucketsPoly(Tables.table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id"))
     },
 
+    // Sign-LSH ANN: hash-derived rational hyperplanes (see
+    // Similarity.planes), bucket-equality candidates, exact cosine
+    // rank — oracled end-to-end.
+    "q43_ann_topk" -> { (s, dir) =>
+      Similarity.annTopK(s, Tables.table(s, dir, "embeddings"), k = 10, bits = 8)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // ——— rows-only (no SQL oracle) ———
     "q42_greedy_tracks" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       val dets = Tables.events(s, dir)
@@ -75,11 +93,6 @@ object DomainQueries extends QueryPack {
         .withColumn("y2", col("y1") + 15.0)
       Tracker.trackAll(s, dets).toDF()
         .orderBy(col("video_id"), col("track_id"), col("frame"))
-    },
-
-    "q43_ann_topk" -> { (s, dir) =>
-      Similarity.annTopK(s, Tables.table(s, dir, "embeddings"), k = 10, bits = 8)
-        .orderBy(col("qid"), col("rank"))
     },
 
     // The WHOLE reference pipeline as one DAG (scenes → faces → tracks

@@ -33,6 +33,29 @@ object Q {
   /** Exact scaled-integer sum of an already-deterministic double:
     * oracle: CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS BIGINT). */
   def microsSum(c: Column): Column = sum(round(c * 1e6).cast("long"))
+
+  // ——— DuckDB-side mirrors of the graft hash/vector kernels ———
+
+  /** RollingHash fold over a string SQL expr (per-character ascii ≡
+    * per-byte on the ASCII driver corpus; see the q29/q31 notes). */
+  def polyHashSql(s: String): String =
+    s"(CASE WHEN length($s) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"list_reduce(list_transform(range(1, length($s)+1), " +
+      s"phi -> CAST(ascii(substr($s, CAST(phi AS INT), 1)) AS BIGINT)), " +
+      s"(phh, phb) -> (phh * 31 + phb) % 1000000007) END)"
+
+  /** The (aᵢ·x+bᵢ) mod P32 universal hash with the index given as a
+    * SQL expr — mirrors Dedup.affine exactly (all inputs nonneg, so
+    * DuckDB's C-style % equals pmod). */
+  def uhashSql(iExpr: String, x: String): String =
+    s"(((((($iExpr)*2654435761) % 1073741824)*2+1) * ($x) + " +
+      s"((($iExpr)*40503+778797) % 1073741824)) % 4294967291)"
+
+  /** Strict left-fold Σ CAST(a[i] AS DOUBLE)·CAST(b[i] AS DOUBLE) —
+    * same IEEE order as the graft kernels/DotProduct expression. */
+  def sqlDotD(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
 }
 
 /** A named bundle of queries plus their DuckDB oracle SQL. */
