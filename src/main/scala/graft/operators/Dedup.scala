@@ -79,8 +79,10 @@ object Dedup {
   }
 
   /** The i-th universal hash (aᵢ, bᵢ) — shared by the minhash
-    * signature, the SimHash bit family, and the ANN hyperplanes (with
-    * disjoint index ranges); arithmetic stays < 2^63 for h < 2^32. */
+    * signature (indices 0..numHashes-1, ≤ 128 in practice), the
+    * SimHash bit family (200..263) and the ANN hyperplanes (1000+);
+    * the ranges are disjoint so no two consumers reuse a function.
+    * Arithmetic stays < 2^63 for h < 2^32. */
   def affine(i: Int): (Long, Long) = {
     val a = pmodL(i.toLong * 2654435761L, 1L << 30) * 2 + 1
     val b = pmodL(i.toLong * 40503L + 778797L, 1L << 30)
@@ -150,10 +152,20 @@ object Dedup {
     * band bucket become candidates; only candidates are verified.
     * The bucket join carries only (id, band, bucket) — shingle arrays
     * are re-attached per candidate id afterwards, so the wide arrays
-    * are never shuffled through the LSH join. */
+    * are never shuffled through the LSH join.
+    *
+    * Hot-bucket guard: a degenerate corpus (thousands of identical or
+    * empty docs) puts B docs in one band bucket and the self-join
+    * would emit B² candidate rows. Buckets larger than `maxBucket`
+    * are skipped entirely (their members still pair through any
+    * non-degenerate band). The window count rides the same
+    * (band, bucket) shuffle the join needs, so the guard adds no
+    * exchange. Set `spark.conf graft.lsh.logDrops=true` to count and
+    * log the skipped buckets (costs one extra action). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.8,
-      shingleK: Int = 3, hashFn: String => Long = xxhash64String): DataFrame = {
+      shingleK: Int = 3, hashFn: String => Long = xxhash64String,
+      maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val spark = docs.sparkSession
@@ -168,11 +180,19 @@ object Dedup {
     // collision ⟺ slice equality EXACTLY, which keeps the candidate
     // set SQL-derivable. At 100 TB you'd xxhash64 this key down to 8
     // bytes before the exchange — same pairs modulo 2^-64 collisions.
-    val banded = base.select(col("id"),
+    val bandedAll = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
         .as(Seq("band", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    if (spark.conf.getOption("graft.lsh.logDrops").exists(_.toBoolean)) {
+      val n = bandedAll.filter(col("bsz") > maxBucket)
+        .select(countDistinct(col("band"), col("bucket"))).first().getLong(0)
+      if (n > 0) println(s"[graft] minhashCandidatePairs: skipped $n band buckets larger than $maxBucket")
+    }
+    val banded = bandedAll.filter(col("bsz") <= maxBucket).drop("bsz")
     val cand = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -267,7 +287,9 @@ object Dedup {
 
   /** SimHash via the polynomial family — bit j of a token's influence
     * is the 1-bit universal hash ((aⱼ·polyHash(t)+bⱼ) mod P32) & 1
-    * (family indices 100..163), instead of bit j of one 64-bit hash.
+    * (family indices 200..263, above any minhash index so the two
+    * consumers never share a function), instead of bit j of one
+    * 64-bit hash.
     * Random-projection semantics are identical (64 independent ±1
     * votes per token); every step is plain integer arithmetic, so the
     * whole query has an exact DuckDB oracle. Kernel-shaped like
@@ -281,7 +303,7 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
-        val ab = Array.tabulate(64)(j => affine(100 + j))
+        val ab = Array.tabulate(64)(j => affine(200 + j))
         it.map { case (id, toks) =>
         val counts = new Array[Int](64)
         toks.foreach { t =>

@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * query side is broadcast, so the corpus is never shuffled; the only
   * wide exchange is the per-bucket top-k window, keyed by qid.
   *
-  * The plane matrix is hash-derived (universal family indices
-  * 1000+j), not PRNG-drawn: component (j,d) is
-  * ((aⱼ·(d+1)+bⱼ) mod P32)/P32 − 0.5 — uniform in [−0.5, 0.5),
-  * deterministic across executors/JVMs, and reproducible in plain
-  * SQL, which gives the ANN queries an exact DuckDB oracle (sign-LSH
-  * needs any symmetric component distribution, not specifically a
-  * Gaussian).
+  * The plane matrix is hash-derived (universal family index
+  * 1000 + j·dim + d — one function per COMPONENT, hashed jointly over
+  * (plane, dimension) so components are decorrelated across both axes,
+  * not a per-plane arithmetic progression), not PRNG-drawn: component
+  * (j,d) is ((aᵢ·(d+1)+bᵢ) mod P32)/P32 − 0.5 with i = 1000+j·dim+d —
+  * uniform in [−0.5, 0.5), deterministic across executors/JVMs, and
+  * reproducible in plain SQL, which gives the ANN queries an exact
+  * DuckDB oracle (sign-LSH needs any symmetric component
+  * distribution, not specifically a Gaussian).
   */
 object Similarity {
 
@@ -31,7 +33,7 @@ object Similarity {
   /** Deterministic hash-derived hyperplanes: `bits` planes × `dim`. */
   def planes(bits: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (j, d) =>
-      val (a, b) = Dedup.affine(1000 + j)
+      val (a, b) = Dedup.affine(1000 + j * dim + d)
       (((a * (d + 1) + b) % P32).toDouble / P32) - 0.5
     }
 
@@ -109,19 +111,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
   }
 
-  /** IVF-style ANN, nprobe=1: a small deterministic coarse codebook
-    * (every `centroidEvery`-th vector — a trained k-means codebook
-    * drops in unchanged), every vector assigned to its max-dot cell
-    * inside the same corpus pass, exact cosine only within the cell.
-    * At scale: codebook ≪ corpus rides the closure/broadcast once per
-    * executor; the corpus itself is never shuffled.
+  /** IVF-style ANN, nprobe=1: a small deterministic coarse codebook —
+    * the `codebookSize` vectors whose ids hash lowest under the
+    * universal family (index 5000), i.e. a FIXED-SIZE pseudo-random
+    * sample — every vector assigned to its max-dot cell inside the
+    * same corpus pass, exact cosine only within the cell. A trained
+    * k-means codebook drops in unchanged.
+    *
+    * At scale: the codebook selection is a distributed top-N
+    * (TakeOrdered), so the driver collect and the per-executor
+    * broadcast are O(codebookSize) regardless of corpus size — never
+    * linear in the corpus. The corpus itself is never shuffled.
+    * Ties inside a cell assignment go to the smallest centroid id
+    * (strict `>` over ascending ids), mirroring the SQL oracle's
+    * `ORDER BY dot DESC, cent_id`.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
-      centroidEvery: Int = 100, queryEvery: Int = 50): DataFrame = {
+      codebookSize: Int = 64, queryEvery: Int = 50): DataFrame = {
     import spark.implicits._
+    val (ha, hb) = Dedup.affine(5000)
+    // uhash(5000, vec_id mod P32): id reduced into the ring first so
+    // a·x never overflows 2^63 even for 64-bit ids at 100 TB scale
+    val idHash = pmod(lit(ha) * pmod(col("vec_id").cast("long"), lit(P32)) + lit(hb), lit(P32))
     val cents: Array[(Long, Array[Double])] = emb
-      .filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").cast("long"), col("embedding"))
+      .withColumn("h", idHash)
+      .orderBy(col("h"), col("vec_id"))
+      .limit(codebookSize)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) => (id, v.map(_.toDouble)) }
       .sortBy(_._1)

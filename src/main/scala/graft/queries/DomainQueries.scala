@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *  - q42/q44 (rows-only): the greedy IoU tracker and the e2e
   *    pipeline are order-dependent sequential kernels with no SQL
   *    equivalent — TrackerSpec/PipelineSpec pin their semantics and
-  *    QueriesSmokeSpec pins sf0.001 checksums.
+  *    GoldenSpec pins committed sf0.01 output checksums.
   */
 object DomainQueries extends QueryPack {
   import Q._
@@ -110,7 +110,110 @@ object DomainQueries extends QueryPack {
     },
   )
 
+  // ——— DuckDB mirrors of the polynomial-family LSH pipeline ———
+  // Same ASCII-only corpus assumption as q31 (polyHashSql folds
+  // per-character codepoints, RollingHash/polyHash fold UTF-8 bytes).
+
+  /** Shingle→polyHash→minhash→band→verify, mirroring
+    * Dedup.minhashCandidatePairs(numHashes=128, bands=32, k=3,
+    * threshold=0.6, hashFn=polyHash) term for term. polyHash < 2^32,
+    * so the kernel's mod-P32 token reduction is the identity and the
+    * token hash feeds Q.uhashSql directly. The hot-bucket guard
+    * (maxBucket=100000) never fires on the driver corpus, so the
+    * oracle omits it. */
+  private val q40Sql = {
+    val ph = Q.polyHashSql("mht")
+    val uh = Q.uhashSql("mhs", "mhh")
+    s"""WITH w AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wt
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id,
+       |    list_distinct(list_transform(range(0, greatest(len(wt)-3, 0)+1),
+       |      mhi -> array_to_string(wt[(CAST(mhi AS INT)+1):(CAST(mhi AS INT)+3)], ' '))) AS toks
+       |  FROM w),
+       |hs AS (
+       |  SELECT id, toks, list_transform(toks, mht -> $ph) AS th FROM sh),
+       |sg AS (
+       |  SELECT id, toks,
+       |    list_transform(range(0, 128), mhs ->
+       |      list_min(list_transform(th, mhh -> $uh))) AS sig
+       |  FROM hs),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.toks AS ta, b.toks AS tb
+       |  FROM sg a JOIN sg b ON a.id < b.id
+       |  WHERE len(list_filter(range(0, 32),
+       |        mhb -> a.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)]
+       |             = b.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)])) > 0)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) AS jac
+       |FROM cand
+       |WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Mirrors Dedup.simhashBucketsPoly (family 200..263): per-token
+    * 1-bit hashes, majority vote per bit, signed-64 reassembly (bit 63
+    * via the explicit Long.MinValue term), bucket = top 16 bits. */
+  private val q41Sql = {
+    val ph = Q.polyHashSql("simtk")
+    val uh = Q.uhashSql("200+simj", "simh")
+    s"""WITH t AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT id, len(toks) AS n,
+       |    list_transform(toks, simtk -> $ph) AS hs
+       |  FROM t),
+       |b AS (
+       |  SELECT id,
+       |    list_transform(range(0, 64), simj ->
+       |      CASE WHEN 2*list_sum(list_transform(hs, simh -> $uh % 2)) > n
+       |           THEN 1 ELSE 0 END) AS bits
+       |  FROM h)
+       |SELECT id,
+       |  CAST(list_sum(list_transform(range(0, 63),
+       |      sj -> CAST(bits[CAST(sj AS INT)+1] AS BIGINT) * (CAST(1 AS BIGINT) << sj))) AS BIGINT)
+       |    + CASE WHEN bits[64] = 1 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE 0 END AS sim64,
+       |  CAST(list_sum(list_transform(range(48, 64),
+       |      sj -> CAST(bits[CAST(sj AS INT)+1] AS BIGINT) * (CAST(1 AS BIGINT) << (sj - 48)))) AS BIGINT) AS bucket
+       |FROM b ORDER BY id""".stripMargin
+  }
+
+  /** Mirrors Similarity.annTopK(bits=8, queryEvery=50): plane
+    * component (j,d) = uhash(1000+j·dim+d, d+1)/P32 − 0.5, sign-bit
+    * bucket, exact-cosine rank within bucket. Folds are strict
+    * left-to-right (Q.sqlDotD ≡ the DotProduct expression). */
+  private val q43Sql = {
+    val uh = Q.uhashSql("1000 + annj*len(embedding) + annd - 1", "annd")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    ${Q.sqlDotD("embedding", "embedding")} AS n2,
+       |    CAST(list_sum(list_transform(range(0, 8), annj ->
+       |      CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1),
+       |          annd -> (CAST($uh AS DOUBLE)/4294967291.0 - 0.5)
+       |                  * CAST(embedding[annd] AS DOUBLE)),
+       |        (annx, anny) -> annx + anny) > 0
+       |      THEN CAST(1 AS BIGINT) << annj ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2, bucket AS qb
+       |  FROM v WHERE vec_id % 50 = 0),
+       |p AS (SELECT qid, c.vec_id AS cid,
+       |    ${Q.sqlDotD("qe", "c.embedding")} / (sqrt(qn2)*sqrt(c.n2)) AS cos
+       |  FROM q JOIN v c ON c.bucket = qb AND c.vec_id <> qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM p)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
+       |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle = Map(
+    "q40_minhash_pairs" -> q40Sql,
+    "q41_simhash_buckets" -> q41Sql,
+    "q43_ann_topk" -> q43Sql,
+
     // ASCII-only corpus assumption (same as q29): Spark-side RollingHash
     // folds UTF-8 OCTETS while this oracle folds per-CHARACTER codepoints
     // via ascii(substr(..)) — identical only while byte == codepoint.

@@ -52,10 +52,14 @@ object Q {
       s"((($iExpr)*40503+778797) % 1073741824)) % 4294967291)"
 
   /** Strict left-fold Σ CAST(a[i] AS DOUBLE)·CAST(b[i] AS DOUBLE) —
-    * same IEEE order as the graft kernels/DotProduct expression. */
+    * same IEEE order as the graft kernels/DotProduct expression
+    * (0.0-seeded fold ≡ fold from first element; DotProduct returns
+    * 0.0 on empty arrays, hence the CASE guard — bare list_reduce
+    * errors on an empty list). */
   def sqlDotD(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"(CASE WHEN len($a) = 0 OR len($b) = 0 THEN 0.0 ELSE " +
+      s"list_reduce(list_transform(range(1, least(len($a), len($b))+1), " +
+      s"sdi -> CAST($a[sdi] AS DOUBLE)*CAST($b[sdi] AS DOUBLE)), (sdx,sdy) -> sdx+sdy) END)"
 }
 
 /** A named bundle of queries plus their DuckDB oracle SQL. */

@@ -220,7 +220,9 @@ object RefOps extends QueryPack {
         .orderBy(col("label"), col("id_a"), col("id_b"))
     },
 
-    // ——— rows-only (codebook assignment isn't SQL-expressible) ———
+    // IVF ANN (nprobe=1) over the bounded hash-sampled codebook; the
+    // cell assignment is argmax-dot over that codebook, which is plain
+    // SQL (cross join + row_number), so the whole query is oracled.
     "q52_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
         .orderBy(col("qid"), col("rank"))
@@ -389,7 +391,39 @@ object RefOps extends QueryPack {
       |           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
       |         (h, b) -> (h * 31 + b) % 1000000007) END""".stripMargin
 
+  /** Mirrors Similarity.ivfTopK(codebookSize=64, queryEvery=50): the
+    * codebook is the 64 ids hashing lowest under uhash(5000, ·), cell
+    * assignment is argmax-dot over it (ties → smallest centroid id,
+    * exactly the kernel's strict-> scan over ascending ids), exact
+    * cosine within the cell. Folds strict left-to-right (Q.sqlDotD ≡
+    * DotProduct). */
+  private val q52Sql =
+    s"""WITH cb AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce
+       |  FROM embeddings
+       |  ORDER BY ${Q.uhashSql("5000", "vec_id % 4294967291")}, vec_id
+       |  LIMIT 64),
+       |asg AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${Q.sqlDotD("c.ce", "e.embedding")} DESC, c.cent_id) AS arn
+       |  FROM embeddings e CROSS JOIN cb c),
+       |v AS (
+       |  SELECT vec_id, embedding, cent_id AS cell,
+       |    ${Q.sqlDotD("embedding", "embedding")} AS n2
+       |  FROM asg WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2, cell AS qc
+       |  FROM v WHERE vec_id % 50 = 0),
+       |p AS (SELECT qid, qc, c.vec_id AS cid,
+       |    ${Q.sqlDotD("qe", "c.embedding")} / (sqrt(qn2)*sqrt(c.n2)) AS cos
+       |  FROM q JOIN v c ON c.cell = qc AND c.vec_id <> qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM p)
+       |SELECT qid, CAST(qc AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
+       |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+
   val oracle = Map(
+    "q52_ivf_topk" -> q52Sql,
+
     "q46_trial_roundtrip" ->
       """SELECT o_orderpriority AS priority, count(*) AS n,
         |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,

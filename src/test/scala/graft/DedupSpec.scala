@@ -42,6 +42,25 @@ class DedupSpec extends SparkSpec {
     assert(ham(hs(0L), hs(1L)) <= 8) // 1-word edit flips few bits
   }
 
+  test("hot-bucket guard: a flood of identical docs is skipped, small buckets survive") {
+    import spark.implicits._
+    val flood = (100L until 1100L).map(i =>
+      (i, "same text repeated for every flooded document in this degenerate corpus tonight"))
+    val pair = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val df = (pair ++ flood).toDF("doc_id", "text")
+    spark.conf.set("graft.lsh.logDrops", "true")
+    try {
+      // cap 100 < 1000 flood docs: every flood bucket skipped (no B²
+      // blow-up), while the size-2 buckets of the planted pair survive
+      val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5, shingleK = 3, maxBucket = 100)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((0L, 1L)))
+    } finally spark.conf.unset("graft.lsh.logDrops")
+  }
+
   test("ANN finds the planted exact-duplicate neighbor (bucket-certain)") {
     import spark.implicits._
     val rnd = new java.util.Random(7)
