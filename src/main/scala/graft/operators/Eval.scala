@@ -18,17 +18,29 @@ object Eval {
 
   /** Inner equi-join with pandas `validate="1:1"` semantics: raises if
     * either side has duplicate keys or the sides don't match exactly
-    * (reference :105–124). The check is one count-aggregate pass. */
+    * (reference :105–124).
+    *
+    * The whole validation is ONE driver action: a full-outer join of
+    * the two per-key count aggregates, reduced to four violation
+    * counters (dup-left, dup-right, key-only-left, key-only-right).
+    * 1:1 ⟺ all four are zero, which also pins joined-count == both
+    * side counts, so no separate count() actions are needed. At 100 TB
+    * this is two scans total (validation + the returned join) instead
+    * of the naive five full recomputations. */
   def joinOneToOne(gt: DataFrame, pred: DataFrame, key: String): DataFrame = {
-    val dupG = gt.groupBy(col(key)).count().filter(col("count") > 1).count()
-    val dupP = pred.groupBy(col(key)).count().filter(col("count") > 1).count()
-    require(dupG == 0, s"joinOneToOne: $dupG duplicate keys on left")
-    require(dupP == 0, s"joinOneToOne: $dupP duplicate keys on right")
-    val joined = gt.join(pred, Seq(key), "inner")
-    val (ng, np, nj) = (gt.count(), pred.count(), joined.count())
-    require(ng == nj && np == nj,
-      s"joinOneToOne: not 1:1 (left=$ng right=$np joined=$nj)")
-    joined
+    val gc = gt.groupBy(col(key)).agg(count(lit(1)).as("_ng"))
+    val pc = pred.groupBy(col(key)).agg(count(lit(1)).as("_np"))
+    val v = gc.join(pc, Seq(key), "full_outer")
+      .agg(sum(when(col("_ng") > 1, 1L).otherwise(0L)).as("dup_l"),
+           sum(when(col("_np") > 1, 1L).otherwise(0L)).as("dup_r"),
+           sum(when(col("_np").isNull, 1L).otherwise(0L)).as("only_l"),
+           sum(when(col("_ng").isNull, 1L).otherwise(0L)).as("only_r"))
+      .first()
+    require(v.getLong(0) == 0 && v.getLong(1) == 0,
+      s"joinOneToOne: duplicate keys (left=${v.getLong(0)} right=${v.getLong(1)})")
+    require(v.getLong(2) == 0 && v.getLong(3) == 0,
+      s"joinOneToOne: unmatched keys (left-only=${v.getLong(2)} right-only=${v.getLong(3)})")
+    gt.join(pred, Seq(key), "inner")
   }
 
   /** Bbox-equality audit within tolerance (reference :127–140):
@@ -64,6 +76,86 @@ object Eval {
       .groupBy(col(groupCol))
       .agg(sum(col("prec_env") * col("delta_rec")).as("ap"),
            max(col("pos")).as("n_pos"), count(lit(1)).as("n"))
+  }
+
+  /** Scale-safe two-phase AP row plan: produces EXACTLY the numbers of
+    * the single-window plan (rn/tp/pos/prec/rec/prec_env/delta_rec per
+    * row), but every row-scale window partitions by (group,
+    * score-range bucket) instead of group alone — parallelism
+    * G×buckets, so a low-cardinality group key (AVA has 5 event
+    * classes) no longer serializes the sort at 100× scale.
+    *
+    * How the global quantities recover from bucket-local ones:
+    *  - buckets are score ranges (same score ⇒ same bucket; bucket
+    *    asc ≡ score desc), so global rank = Σ earlier-bucket counts +
+    *    local rank, global tp-cumsum = Σ earlier-bucket positives +
+    *    local cumsum — both integer, hence prec/rec bit-identical;
+    *  - the suffix-max precision envelope = max(local suffix max,
+    *    max precision of any LATER bucket) — max is associative, so
+    *    regrouping cannot change the value;
+    *  - lag(rec) at a bucket's first row = tp_offset/pos, the exact
+    *    double the previous bucket's last row carries.
+    * The per-bucket offset/tail tables are G×buckets rows — they ride
+    * tiny windows and broadcast back. The one caveat: a corpus where
+    * nearly all scores are ONE value degenerates to one bucket (range
+    * buckets cannot split ties); that corpus defeats any order-exact
+    * AP parallelization.
+    *
+    * Cost shape: one shuffle of the big input (by group+bucket, reused
+    * by both local windows and the bucket-stat aggregates), one
+    * persist so the envelope's second pass doesn't recompute, two
+    * broadcast joins. `approxQuantile` adds one cheap driver action;
+    * its boundaries only steer balance, never the result. */
+  def averagePrecisionScaled(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, tieCol: String, buckets: Int = 64): DataFrame = {
+    val g = col(groupCol)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(scoreCol, probs, 1.0 / (4.0 * buckets))
+      .distinct.sorted
+    // bucket k = #{quantile bounds >= score}: monotone nonincreasing
+    // in score, equal scores collide — a codegen'd chain of compares
+    val bucketExpr = if (bounds.isEmpty) lit(0L)
+      else bounds.toSeq.map(b => when(col(scoreCol) <= lit(b), 1L).otherwise(0L)).reduce(_ + _)
+    val bk = df.withColumn("_apb", bucketExpr)
+
+    // per-(group, bucket) counts → rank/tp offsets; G×buckets rows
+    val wPrev = Window.partitionBy(g).orderBy(col("_apb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bk.groupBy(g, col("_apb"))
+      .agg(count(lit(1)).as("_bn"), sum(col(labelCol)).as("_bp"))
+      .withColumn("_rn_off", coalesce(sum(col("_bn")).over(wPrev), lit(0L)))
+      .withColumn("_tp_off", coalesce(sum(col("_bp")).over(wPrev), lit(0L)))
+      .withColumn("_pos", sum(col("_bp")).over(Window.partitionBy(g)))
+      .select(g, col("_apb"), col("_rn_off"), col("_tp_off"), col("_pos"))
+
+    val wLoc = Window.partitionBy(g, col("_apb")).orderBy(col(scoreCol).desc, col(tieCol))
+    val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // suffix max via reversed-order prefix frame (O(n), see q15 note)
+    val wLocRev = Window.partitionBy(g, col("_apb"))
+      .orderBy(col(scoreCol).asc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val rows = bk.join(broadcast(offs), Seq(groupCol, "_apb"))
+      .withColumn("rn", col("_rn_off") + row_number().over(wLoc))
+      .withColumn("tp", col("_tp_off") + sum(col(labelCol)).over(wLocCum))
+      .withColumn("pos", col("_pos"))
+      .withColumn("prec", col("tp").cast("double") / col("rn"))
+      .withColumn("rec", col("tp").cast("double") / col("pos"))
+      .persist()
+
+    // per-bucket max precision → strict later-bucket (suffix) max;
+    // G×buckets rows again
+    val wTail = Window.partitionBy(g).orderBy(col("_apb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tails = rows.groupBy(g, col("_apb")).agg(max(col("prec")).as("_bmax"))
+      .withColumn("_tail", max(col("_bmax")).over(wTail))
+      .select(g, col("_apb"), col("_tail"))
+
+    rows.join(broadcast(tails), Seq(groupCol, "_apb"))
+      // greatest() skips the null _tail of the last bucket
+      .withColumn("prec_env", greatest(max(col("prec")).over(wLocRev), col("_tail")))
+      .withColumn("delta_rec", col("rec") -
+        coalesce(lag(col("rec"), 1).over(wLoc), col("_tp_off").cast("double") / col("_pos")))
   }
 
   /** Per-group F1 / accuracy from binarized predictions

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.RollingHash
-import graft.operators.{BatchPack, Similarity}
+import graft.operators.{BatchPack, Eval, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * shuffle so the oracle can reproduce it), the noise-pairing join +
   * wrap-pad + SNR mixing math (dataLoader.py:15–28), centisecond
   * truncation + printf formatting (generate_TalkSet.py:66;
-  * demoTalkNet.py:527), and IVF ANN (rows-only; the codebook path of
-  * the similarity extension).
+  * demoTalkNet.py:527), the 1:1-validated merge + bbox tolerance
+  * audit (get_ava_active_speaker_performance.py:94–142), and IVF ANN
+  * (oracled; the codebook path of the similarity extension).
   */
 object RefOps extends QueryPack {
   import Q._
@@ -288,6 +289,40 @@ object RefOps extends QueryPack {
         .orderBy(col("speaker"))
     },
 
+    // The reference's flagship relational query shape
+    // (get_ava_active_speaker_performance.py:94–142): gt ⋈ pred on uid
+    // with pandas validate="1:1" semantics (Eval.joinOneToOne — the
+    // whole validation is ONE count-audit action), then the bbox
+    // tolerance audit (:127–140, tol 1e-9). gt/pred boxes derive from
+    // events; pred x1 carries planted perturbations — +5e-10 (within
+    // tolerance) on every 10th event, +0.5 (audit failure) on every
+    // 97th — so both audit branches are exercised.
+    "q62_ava_merge_audit" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        concat_ws(":", col("user_id"), col("event_id")).as("uid"),
+        col("event_id"), col("event_type"), col("value"))
+      def withBoxes(df: org.apache.spark.sql.DataFrame, p: String) = df
+        .withColumn(s"${p}x1", col("value"))
+        .withColumn(s"${p}y1", (col("event_id") % 37).cast("double") + col("value") / 1000.0)
+        .withColumn(s"${p}x2", col("value") + 20.0 + (col("event_id") % 7).cast("double"))
+        .withColumn(s"${p}y2", col(s"${p}y1") + 15.0)
+      val gt = withBoxes(e, "gt_")
+        .select(col("uid"), col("event_type"),
+          col("gt_x1"), col("gt_y1"), col("gt_x2"), col("gt_y2"))
+      val pred = withBoxes(e, "pred_")
+        .withColumn("pred_x1", col("pred_x1") +
+          (when(col("event_id") % 97 === 0, 0.5).otherwise(0.0) +
+           when(col("event_id") % 10 === 0, 5e-10).otherwise(0.0)))
+        .select(col("uid"), col("value").as("score"),
+          col("pred_x1"), col("pred_y1"), col("pred_x2"), col("pred_y2"))
+      Eval.bboxAudit(Eval.joinOneToOne(gt, pred, "uid"), "gt_", "pred_")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bbox_ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("bbox_ok"), cents(col("score"))).otherwise(0L)).as("score_c_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // Speaking segments via the custom Catalyst Generator (UDTF form
     // of q32's windows plan): per-track score arrays → segment rows.
     "q59_segments_generator" -> { (s, dir) =>
@@ -423,6 +458,34 @@ object RefOps extends QueryPack {
 
   val oracle = Map(
     "q52_ivf_topk" -> q52Sql,
+
+    // Mirrors q62 term for term: same box derivations (identical IEEE
+    // expression trees on both engines), same planted perturbations,
+    // abs-diff <= 1e-9 audit, integer-cents score sum.
+    "q62_ava_merge_audit" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS uid,
+        |    event_id, event_type, value
+        |  FROM events),
+        |g0 AS (SELECT uid, event_type, value AS gt_x1,
+        |    CAST(event_id % 37 AS DOUBLE) + value/1000.0 AS gt_y1,
+        |    value + 20.0 + CAST(event_id % 7 AS DOUBLE) AS gt_x2
+        |  FROM e),
+        |gt AS (SELECT uid, event_type, gt_x1, gt_y1, gt_x2, gt_y1 + 15.0 AS gt_y2 FROM g0),
+        |p0 AS (SELECT uid, value AS score,
+        |    value + (CASE WHEN event_id % 97 = 0 THEN 0.5 ELSE 0.0 END
+        |           + CASE WHEN event_id % 10 = 0 THEN 5e-10 ELSE 0.0 END) AS pred_x1,
+        |    CAST(event_id % 37 AS DOUBLE) + value/1000.0 AS pred_y1,
+        |    value + 20.0 + CAST(event_id % 7 AS DOUBLE) AS pred_x2
+        |  FROM e),
+        |pred AS (SELECT uid, score, pred_x1, pred_y1, pred_x2, pred_y1 + 15.0 AS pred_y2 FROM p0),
+        |j AS (SELECT gt.event_type, pred.score,
+        |    (abs(gt_x1 - pred_x1) <= 1e-9 AND abs(gt_y1 - pred_y1) <= 1e-9
+        |     AND abs(gt_x2 - pred_x2) <= 1e-9 AND abs(gt_y2 - pred_y2) <= 1e-9) AS ok
+        |  FROM gt JOIN pred USING (uid))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN ok THEN CAST(round(score*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS score_c_ok
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q46_trial_roundtrip" ->
       """SELECT o_orderpriority AS priority, count(*) AS n,

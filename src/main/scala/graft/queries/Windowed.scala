@@ -122,30 +122,21 @@ object Windowed extends QueryPack {
 
     // VOC-style average precision per group (the AVA mAP query):
     // sort desc score → cumsum tp → precision/recall → suffix
-    // running-max envelope → Σ Δrecall·precision.
+    // running-max envelope → Σ Δrecall·precision. Runs through the
+    // two-phase plan (Eval.averagePrecisionScaled): event_type has
+    // only 5 distinct values, so a single-window plan caps parallelism
+    // at 5 regardless of cluster size — the scaled plan partitions
+    // every row-scale window by (event_type, score bucket) and
+    // reassembles the identical global ranks/cumsums/envelope from
+    // broadcast per-bucket offsets. Oracle unchanged (single-window
+    // SQL): the two plans are bit-identical by construction, and
+    // ApScaledSpec pins plain ≡ scaled on this very query.
     "q15_average_precision" -> { (s, dir) =>
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(col("value_c").desc, col("event_id"))
-      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("event_type"))
-      // suffix running-max as a REVERSED-order prefix max: Spark's
-      // [CURRENT, UNBOUNDED FOLLOWING] frame is O(n²) per partition
-      // (recomputed per row); the reversed prefix frame is O(n)
-      // incremental and max is order-insensitive → identical values.
-      val wSufAsPrefix = Window.partitionBy(col("event_type"))
-        .orderBy(col("value_c").asc, col("event_id").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val scored = ev(s, dir)
         .withColumn("label", (col("event_id") % 2).cast("long"))
         .select(col("event_type"), col("event_id"), col("value_c"), col("label"))
-        .withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("tp", sum(col("label")).over(wCum))
-        .withColumn("pos", sum(col("label")).over(wAll))
-        .withColumn("prec", col("tp").cast("double") / col("rn"))
-        .withColumn("rec", col("tp").cast("double") / col("pos"))
-      scored
-        .withColumn("prec_env", max(col("prec")).over(wSufAsPrefix))
-        .withColumn("delta_rec", col("rec") - lag(col("rec"), 1, 0.0).over(wOrd))
+      graft.operators.Eval
+        .averagePrecisionScaled(scored, "event_type", "value_c", "label", "event_id", buckets = 32)
         .withColumn("contrib_n", round(col("prec_env") * col("delta_rec") * 1e9).cast("long"))
         .groupBy(col("event_type"))
         .agg((sum(col("contrib_n")).cast("double") / 1.0e9).as("ap"),
