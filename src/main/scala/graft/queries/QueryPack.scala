@@ -34,6 +34,20 @@ object Q {
     * oracle: CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS BIGINT). */
   def microsSum(c: Column): Column = sum(round(c * 1e6).cast("long"))
 
+  /** Scratch root for the roundtrip queries (q46/q54/q55/q63): a fresh
+    * unique dir under `graft.scratch.dir` if set, else the JVM temp
+    * dir. On a real cluster set `graft.scratch.dir` to a SHARED
+    * filesystem path (HDFS/NFS/S3A mount) — the default JVM tmpdir is
+    * per-machine, so executor writes would be invisible to the
+    * read-back. local[*] (the driver harness) is immune because driver
+    * and executors share one machine. */
+  def scratchDir(s: SparkSession, prefix: String): String = {
+    val root = java.nio.file.Paths.get(s.conf.getOption("graft.scratch.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
   // ——— DuckDB-side mirrors of the graft hash/vector kernels ———
 
   /** RollingHash fold over a string SQL expr (per-character ascii ≡

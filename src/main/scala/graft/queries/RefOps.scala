@@ -35,7 +35,7 @@ object RefOps extends QueryPack {
     // read.text + split + element_at, aggregate — covers the text
     // sink/scan + positional-parse surface (dataLoader.py:94–108).
     "q46_trial_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_trial").toString + "/lines"
+      val tmp = scratchDir(s, "graft_trial") + "/lines"
       Tables.table(s, dir, "orders")
         .select(format_string("%d\t%d\t%s\t%d",
           col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
@@ -378,7 +378,7 @@ object RefOps extends QueryPack {
     // category filter (pushed to the raw-line prefix) and column
     // pruning (only 3 of 9 fields parsed), aggregate.
     "q55_triallist_v2" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tl").toString + "/lists"
+      val tmp = scratchDir(s, "graft_tl") + "/lists"
       Tables.table(s, dir, "orders")
         .select(concat(
           format_string("c%d id%05d/clip%d id%05d/clip%d %.2f 0 %.2f 0 0",
@@ -400,11 +400,57 @@ object RefOps extends QueryPack {
         .orderBy(col("no_tag"))
     },
 
+    // HF-style streaming-manifest ingestion (batchProcessVideos.py:
+    // 111–124, load_dataset(..., streaming=True, decode=False)):
+    // write JSONL sample shards {"video":{"path","bytes"},"label"},
+    // scan through ManifestSource (one task per shard, pruned parse),
+    // derive video_name = splitext(basename(path)) exactly as the
+    // reference does per sample (:122–123), aggregate per label.
+    "q63_manifest_ingest" -> { (s, dir) =>
+      val tmp = scratchDir(s, "graft_manifest") + "/shards"
+      Tables.table(s, dir, "orders")
+        .select(to_json(struct(
+          struct(
+            format_string("data/o%d_c%d.mp4", col("o_orderkey"), col("o_custkey")).as("path"),
+            cents(col("o_totalprice").cast("double")).as("bytes")).as("video"),
+          format_string("c%d", col("o_orderkey") % 5).as("label"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.format(classOf[graft.sources.v2.ManifestSource].getName)
+        .option("path", tmp).load()
+        .select(col("label"), col("video_bytes"),
+          regexp_extract(col("video_path"), "([^/]+)\\.[^.]+$", 1).as("video_name"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("video_bytes")).as("bytes_sum"),
+          min(col("video_name")).as("first_video"))
+        .orderBy(col("label"))
+    },
+
+    // Frame scan with the -ss/-to range pushdown contract
+    // (demoTalkNet.py:486–507): one decode task per video, the frame
+    // BETWEEN predicate consumed by the kernel (FrameRangeSpec pins
+    // that out-of-range frames are never materialized). Videos come
+    // from the supplier dim — a driver-side option build, same as the
+    // reference's driver-side video list; the frame DATA never
+    // touches the driver.
+    "q64_frame_range" -> { (s, dir) =>
+      val keys = Tables.table(s, dir, "supplier").select(col("s_suppkey"))
+        .collect().map(_.getLong(0)).sorted
+      val spec = keys.map(k => s"$k:${5 + k % 7}.0").mkString(";")
+      s.read.format(classOf[graft.sources.v2.FrameSource].getName)
+        .option("videos", spec).option("fps", "25").load()
+        .filter(col("frame") >= 50 && col("frame") <= 149)
+        .groupBy(col("video_name"))
+        .agg(count(lit(1)).as("n"), min(col("frame")).as("f_lo"),
+          max(col("frame")).as("f_hi"), sum(col("checksum")).as("cs_sum"),
+          sum(cents(col("t_sec"))).as("t_c_sum"))
+        .orderBy(col("video_name"))
+    },
+
     // Prediction-CSV sink + scan roundtrip (talkNet.py:107–115): add
     // score/label columns, drop internal ids, write CSV with header,
     // read back with an explicit schema, aggregate.
     "q54_csv_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/pred"
+      val tmp = scratchDir(s, "graft_csv") + "/pred"
       Tables.events(s, dir)
         .withColumn("score", cents(col("value")))
         .withColumn("label", when(col("value") > 50, lit(1)).otherwise(lit(0)))
@@ -486,6 +532,28 @@ object RefOps extends QueryPack {
         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
         |  CAST(sum(CASE WHEN ok THEN CAST(round(score*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS score_c_ok
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The manifest roundtrip is lossless (path/bytes/label all derive
+    // from orders), so the oracle recomputes straight from orders —
+    // same pattern as q46/q54/q55.
+    "q63_manifest_ingest" ->
+      """SELECT 'c' || CAST(o_orderkey % 5 AS VARCHAR) AS label, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE)*100) AS BIGINT)) AS BIGINT) AS bytes_sum,
+        |  min('o' || CAST(o_orderkey AS VARCHAR) || '_c' || CAST(o_custkey AS VARCHAR)) AS first_video
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors the stub decode arithmetic: frames = 25·durationSec,
+    // range(50, min(150, nf)) ≡ the pushed [50,149] clipped per video,
+    // checksum = uhash(777, k·1e5+frame), t_sec = frame/25.0. lpad is
+    // safe while suppkeys stay ≤ 5 digits (sf0.1 has 1000).
+    "q64_frame_range" ->
+      s"""WITH v AS (SELECT s_suppkey AS k, 25*(5 + s_suppkey % 7) AS nf FROM supplier),
+        |f AS (SELECT k, unnest(range(50, CAST(least(150, nf) AS BIGINT))) AS frame FROM v)
+        |SELECT 'v' || lpad(CAST(k AS VARCHAR), 5, '0') AS video_name,
+        |  count(*) AS n, min(frame) AS f_lo, max(frame) AS f_hi,
+        |  CAST(sum(${Q.uhashSql("777", "k*100000+frame")}) AS BIGINT) AS cs_sum,
+        |  CAST(sum(CAST(round(CAST(frame AS DOUBLE)/25*100) AS BIGINT)) AS BIGINT) AS t_c_sum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q46_trial_roundtrip" ->
       """SELECT o_orderpriority AS priority, count(*) AS n,

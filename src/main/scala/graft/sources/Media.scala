@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.operators.Dedup
+
+/** The media decode kernel contract — the seat for ffmpeg in the
+  * reference's extraction stage (demoTalkNet.py:486–507): normalize
+  * to a target fps (`-r 25`, :489–490) and, when a time range is
+  * requested, decode only `-ss start -to end` (:491–493). The
+  * container has no codecs, so the shipped decoder is a deterministic
+  * stub — but the OPTION PLUMBING is the real API: a pushed
+  * frame-range predicate from the Spark scan arrives here as
+  * `DecodeRange`, exactly what a real ffmpeg/PyAV decoder needs to
+  * seek instead of full-decoding. Swapping in a real codec means
+  * implementing `FrameDecoder.decode` and nothing else.
+  */
+object Media {
+
+  /** Inclusive frame range [startFrame, endFrame] at the normalized
+    * fps; `ssSec`/`toSec` are the ffmpeg `-ss`/`-to` arguments it
+    * corresponds to (demoTalkNet.py:492–493 formats them %.3f). */
+  case class DecodeRange(startFrame: Long, endFrame: Long) {
+    require(startFrame >= 0 && endFrame >= startFrame, s"bad range [$startFrame,$endFrame]")
+    def ssSec(fps: Int): Double = startFrame.toDouble / fps
+    def toSec(fps: Int): Double = (endFrame + 1).toDouble / fps
+  }
+
+  case class VideoMeta(key: Long, name: String, durationSec: Double)
+
+  /** One normalized-fps frame: dense index, stub payload bytes, and
+    * the per-frame kernel checksum (what a real decoder would compute
+    * from pixel data; here a universal-hash so the SQL oracle can
+    * mirror it). */
+  case class Frame(frame: Long, payload: Array[Byte], checksum: Long)
+
+  trait FrameDecoder extends Serializable {
+    /** Decode `video` at `fps`, restricted to `range` when present.
+      * MUST NOT materialize frames outside the range — that is the
+      * whole point of the pushdown. */
+    def decode(video: VideoMeta, fps: Int, range: Option[DecodeRange]): Iterator[Frame]
+  }
+
+  /** Universal-hash index for the frame checksum family — disjoint
+    * from minhash (0..127), SimHash (200..263), ANN (1000+). */
+  val ChecksumHashIdx = 777
+  private val P32 = 4294967291L
+
+  /** uhash(ChecksumHashIdx, key*100000 + frame) — mirrored in SQL by
+    * Q.uhashSql("777", ...). Safe while key*100000+frame < 2^32. */
+  def frameChecksum(key: Long, frame: Long): Long = {
+    val (a, b) = Dedup.affine(ChecksumHashIdx)
+    (a * (key * 100000L + frame) + b) % P32
+  }
+
+  /** Deterministic stand-in for the ffmpeg decode: `durationSec * fps`
+    * frames (floor), 16 payload bytes derived from the checksum. With
+    * a range, generates ONLY [start, min(end, n-1)] — the seek
+    * contract a real decoder honors via -ss/-to. */
+  object StubFrameDecoder extends FrameDecoder {
+    override def decode(video: VideoMeta, fps: Int,
+        range: Option[Media.DecodeRange]): Iterator[Frame] = {
+      val n = (video.durationSec * fps).toLong
+      val lo = range.map(_.startFrame).getOrElse(0L)
+      val hi = math.min(range.map(_.endFrame).getOrElse(n - 1), n - 1)
+      (lo to hi).iterator.map { f =>
+        val cs = frameChecksum(video.key, f)
+        val payload = Array.tabulate[Byte](16)(j => ((cs + j * 31L) % 256L).toByte)
+        Frame(f, payload, cs)
+      }
+    }
+  }
+}
