@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.operators.{SceneDetect, SpeakingSegments, Tracker, TrackGeometry}
+import graft.operators.{DurationEnsemble, SceneDetect, SpeakingSegments, Tracker, TrackGeometry}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * Reference quirks reproduced:
   *  - duration "multiset" {1,1,1,2,2,2,3,3,4,5,6} is a Python set ⇒
   *    SIX distinct durations {1..6} (demoTalkNet.py:234);
-  *  - ensemble = mean over durations then numpy.round(·, 1) =
-  *    HALF_EVEN ⇒ Spark `bround` (demoTalkNet.py:270);
+  *  - ensemble = ONE batched model call per (duration, batch) over
+  *    tensor slice bounds (DurationEnsemble), mean over durations,
+  *    then numpy.round(·, 1) = rint(x·10)/10 HALF_EVEN in double
+  *    space (demoTalkNet.py:256–270);
   *  - visualization smoothing slice [max(i-2,0), min(i+3, n-1))
   *    EXCLUDES the final score for the last three frames
   *    (demoTalkNet.py:350).
@@ -38,10 +40,10 @@ object BatchPipeline {
     def detect(videoId: Long, frame: Int, content: Double): Seq[(Double, Double, Double, Double, Double)] // x1,y1,x2,y2,conf
   }
 
-  /** Pluggable per-(track,frame,duration) scorer (TalkNet's seat). */
-  trait SpeakerScorer extends Serializable {
-    def score(videoId: Long, trackId: Long, frame: Int, duration: Int): Double
-  }
+  /** TalkNet's seat is the BATCHED scorer contract — one model forward
+    * per (duration, batch) over tensor slice bounds, not one call per
+    * frame. See DurationEnsemble.BatchScorer. */
+  type SpeakerScorer = DurationEnsemble.BatchScorer
 
   /** STUB detector: one slowly-drifting face per frame, conf from a
     * deterministic hash. Replace with the real model kernel. */
@@ -53,17 +55,8 @@ object BatchPipeline {
     }
   }
 
-  /** STUB scorer: deterministic and temporally smooth (real speaking
-    * activity comes in multi-frame runs, which the segment extractor
-    * depends on) with a small per-duration perturbation so the
-    * ensemble actually averages distinct values. */
-  object StubScorer extends SpeakerScorer {
-    def score(videoId: Long, trackId: Long, frame: Int, duration: Int): Double =
-      math.sin((frame + videoId * 13.0 + trackId * 7.0) / 10.0) * 0.8 +
-        (duration - 3.5) * 0.01
-  }
-
-  val DurationSet: Seq[Int] = Seq(1, 2, 3, 4, 5, 6) // the set, not the multiset
+  /** Pipeline-default stub model (see DurationEnsemble.StubBatchScorer). */
+  val StubScorer: SpeakerScorer = DurationEnsemble.StubBatchScorer
 
   /** frames(video_id, frame, content) → detections with conf filter
     * (the reference's conf gate sits inside the detector call). */
@@ -98,24 +91,34 @@ object BatchPipeline {
       .drop("s_vid", "start_frame", "end_frame")
   }
 
-  /** Duration-ensemble scoring: one score per (track-frame, duration),
-    * ensembled as mean over durations then bround(·, 1) — numpy's
-    * HALF_EVEN round, demoTalkNet.py:270. The mean over exactly 6
-    * per-row doubles is a fixed-order sum / 6.0 (deterministic). */
+  /** Duration-ensemble scoring through the BATCHED kernel
+    * (DurationEnsemble.ensemble — demoTalkNet.py:225–270): one group
+    * per track (the reference's per-cropped-file unit), frames sorted
+    * to the track-local index the model slices on, one scoreBatch call
+    * per (duration, batch), multiset mean, numpy-rint rounding. The
+    * 100 Hz audio row count is 4× the video frames here (the exact
+    * MFCC winstep=0.010 ratio for a stream cut at frame boundaries);
+    * a real-media impl passes its actual MFCC row count and the
+    * truncation arithmetic (:253–255) takes over. */
   def scoreTracks(spark: SparkSession, trackFrames: Dataset[Tracker.TrackFrame],
       scorer: SpeakerScorer): DataFrame = {
     import spark.implicits._
     trackFrames
-      .mapPartitions { it =>
-        it.map { tf =>
-          var s = 0.0
-          DurationSet.foreach(d => s += scorer.score(tf.video_id, tf.track_id, tf.frame, d))
-          (tf.video_id, tf.scene_id, tf.track_id, tf.frame, s / DurationSet.length)
+      // track_id is scene-local (Tracker.trackAll) — the scoring unit
+      // is one cropped track file, i.e. (video, scene, track)
+      .groupByKey(tf => (tf.video_id, tf.scene_id, tf.track_id))
+      .flatMapGroups { (key: (Long, Long, Long), it: Iterator[Tracker.TrackFrame]) =>
+        val rows = it.toArray.sortBy(_.frame)
+        val in = DurationEnsemble.EnsembleInput(key._1, key._3,
+          nAudioFrames = rows.length * 4, nVideoFrames = rows.length)
+        val scores = DurationEnsemble.ensemble(in, scorer)
+        // nAudio = 4·nVideo exactly → no truncation, scores align 1:1
+        rows.indices.iterator.map { j =>
+          val tf = rows(j)
+          (tf.video_id, tf.scene_id, tf.track_id, tf.frame, scores(j))
         }
       }
-      .toDF("video_id", "scene_id", "track_id", "frame", "raw_score")
-      .withColumn("score", bround(col("raw_score"), 1))
-      .drop("raw_score")
+      .toDF("video_id", "scene_id", "track_id", "frame", "score")
   }
 
   /** Visualization smoothing with the reference's tail quirk

@@ -108,6 +108,33 @@ object DomainQueries extends QueryPack {
       graft.pipeline.BatchPipeline.run(s, frames).segments
         .orderBy(col("video_id"), col("track_id"), col("seg_id"))
     },
+
+    // The batched duration-ensemble kernel under the oracle gate
+    // (demoTalkNet.py:225–270): per user a dense frame track with a
+    // jittered audio length (4·nV + uid%7 − 3, so both truncation
+    // branches of :253–255 occur across users), scored through
+    // DurationEnsemble.ensemble with the hash-family stub model —
+    // batch geometry, set-deduped durations, fold-order mean and
+    // numpy-rint rounding all mirrored in SQL via the closed form
+    // score(f, d) = stub(d, batch = f div 25d).
+    "q65_duration_ensemble" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.DurationEnsemble
+      scoreSeries(s, dir).select(col("video_id"), col("frame"))
+        .as[(Long, Int)]
+        .groupByKey(_._1)
+        .flatMapGroups { (vid: Long, it: Iterator[(Long, Int)]) =>
+          val nV = it.size // frames are dense 0..nV−1 (row_number)
+          val nA = 4 * nV + (vid % 7).toInt - 3 // jittered MFCC rows
+          val in = DurationEnsemble.EnsembleInput(vid, 0L, nA, nV)
+          val scores = DurationEnsemble.ensemble(in, DurationEnsemble.HashBatchScorer)
+          scores.indices.iterator.map(j => (vid, j.toLong, scores(j)))
+        }
+        .toDF("video_id", "frame", "score")
+        .groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n"), microsSum(col("score")).as("score_u_sum"))
+        .orderBy(col("video_id"))
+    },
   )
 
   // ——— DuckDB mirrors of the polynomial-family LSH pipeline ———
@@ -209,10 +236,47 @@ object DomainQueries extends QueryPack {
        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Mirrors DurationEnsemble.ensemble(HashBatchScorer) per frame via
+    * the closed form: frame f's batch under duration d is f div 25d,
+    * so score(f) = rint1(Σ_{d∈1..6} stub(d, f div 25d)/6) with the
+    * fold left-assoc on both engines. rint1 is numpy's rounding
+    * rint(x·10)/10 spelled out: DuckDB's round_even(x,1) diverges
+    * when x·10 rounds to an exact .5 product (e.g. mean
+    * −0.44999999999999996 ·10 → −4.5: rint → −0.4, round_even →
+    * −0.5), and the k/1000-derived stub scores hit such ties, so the
+    * tie branch is explicit — floor parity picks the even integer,
+    * round() covers non-ties (equal to rint away from halves). nv2
+    * reproduces the :253–255 truncation. uhash domain
+    * video_id·1e6+frame stays < 2^32 for user_id ≤ 4294. */
+  private val q65Sql = {
+    def sc(d: Int) = {
+      val uh = Q.uhashSql("888", "video_id*1000000+frame")
+      s"(($uh) % 2000 - 1000)/1000.0 + ($d - 3.5)*0.01 + ((frame // (25*$d)) * 37 % 10) * 0.001"
+    }
+    val mean = (1 to 6).map(d => s"(${sc(d)})").mkString("(", " + ", ")/6")
+    val rint1 = "(CASE WHEN mean*10 - floor(mean*10) = 0.5 THEN " +
+      "(CASE WHEN CAST(floor(mean*10) AS BIGINT) % 2 = 0 THEN floor(mean*10) ELSE floor(mean*10)+1 END) " +
+      "ELSE round(mean*10) END / 10)"
+    s"""WITH e AS (SELECT user_id AS video_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS BIGINT) AS frame
+       |  FROM events),
+       |m AS (SELECT video_id, count(*) AS nv FROM e GROUP BY 1),
+       |m2 AS (SELECT video_id,
+       |    CAST(round(least(CAST((4*nv + video_id % 7 - 3) - (4*nv + video_id % 7 - 3) % 4 AS DOUBLE)/100,
+       |                     CAST(nv AS DOUBLE)/25) * 25) AS BIGINT) AS nv2 FROM m),
+       |f AS (SELECT e.video_id, e.frame FROM e JOIN m2 USING (video_id) WHERE e.frame < m2.nv2),
+       |s0 AS (SELECT video_id, frame, $mean AS mean FROM f),
+       |s AS (SELECT video_id, frame, $rint1 AS score FROM s0)
+       |SELECT video_id, count(*) AS n,
+       |  CAST(sum(CAST(round(score*1e6) AS BIGINT)) AS BIGINT) AS score_u_sum
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
     "q41_simhash_buckets" -> q41Sql,
     "q43_ann_topk" -> q43Sql,
+    "q65_duration_ensemble" -> q65Sql,
 
     // ASCII-only corpus assumption (same as q29): Spark-side RollingHash
     // folds UTF-8 OCTETS while this oracle folds per-CHARACTER codepoints

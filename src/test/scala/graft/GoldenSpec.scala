@@ -47,6 +47,10 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("q44_pipeline_e2e sf0.01 output matches committed golden") {
-    check("q44_pipeline_e2e", "945b00896e1da536e7031099464cdfb5")
+    // Re-derived when scoring moved to the batched DurationEnsemble
+    // kernel (track-local frame indexing + per-batch stub term): the
+    // INTENTIONAL drift from the old per-row-sum scorer. Segment
+    // boundaries shift where scores cross the threshold differently.
+    check("q44_pipeline_e2e", "09dbfa1c7af16085cc61be8ce1afcbdc")
   }
 }

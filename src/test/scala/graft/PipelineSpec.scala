@@ -54,11 +54,21 @@ class PipelineSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(video_id"), scan)
   }
 
-  test("ensemble is mean over the DISTINCT duration set then HALF_EVEN") {
-    // mean of the stub scorer over {1..6}, banker's-rounded to 1 decimal
-    val v = BatchPipeline.DurationSet.map(d => BatchPipeline.StubScorer.score(1L, 0L, 7, d))
-    val mean = v.sum / v.length
-    val expected = BigDecimal(mean).setScale(1, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+  test("ensemble runs the batched kernel: mean over the DISTINCT duration set, " +
+    "batch-aware stub terms, numpy-rint rounding") {
+    import graft.operators.DurationEnsemble
+    // track 0 of video 1 covers frames 0..99 (scene 1) → track-local
+    // index == frame. Expected score of local frame 7: mean over
+    // d∈{1..6} of the stub at (d, batch i = 7 div 25d), numpy-rounded.
+    val expected = {
+      var s = 0.0
+      DurationEnsemble.DurationSet.foreach { d =>
+        val i = 7 / (25 * d)
+        s += math.sin((7 + 1L * 13.0 + 0L * 7.0) / 10.0) * 0.8 +
+          (d - 3.5) * 0.01 + i * 0.002
+      }
+      Math.rint(s / 6 * 10) / 10
+    }
     val r = BatchPipeline.run(spark, frames)
     val got = r.scores.filter(col("video_id") === 1 && col("track_id") === 0 && col("frame") === 7)
       .select("score").head().getDouble(0)
