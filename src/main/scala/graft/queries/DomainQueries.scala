@@ -135,6 +135,22 @@ object DomainQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), microsSum(col("score")).as("score_u_sum"))
         .orderBy(col("video_id"))
     },
+
+    // Segment file sink under the oracle gate
+    // (extractSpeakingSegments.py:117–139): q32's speaking segments,
+    // cut to track_%05d_segment_%03d.{avi,wav} on the executors
+    // (real WAV cut, stub AVI container), manifest aggregated per
+    // video. Byte formulas: avi = 64 + 128·n_frames (stub), wav =
+    // 44-byte PCM header + 2·640·n_frames.
+    "q67_segment_sink" -> { (s, dir) =>
+      val segs = SpeakingSegments.extract(scoreSeries(s, dir),
+        threshold = 30.0, minDurationS = 0.2)
+      val out = scratchDir(s, "graft_segsink")
+      graft.sinks.MediaSinks.cutSegments(s, segs, out)
+        .groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("bytes_sum"))
+        .orderBy(col("video_id"))
+    },
   )
 
   // ——— DuckDB mirrors of the polynomial-family LSH pipeline ———
@@ -277,6 +293,29 @@ object DomainQueries extends QueryPack {
     "q41_simhash_buckets" -> q41Sql,
     "q43_ann_topk" -> q43Sql,
     "q65_duration_ensemble" -> q65Sql,
+
+    // q32's runs CTE + the sink byte formulas: 2 files per segment,
+    // avi 64+128·nf, wav 44+1280·nf → Σ bytes = Σ(108 + 1408·nf).
+    "q67_segment_sink" ->
+      """WITH e AS (SELECT user_id AS video_id, CAST(0 AS BIGINT) AS track_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS INT) AS frame,
+        |    value AS score
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN score > 30.0 THEN 1 ELSE 0 END AS speaking FROM e),
+        |c AS (SELECT *,
+        |  CASE WHEN lag(speaking) OVER w IS NULL OR lag(speaking) OVER w <> speaking
+        |       THEN 1 ELSE 0 END AS changed
+        |  FROM f WINDOW w AS (PARTITION BY video_id, track_id ORDER BY frame)),
+        |g AS (SELECT *,
+        |  CAST(sum(changed) OVER (PARTITION BY video_id, track_id ORDER BY frame
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM c),
+        |runs AS (SELECT video_id, track_id, grp, count(*) AS n_frames
+        |  FROM g WHERE speaking = 1 GROUP BY video_id, track_id, grp
+        |  HAVING max(frame) + 1 - min(frame) >= 5)
+        |SELECT video_id, CAST(2*count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(108 + 1408*n_frames) AS BIGINT) AS bytes_sum
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ASCII-only corpus assumption (same as q29): Spark-side RollingHash
     // folds UTF-8 OCTETS while this oracle folds per-CHARACTER codepoints

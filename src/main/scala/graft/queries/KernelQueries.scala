@@ -48,9 +48,56 @@ object KernelQueries extends QueryPack {
         .toDF("s_suppkey", "n_samples", "n_frames", "n_ceps")
         .orderBy("s_suppkey")
     },
+
+    // Visual preprocessing kernel (demoTalkNet.py:244–248): stub
+    // decode 16×16 BGR from payload bytes, OpenCV fixed-point gray,
+    // bilinear resize to 8×8 (exact 2× → the blend degenerates to the
+    // 2×2 block average, keeping quarter-integer values), center half
+    // crop [2,6)² — the same gray→resize→crop arithmetic as the
+    // 224→112 production shape. crop values are exact k/4 doubles, so
+    // Σ(v·4) is an exact long.
+    "q66_visual_preprocess" -> { (s, dir) =>
+      import s.implicits._
+      graft.sources.Tables.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val crop = graft.operators.Visual.preprocess(payload, 16, 16, 8)
+          (id, crop.map(v => (v * 4).toLong).sum)
+        })
+        .toDF("doc_id", "crop_q_sum")
+        .orderBy("doc_id")
+    },
   )
 
+  /** Mirrors Visual.preprocess at the q66 geometry: cyclic byte →
+    * pixel mapping (ASCII corpus ⇒ ascii(substr) ≡ payload byte),
+    * gray = (R·4899+G·9617+B·1868+8192) >> 14 (// 16384 on nonneg),
+    * resized(cy,cx) = mean of the 2×2 gray block, crop window
+    * [2,6)². Σ over the crop of v·4 = Σ of the 4-gray block sums. */
+  private val q66Sql = {
+    def px(iExpr: String, c: Int) =
+      s"ascii(substr(text, CAST((3*($iExpr)+$c) % len AS INT)+1, 1))"
+    def gray(yExpr: String, xExpr: String) = {
+      val i = s"($yExpr)*16+($xExpr)"
+      s"((${px(i, 2)}*4899 + ${px(i, 1)}*9617 + ${px(i, 0)}*1868 + 8192) // 16384)"
+    }
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0),
+       |gy AS (SELECT doc_id, text, len, unnest(range(2,6)) AS cy FROM d),
+       |gx AS (SELECT doc_id, text, len, cy, unnest(range(2,6)) AS cx FROM gy),
+       |v AS (SELECT doc_id,
+       |    (${gray("2*cy", "2*cx")} + ${gray("2*cy", "2*cx+1")}
+       |     + ${gray("2*cy+1", "2*cx")} + ${gray("2*cy+1", "2*cx+1")}) AS q4
+       |  FROM gx)
+       |SELECT doc_id, CAST(sum(q4) AS BIGINT) AS crop_q_sum
+       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle = Map(
+    "q66_visual_preprocess" -> q66Sql,
+
     // documents text is ASCII (driver-generated), so byte == codepoint.
     "q29_payload_features" ->
       """SELECT doc_id,
