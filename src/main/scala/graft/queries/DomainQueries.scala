@@ -151,6 +151,23 @@ object DomainQueries extends QueryPack {
         .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("bytes_sum"))
         .orderBy(col("video_id"))
     },
+
+    // Crop-video sink under the oracle gate (demoTalkNet.py:180–213):
+    // one dense track per user (frames 0..n−1, flat geometry), written
+    // through writeTrackCrops — per track the stub container is
+    // 16 + 8·n bytes, the real WAV cut 44 + 1280·n, the mux header 4,
+    // so n_bytes = 64 + 1288·n and wav_samples = 640·n.
+    "q68_crop_sink" -> { (s, dir) =>
+      val proc = scoreSeries(s, dir).select(col("video_id"), lit(0L).as("scene_id"),
+        col("track_id"), col("frame"),
+        lit(100.0).as("x"), lit(50.0).as("y"), lit(20.0).as("s"))
+      val out = scratchDir(s, "graft_cropsink")
+      graft.sinks.MediaSinks.writeTrackCrops(s, proc, out)
+        .groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n_tracks"), sum(col("n_bytes")).as("bytes_sum"),
+          sum(col("wav_samples")).as("samples_sum"))
+        .orderBy(col("video_id"))
+    },
   )
 
   // ——— DuckDB mirrors of the polynomial-family LSH pipeline ———
@@ -316,6 +333,14 @@ object DomainQueries extends QueryPack {
         |SELECT video_id, CAST(2*count(*) AS BIGINT) AS n_files,
         |  CAST(sum(108 + 1408*n_frames) AS BIGINT) AS bytes_sum
         |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // One track per user with n = count(events) frames; the sink byte
+    // formulas (stub container 16+8n, wav 44+1280n, mux header 4).
+    "q68_crop_sink" ->
+      """SELECT user_id AS video_id, CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(64 + 1288*count(*) AS BIGINT) AS bytes_sum,
+        |  CAST(640*count(*) AS BIGINT) AS samples_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ASCII-only corpus assumption (same as q29): Spark-side RollingHash
     // folds UTF-8 OCTETS while this oracle folds per-CHARACTER codepoints

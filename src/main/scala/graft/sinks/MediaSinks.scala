@@ -108,6 +108,126 @@ object MediaSinks {
       .toDF("video_key", "entity_id", "frame_timestamp", "path", "n_bytes")
   }
 
+  /** The cv2.VideoWriter seat (XVID in the reference). The stub
+    * container is deterministic: a 16-byte header (w, h, fps, n as
+    * ints) then an 8-byte (length, byte-sum) record per frame — a
+    * real impl wraps JavaCV/ffmpeg and everything around it keeps. */
+  trait VideoEncoder extends Serializable {
+    def encode(width: Int, height: Int, fps: Int, frames: Iterator[Array[Byte]]): Array[Byte]
+  }
+
+  object StubVideoEncoder extends VideoEncoder {
+    override def encode(width: Int, height: Int, fps: Int,
+        frames: Iterator[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = java.nio.ByteBuffer.allocate(16)
+        .putInt(width).putInt(height).putInt(fps).putInt(0)
+      out.write(buf.array())
+      var n = 0
+      frames.foreach { f =>
+        var s = 0L; var i = 0
+        while (i < f.length) { s += (f(i) & 0xff); i += 1 }
+        out.write(java.nio.ByteBuffer.allocate(8)
+          .putInt(f.length).putInt((s % 0x7fffffffL).toInt).array())
+        n += 1
+      }
+      val bytes = out.toByteArray
+      java.nio.ByteBuffer.wrap(bytes, 12, 4).putInt(n) // patch frame count
+      bytes
+    }
+  }
+
+  /** Crop-video sink (demoTalkNet.py:180–213 crop_video): per track —
+    * render the 224×224 crop frames into a temp `<base>t.avi`
+    * container, cut the track's audio [first/25, (last+1)/25) as a
+    * REAL 16 kHz WAV slice (the -ss/-to of :208), "mux" a/v into
+    * `<base>.avi` (stub: container ++ wav under a MUX header; real:
+    * ffmpeg -c copy), delete the temp, keep the WAV (the reference
+    * keeps it for evaluate_network). Files are named per
+    * (scene, track) — the distributed stand-in for the reference's
+    * global track ordinal, which would need a global sort. Expects
+    * procTracks columns (video_id, scene_id, track_id, frame, x, y, s). */
+  def writeTrackCrops(spark: SparkSession, procTracks: DataFrame, outDir: String,
+      encoder: VideoEncoder = StubVideoEncoder): DataFrame = {
+    import spark.implicits._
+    procTracks.select(col("video_id").cast("long"), col("scene_id").cast("long"),
+        col("track_id").cast("long"), col("frame").cast("int"),
+        col("x").cast("double"), col("y").cast("double"), col("s").cast("double"))
+      .as[(Long, Long, Long, Int, Double, Double, Double)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Long, Int, Double, Double, Double)]) =>
+        val (v, sc, t) = key
+        val rows = it.toArray.sortBy(_._4)
+        val dir = java.nio.file.Paths.get(outDir, f"v$v%05d", "pycrop")
+        java.nio.file.Files.createDirectories(dir)
+        val base = f"s$sc%03d_t$t%05d"
+        // stub "rendered" 224×224 frame: the crop geometry as bytes
+        val container = encoder.encode(224, 224, 25, rows.iterator.map { r =>
+          s"CROP $v $sc $t ${r._4} ${r._5} ${r._6} ${r._7}".getBytes("UTF-8")
+        })
+        val tmp = dir.resolve(base + "t.avi")
+        java.nio.file.Files.write(tmp, container)
+        // audio cut: [first·640, (last+1)·640) of the track source PCM
+        val first = rows.head._4.toLong; val last = rows.last._4.toLong
+        val pcm = Array.tabulate(((last + 1 - first) * 640).toInt)(j =>
+          StubCutKernel.sourceSample(v, t, first * 640 + j))
+        val wavBytes = Wav.encode(16000, 1, pcm)
+        java.nio.file.Files.write(dir.resolve(base + ".wav"), wavBytes)
+        // mux (stub concat; real: ffmpeg -c:v copy -c:a copy), drop temp
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("MUX1".getBytes("UTF-8")); out.write(container); out.write(wavBytes)
+        val fin = dir.resolve(base + ".avi")
+        java.nio.file.Files.write(fin, out.toByteArray)
+        java.nio.file.Files.delete(tmp) // :212 os.remove(cropFile+'t.avi')
+        (v, sc, t, fin.toString, java.nio.file.Files.size(fin), pcm.length.toLong)
+      }
+      .toDF("video_id", "scene_id", "track_id", "path", "n_bytes", "wav_samples")
+  }
+
+  /** Visualization sink (demoTalkNet.py:342–370): one overlay video
+    * per video. Each frame's overlay records mirror :360–366 — color
+    * (0, clr, 255−clr) with clr = 255 iff score ≥ 0, label
+    * round(score, 1), rectangle ints (x−s, y−s)–(x+s, y+s); then the
+    * container muxes with the video's full audio track. Expects
+    * columns (video_id, frame, score, x, y, s); multiple faces per
+    * frame allowed (ordered by (frame, x)). */
+  def writeVisualization(spark: SparkSession, overlays: DataFrame, outDir: String,
+      encoder: VideoEncoder = StubVideoEncoder, frameW: Int = 640, frameH: Int = 360): DataFrame = {
+    import spark.implicits._
+    overlays.select(col("video_id").cast("long"), col("frame").cast("int"),
+        col("score").cast("double"), col("x").cast("double"),
+        col("y").cast("double"), col("s").cast("double"))
+      .as[(Long, Int, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (v: Long, it: Iterator[(Long, Int, Double, Double, Double, Double)]) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._4))
+        val dir = java.nio.file.Paths.get(outDir, f"v$v%05d", "pyavi")
+        java.nio.file.Files.createDirectories(dir)
+        val byFrame = rows.groupBy(_._2)
+        val maxFrame = rows.map(_._2).max
+        val container = encoder.encode(frameW, frameH, 25,
+          (0 to maxFrame).iterator.map { f =>
+            val draws = byFrame.getOrElse(f, Array.empty).map { r =>
+              val clr = if (r._3 >= 0) 255 else 0 // :359–360
+              s"RECT ${(r._4 - r._6).toInt},${(r._5 - r._6).toInt}," +
+                s"${(r._4 + r._6).toInt},${(r._5 + r._6).toInt} 0,$clr,${255 - clr} " +
+                s"TXT ${Math.rint(r._3 * 10) / 10}" // :364 round(score,1)
+            }
+            (s"VIS $v $f " + draws.mkString("|")).getBytes("UTF-8")
+          })
+        java.nio.file.Files.write(dir.resolve("video_only.avi"), container)
+        val pcm = Array.tabulate((maxFrame + 1) * 640)(j =>
+          StubCutKernel.sourceSample(v, -1L, j.toLong))
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("MUX1".getBytes("UTF-8")); out.write(container)
+        out.write(Wav.encode(16000, 1, pcm))
+        val fin = dir.resolve("video_out.avi")
+        java.nio.file.Files.write(fin, out.toByteArray)
+        (v, fin.toString, java.nio.file.Files.size(fin), (maxFrame + 1).toLong)
+      }
+      .toDF("video_id", "path", "n_bytes", "n_frames")
+  }
+
   /** Frame dump sink (demoTalkNet.py:506): `%06d.jpg` per frame under
     * the video's dir — the `-f image2` naming contract. */
   def dumpFrames(spark: SparkSession, frames: DataFrame, outDir: String): DataFrame = {

@@ -42,6 +42,60 @@ class SinksSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(p), "UTF-8") === "STUBJPG 160,180,480,360")
   }
 
+  test("crop-video sink: temp t.avi removed, mux = container+wav, real audio cut") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_cropvid").toString
+    // one track: video 5, scene 1, track 2, frames 10..29
+    val proc = (10 until 30).map(f => (5L, 1L, 2L, f, 100.0, 50.0, 20.0))
+      .toDF("video_id", "scene_id", "track_id", "frame", "x", "y", "s")
+    val m = MediaSinks.writeTrackCrops(spark, proc, out).collect()
+    assert(m.length === 1)
+    val dir = Paths.get(out, "v00005", "pycrop")
+    assert(!Files.exists(dir.resolve("s001_t00002t.avi"))) // :212 temp removed
+    val fin = dir.resolve("s001_t00002.avi")
+    val wav = dir.resolve("s001_t00002.wav")
+    assert(Files.exists(fin) && Files.exists(wav))
+    // audio is the [10/25, 30/25) cut: 20 frames · 640 samples
+    val decoded = Wav.decode(Files.readAllBytes(wav))
+    assert(decoded.samples.length === 20 * 640)
+    assert(decoded.samples(0) === MediaSinks.StubCutKernel.sourceSample(5L, 2L, 10L * 640))
+    // container header: 224×224 @ 25, 20 frames
+    val hdr = java.nio.ByteBuffer.wrap(Files.readAllBytes(fin), 4, 16) // after "MUX1"
+    assert((hdr.getInt, hdr.getInt, hdr.getInt, hdr.getInt) === ((224, 224, 25, 20)))
+    assert(m.head.getLong(4) === Files.size(fin) && m.head.getLong(5) === 20L * 640)
+  }
+
+  test("visualization sink: full frame range, :359–366 overlay semantics, a/v mux") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_vissink").toString
+    // faces only on frames 1 and 3; video spans 0..3; one negative score
+    val overlays = Seq((9L, 1, 0.5, 100.0, 50.0, 10.0), (9L, 3, -0.26, 200.0, 80.0, 15.0))
+      .toDF("video_id", "frame", "score", "x", "y", "s")
+    val m = MediaSinks.writeVisualization(spark, overlays, out).collect()
+    assert(m.length === 1 && m.head.getLong(3) === 4L) // frames 0..3 all written
+    val dir = Paths.get(out, "v00009", "pyavi")
+    assert(Files.exists(dir.resolve("video_only.avi")) && Files.exists(dir.resolve("video_out.avi")))
+    val hdr = java.nio.ByteBuffer.wrap(Files.readAllBytes(dir.resolve("video_only.avi")), 0, 16)
+    assert((hdr.getInt, hdr.getInt, hdr.getInt, hdr.getInt) === ((640, 360, 25, 4)))
+    // overlay record semantics re-derived independently
+    val recs = (0 to 3).map { f =>
+      val draws = overlays.collect().filter(r => r.getInt(1) == f).map { r =>
+        val (sc, x, y, s) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        val clr = if (sc >= 0) 255 else 0
+        s"RECT ${(x - s).toInt},${(y - s).toInt},${(x + s).toInt},${(y + s).toInt} " +
+          s"0,$clr,${255 - clr} TXT ${Math.rint(sc * 10) / 10}"
+      }
+      (s"VIS 9 $f " + draws.mkString("|")).getBytes("UTF-8")
+    }
+    // the stub container records (length, byte-sum) per frame — check them
+    val bytes = Files.readAllBytes(dir.resolve("video_only.avi"))
+    val bb = java.nio.ByteBuffer.wrap(bytes, 16, 8 * 4)
+    recs.foreach { r =>
+      assert(bb.getInt === r.length)
+      assert(bb.getInt === (r.map(_ & 0xff).map(_.toLong).sum % 0x7fffffffL).toInt)
+    }
+  }
+
   test("frame dump uses the image2 %06d.jpg 1-based numbering") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_framesink").toString
