@@ -111,23 +111,37 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
   }
 
-  /** IVF-style ANN, nprobe=1: a small deterministic coarse codebook —
-    * the `codebookSize` vectors whose ids hash lowest under the
-    * universal family (index 5000), i.e. a FIXED-SIZE pseudo-random
-    * sample — every vector assigned to its max-dot cell inside the
-    * same corpus pass, exact cosine only within the cell. A trained
-    * k-means codebook drops in unchanged.
+  /** Top-`n` centroid ids for a vector by (dot desc, cent_id asc) —
+    * the tie order mirrors the SQL oracle's
+    * `ORDER BY dot DESC, cent_id`. */
+  private def probeCells(v: Array[Double],
+      cs: Array[(Long, Array[Double])], n: Int): Array[Long] =
+    cs.map { case (id, p) =>
+      var dot = 0.0; var d = 0
+      while (d < p.length && d < v.length) { dot += p(d) * v(d); d += 1 }
+      (id, dot)
+    }.sortBy { case (id, dot) => (-dot, id) }.take(n).map(_._1)
+
+  /** IVF-style ANN: a small deterministic coarse codebook — the
+    * `codebookSize` vectors whose ids hash lowest under the universal
+    * family (index 5000), i.e. a FIXED-SIZE pseudo-random sample —
+    * every vector assigned to its max-dot cell inside the same corpus
+    * pass, exact cosine only within probed cells. A trained k-means
+    * codebook drops in unchanged.
+    *
+    * `nprobe` is the standard recall knob: each QUERY probes its
+    * `nprobe` best cells (the corpus side always indexes into exactly
+    * one). Cells are disjoint, so probing unions candidates without
+    * deduplication; candidate cost grows linearly in nprobe while the
+    * corpus is still never shuffled.
     *
     * At scale: the codebook selection is a distributed top-N
     * (TakeOrdered), so the driver collect and the per-executor
     * broadcast are O(codebookSize) regardless of corpus size — never
-    * linear in the corpus. The corpus itself is never shuffled.
-    * Ties inside a cell assignment go to the smallest centroid id
-    * (strict `>` over ascending ids), mirroring the SQL oracle's
-    * `ORDER BY dot DESC, cent_id`.
+    * linear in the corpus.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
-      codebookSize: Int = 64, queryEvery: Int = 50): DataFrame = {
+      codebookSize: Int = 64, queryEvery: Int = 50, nprobe: Int = 1): DataFrame = {
     import spark.implicits._
     val (ha, hb) = Dedup.affine(5000)
     // uhash(5000, vec_id mod P32): id reduced into the ring first so
@@ -144,20 +158,37 @@ object Similarity {
       .sortBy(_._1)
     val bc = emb.sparkSession.sparkContext.broadcast(cents)
     val withC = corpusPass(spark, emb) { v =>
-      val cs = bc.value
-      var best = 0L; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val p = cs(c)._2
-        var dot = 0.0; var d = 0
-        while (d < p.length && d < v.length) { dot += p(d) * v(d); d += 1 }
-        if (dot > bestDot) { bestDot = dot; best = cs(c)._1 }
-        c += 1
-      }
-      best
+      val vd = new Array[Double](v.length)
+      var d = 0
+      while (d < v.length) { vd(d) = v(d).toDouble; d += 1 }
+      probeCells(vd, bc.value, 1)(0)
     }
-    topKWithin(withC, k, queryEvery)
-      .select(col("qid"), col("bucket").cast("long").as("cell"), col("rank"),
-        col("cid"), round(col("cos"), 6).as("cos_r"))
+    if (nprobe <= 1) {
+      topKWithin(withC, k, queryEvery)
+        .select(col("qid"), col("bucket").cast("long").as("cell"), col("rank"),
+          col("cid"), round(col("cos"), 6).as("cos_r"))
+    } else {
+      // query side explodes to its nprobe best cells; the broadcast
+      // stays O(queries·nprobe) and the corpus side is untouched
+      val qs = withC.filter(col("vec_id") % queryEvery === 0)
+        .select(col("vec_id"), col("vd"), col("n2"))
+        .as[(Long, Array[Double], Double)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, vd, n2) =>
+            probeCells(vd, bc.value, nprobe).map(cell => (id, vd, n2, cell))
+          }
+        }
+        .toDF("qid", "qv", "qn2", "qbucket")
+      val corpus = withC.select(col("vec_id").as("cid"), col("vd").as("cv"),
+        col("n2").as("cn2"), col("bucket"))
+      corpus.join(broadcast(qs), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.dotp(col("qv"), col("cv"))
+            / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
+    }
   }
 }

@@ -229,6 +229,15 @@ object RefOps extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF with nprobe=2 — the recall knob: each query unions exact
+    // search over its two best cells (cells are disjoint, so no dedup
+    // pass is needed); candidate cost scales with nprobe, the corpus
+    // is still scanned once and never shuffled.
+    "q69_ivf_nprobe" -> { (s, dir) =>
+      Similarity.ivfTopK(s, Tables.table(s, dir, "embeddings"), k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // AVA clip extraction bounds (utils/tools.py:115–138): sort by
     // (entity, ts), group by entity, take [min ts, max ts] as the clip
     // plus the first row's payload (min_by/max_by).
@@ -502,8 +511,37 @@ object RefOps extends QueryPack {
        |SELECT qid, CAST(qc AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** q52's structure with the query side probing its arn ≤ 2 cells. */
+  private val q69Sql =
+    s"""WITH cb AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce
+       |  FROM embeddings
+       |  ORDER BY ${Q.uhashSql("5000", "vec_id % 4294967291")}, vec_id
+       |  LIMIT 64),
+       |asg AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${Q.sqlDotD("c.ce", "e.embedding")} DESC, c.cent_id) AS arn
+       |  FROM embeddings e CROSS JOIN cb c),
+       |v AS (
+       |  SELECT vec_id, embedding, cent_id AS cell,
+       |    ${Q.sqlDotD("embedding", "embedding")} AS n2
+       |  FROM asg WHERE arn = 1),
+       |probes AS (SELECT vec_id AS qid, cent_id AS qc
+       |  FROM asg WHERE vec_id % 50 = 0 AND arn <= 2),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2
+       |  FROM v WHERE vec_id % 50 = 0),
+       |p AS (SELECT q.qid, c.vec_id AS cid,
+       |    ${Q.sqlDotD("qe", "c.embedding")} / (sqrt(qn2)*sqrt(c.n2)) AS cos
+       |  FROM q JOIN probes ON probes.qid = q.qid
+       |  JOIN v c ON c.cell = probes.qc AND c.vec_id <> q.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM p)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
+       |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+
   val oracle = Map(
     "q52_ivf_topk" -> q52Sql,
+    "q69_ivf_nprobe" -> q69Sql,
 
     // Mirrors q62 term for term: same box derivations (identical IEEE
     // expression trees on both engines), same planted perturbations,

@@ -60,6 +60,21 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_c"))
 
+  /** Streaming exact dedup with BOUNDED state — the streaming member
+    * of the dedup family (q24's fingerprint groupBy for an unbounded
+    * source). `dropDuplicatesWithinWatermark` suppresses any row whose
+    * `keyCols` were already seen while their state lives; a key's
+    * state is evicted once the watermark (event time − `delay`)
+    * passes its event time, so state is bounded by the delay window
+    * instead of growing with the corpus — the only shape that
+    * survives an unbounded 100 TB/day stream. (Corpus-wide exact
+    * dedup of a BOUNDED table stays q24's hash aggregation.) Input
+    * needs an `ets` timestamp column. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ets", delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
 

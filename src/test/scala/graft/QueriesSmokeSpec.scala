@@ -1,10 +1,19 @@
 package graft
 
 /** Every declared query runs at sf0.001 and (apart from known-empty
-  * ones) returns rows; entry() satisfies the driver smoke check. */
+  * ones) returns rows; entry() satisfies the driver smoke check.
+  * The same pass audits every physical plan for scale-killers that
+  * are bugs at ANY data size: cartesian products and broadcast
+  * nested-loop joins (a join that lost its equi-keys). */
 class QueriesSmokeSpec extends SparkSpec {
 
   private val mayBeEmpty = Set("q08_customers_without_orders")
+
+  /** Queries where a broadcast nested-loop join is the DESIGN, not a
+    * lost equi-key: q27 is the exact brute-force ANN baseline — every
+    * (corpus row, broadcast query) pair must be scored by definition;
+    * its scale paths are the bucketed q43/q52. */
+  private val deliberateNestedLoop = Set("q27_cosine_topk")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -17,8 +26,14 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name runs at sf0.001") {
-      val n = fn(spark, sf001).count()
+    test(s"$name runs at sf0.001 with a sane plan") {
+      val df = fn(spark, sf001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!deliberateNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join (equi-keys lost)")
+      val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }
