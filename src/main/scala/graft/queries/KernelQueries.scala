@@ -26,6 +26,11 @@ object KernelQueries extends QueryPack {
     // Structured Streaming tumbling-window rollup driven to completion.
     "q30_stream_hourly" -> { (s, dir) => EventStream.hourlyRollup(s, dir) },
 
+    // Streaming exact dedup under the oracle gate: events planted
+    // twice, dropDuplicatesWithinWatermark suppresses the copies →
+    // the oracle is a plain aggregate of the original table.
+    "q70_stream_dedup" -> { (s, dir) => EventStream.dedupRollup(s, dir) },
+
     // Audio DSP kernel: synthesize deterministic PCM per supplier,
     // WAV encode→decode roundtrip, MFCC framing (demoTalkNet.py:238
     // defaults: 25 ms / 10 ms @ 16 kHz → frame_len 400, step 160).
@@ -114,6 +119,11 @@ object KernelQueries extends QueryPack {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q70_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_mfcc_frames" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,

@@ -75,6 +75,36 @@ object EventStream {
     events.withWatermark("ets", delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming-dedup rollup driven to completion over the events
+    * table (q70): every event is planted TWICE into the stream
+    * (explode over a 2-element array), `dedupStream` on event_id
+    * suppresses the copies, and the surviving rows aggregate per
+    * event_type — so the oracle is a plain batch aggregate of the
+    * original table. The delay is far larger than the table's time
+    * span, so no state is evicted mid-run and the dedup is exact;
+    * on a real unbounded stream a finite delay bounds the state
+    * (StreamDedupSpec pins the eviction behavior). */
+  def dedupRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_dedup_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
+      .withColumn("copy", explode(array(lit(1), lit(2)))) // planted dups
+    val deduped = dedupStream(stream, Seq("event_id"), delay = "3650 days")
+    val q = deduped
+      .select(col("event_type"), col("value_c"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
   final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
 
