@@ -14,9 +14,12 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, Windowed, TextQueries, VectorQueries, KernelQueries, DomainQueries, RefOps)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q62 is the reference's hallmark relational shape: the
+    * 1:1-validated gt ⋈ pred merge + bbox tolerance audit
+    * (get_ava_active_speaker_performance.py:94–142). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q62_ava_merge_audit")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
