@@ -104,13 +104,17 @@ object Eval {
     * Cost shape: one shuffle of the big input (by group+bucket, reused
     * by both local windows and the bucket-stat aggregates), one
     * persist so the envelope's second pass doesn't recompute, two
-    * broadcast joins. `approxQuantile` adds one cheap driver action;
-    * its boundaries only steer balance, never the result. */
+    * broadcast joins. Bucket boundaries only steer BALANCE, never the
+    * result — so when the score domain is known (`boundsHint`), the
+    * `approxQuantile` job is skipped entirely; otherwise one cheap
+    * driver action estimates them. */
   def averagePrecisionScaled(df: DataFrame, groupCol: String, scoreCol: String,
-      labelCol: String, tieCol: String, buckets: Int = 64): DataFrame = {
+      labelCol: String, tieCol: String, buckets: Int = 64,
+      boundsHint: Option[Array[Double]] = None): DataFrame = {
     val g = col(groupCol)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(scoreCol, probs, 1.0 / (4.0 * buckets))
+    val bounds = boundsHint
+      .getOrElse(df.stat.approxQuantile(scoreCol, probs, 1.0 / (4.0 * buckets)))
       .distinct.sorted
     // bucket k = #{quantile bounds >= score}: monotone nonincreasing
     // in score, equal scores collide — a codegen'd chain of compares

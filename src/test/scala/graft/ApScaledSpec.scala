@@ -71,6 +71,20 @@ class ApScaledSpec extends SparkSpec {
     assertRowParity(fixture(120), buckets = 64)
   }
 
+  test("explicit bounds hint (quantile job skipped) is still row-identical") {
+    val df = fixture(1500)
+    def keyed(r: DataFrame) = r
+      .select((Seq(col("grp"), col("uid")) ++ cols.map(col)): _*)
+      .collect().map(row => (row.getString(0), row.getLong(1)) -> row.toSeq.drop(2)).toMap
+    val plain = keyed(plainRows(df))
+    // deliberately lousy bounds (uneven, partly out of range): balance
+    // suffers, values must not
+    val hint = Array(-5.0, 1.0, 2.5, 7.0, 10.0, 1e9)
+    val hinted = keyed(Eval.averagePrecisionScaled(
+      df, "grp", "score", "label", "uid", buckets = 8, boundsHint = Some(hint)))
+    assert(hinted === plain)
+  }
+
   test("degenerate all-equal scores collapse to one bucket and still match") {
     import spark.implicits._
     val df = (1 to 200).map(i => ("g", 1.0, (i % 2).toLong, i.toLong))
