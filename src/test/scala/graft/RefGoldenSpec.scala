@@ -4,15 +4,18 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import graft.operators.Eval
 import org.apache.spark.sql.functions._
 
-/** REFERENCE-DERIVED golden: src/test/resources/ref_ap_golden.json
-  * holds AP values computed by executing the reference's own
-  * merge/precision-recall/compute_average_precision code
-  * (utils/get_ava_active_speaker_performance.py — pure numpy+pandas)
-  * on deterministic fixtures via tools/gen_ref_ap_golden.py. This
-  * spec rebuilds the identical fixtures in Scala and pins BOTH graft
-  * AP plans against the reference numbers — the end-to-end metric
-  * diff the earlier rounds lacked (fixtures tie-free because pandas
-  * sort_values is unstable and the reference has no tie-break). */
+/** REFERENCE-DERIVED goldens — outputs computed by executing the
+  * reference's OWN code (not hand-derivations):
+  *  - ref_ap_golden.json: merge/precision-recall/
+  *    compute_average_precision from
+  *    utils/get_ava_active_speaker_performance.py (pure numpy+pandas)
+  *    via tools/gen_ref_ap_golden.py; pins all three graft AP plans
+  *    (fixtures tie-free because pandas sort_values is unstable);
+  *  - ref_tracker_golden.json: the real track_shot greedy loop from
+  *    demoTalkNet.py (CPython remove-during-iteration semantics and
+  *    all) via tools/gen_ref_tracker_golden.py; pins
+  *    Tracker.trackScene including dropout interpolation and the
+  *    minTrack/minFaceSize gates. */
 class RefGoldenSpec extends SparkSpec {
 
   private case class Case(n: Int, posMod: Int, seedA: Int, ap: Double)
@@ -50,6 +53,42 @@ class RefGoldenSpec extends SparkSpec {
         .groupBy(col("grp")).agg(sum(col("prec_env") * col("delta_rec")).as("ap"))
         .head().getDouble(1)
       assert(math.abs(ap - c.ap) < 1e-10, s"case $c: got $ap")
+    }
+  }
+
+  test("Tracker.trackScene matches tracks produced by the reference track_shot loop") {
+    // fixture identical to tools/gen_ref_tracker_golden.py: faces in
+    // list order A,B,C,D per frame (A with f%17 dropouts, B 5..80,
+    // C sub-minFaceSize, D 9-frame short track)
+    val dets = (0 until 100).flatMap { f =>
+      val faces = Seq.newBuilder[graft.operators.Tracker.Det]
+      if (f % 17 != 0)
+        faces += graft.operators.Tracker.Det(f, 10 + 0.5 * f, 20.0, 30 + 0.5 * f, 40.0)
+      if (f >= 5 && f <= 80)
+        faces += graft.operators.Tracker.Det(f, 200 - 0.3 * f, 50.0, 220 - 0.3 * f, 70.0)
+      if (f <= 40)
+        faces += graft.operators.Tracker.Det(f, 300.0, 300.0, 300.8, 300.8)
+      if (f >= 50 && f <= 58)
+        faces += graft.operators.Tracker.Det(f, 400.0 + f, 400.0, 430.0 + f, 430.0)
+      faces.result()
+    }
+    val got = graft.operators.Tracker.trackScene(dets)
+    val url = getClass.getResource("/ref_tracker_golden.json")
+    assert(url != null, "ref_tracker_golden.json missing — run tools/gen_ref_tracker_golden.py")
+    val golden = new ObjectMapper().readTree(url)
+    assert(got.length === golden.size(), s"track count: got ${got.length}")
+    got.zipWithIndex.foreach { case (track, ti) =>
+      val g = golden.get(ti)
+      val gFrames = (0 until g.get("frames").size()).map(g.get("frames").get(_).asInt)
+      assert(track.map(_.frame) === gFrames, s"track $ti frames")
+      track.zipWithIndex.foreach { case (d, i) =>
+        val bb = g.get("bbox").get(i)
+        val exp = Seq(bb.get(0).asDouble, bb.get(1).asDouble, bb.get(2).asDouble, bb.get(3).asDouble)
+        Seq(d.x1, d.y1, d.x2, d.y2).zip(exp).zipWithIndex.foreach { case ((a, b), c) =>
+          // 1e-9: interp1d/np.interp/our lerp differ only in float op order
+          assert(math.abs(a - b) < 1e-9, s"track $ti frame ${d.frame} coord $c: $a vs $b")
+        }
+      }
     }
   }
 
