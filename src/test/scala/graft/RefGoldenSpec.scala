@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   *    demoTalkNet.py (CPython remove-during-iteration semantics and
   *    all) via tools/gen_ref_tracker_golden.py; pins
   *    Tracker.trackScene including dropout interpolation and the
-  *    minTrack/minFaceSize gates. */
+  *    minTrack/minFaceSize gates;
+  *  - ref_segments_golden.json: the real find_speaking_segments +
+  *    min-duration filter from extractSpeakingSegments.py via
+  *    tools/gen_ref_segments_golden.py; pins
+  *    SpeakingSegments.extract (thresholding, end-exclusive bounds,
+  *    trailing-run append, int-truncated min frames). */
 class RefGoldenSpec extends SparkSpec {
 
   private case class Case(n: Int, posMod: Int, seedA: Int, ap: Double)
@@ -89,6 +94,36 @@ class RefGoldenSpec extends SparkSpec {
           assert(math.abs(a - b) < 1e-9, s"track $ti frame ${d.frame} coord $c: $a vs $b")
         }
       }
+    }
+  }
+
+  test("SpeakingSegments.extract matches the reference find_speaking_segments") {
+    import spark.implicits._
+    def series(c: String, n: Int): Seq[Double] = c match {
+      case "sin" => (0 until n).map(i => math.sin(i * 0.37) * 2 + 0.1)
+      case "trailing" => (0 until n).map(i => if (i < n - 20) -1.0 else 1.0)
+      case "all_on" => Seq.fill(n)(1.0)
+      case "all_off" => Seq.fill(n)(-1.0)
+    }
+    val url = getClass.getResource("/ref_segments_golden.json")
+    assert(url != null, "ref_segments_golden.json missing — run tools/gen_ref_segments_golden.py")
+    val golden = new ObjectMapper().readTree(url)
+    (0 until golden.size()).foreach { i =>
+      val c = golden.get(i)
+      val scores = series(c.get("case").asText, c.get("n").asInt).zipWithIndex
+        .map { case (s, f) => (1L, 0L, f, s) }
+        .toDF("video_id", "track_id", "frame", "score")
+      val got = graft.operators.SpeakingSegments
+        .extract(scores, c.get("threshold").asDouble, c.get("min_duration").asDouble)
+        .orderBy("start_frame")
+        .select("start_frame", "end_frame").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val exp = (0 until c.get("segments").size()).map { j =>
+        val s = c.get("segments").get(j)
+        (s.get(0).asInt, s.get(1).asLong)
+      }
+      assert(got === exp, s"case ${c.get("case").asText} th=${c.get("threshold")} " +
+        s"minDur=${c.get("min_duration")}")
     }
   }
 
