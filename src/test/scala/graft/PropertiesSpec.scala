@@ -137,4 +137,86 @@ class PropertiesSpec extends SparkSpec {
       "g", "score", "label", "tie").select("ap").as[Double].head()
     assert(math.abs(apAll - 1.0) < 1e-12)
   }
+
+  test("duration-ensemble geometry: per duration, batches tile the truncated " +
+    "frames exactly once; audio bounds stay 4× video bounds (300 cases)") {
+    import graft.operators.DurationEnsemble
+    val r = rnd
+    for (_ <- 1 to 300) {
+      val nV = r.nextInt(400) + 1
+      val nA = 4 * nV + r.nextInt(9) - 4 // jitter in [-4, 4]
+      if (nA > 0) {
+        val calls = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Int)]()
+        val rec = new DurationEnsemble.BatchScorer {
+          override def scoreBatch(in: DurationEnsemble.EnsembleInput, d: Int, i: Int,
+              aLo: Int, aHi: Int, vLo: Int, vHi: Int): Array[Double] = {
+            calls += ((d, aLo, aHi, vLo, vHi)); new Array[Double](vHi - vLo)
+          }
+        }
+        val out = DurationEnsemble.ensemble(
+          DurationEnsemble.EnsembleInput(1, 0, nA, nV), rec)
+        val nV2 = DurationEnsemble.truncatedVideoFrames(nA, nV)
+        assert(out.length === nV2)
+        calls.groupBy(_._1).foreach { case (d, cs) =>
+          // batches tile [0, nV2) contiguously, no overlap, no gap
+          val sorted = cs.sortBy(_._4)
+          assert(sorted.head._4 === 0 && sorted.last._5 === nV2)
+          sorted.sliding(2).filter(_.length == 2).foreach { w =>
+            assert(w(0)._5 === w(1)._4, s"d=$d gap/overlap")
+          }
+          // audio slice is exactly 4× the video slice shape (clipped)
+          cs.foreach { case (_, aLo, aHi, vLo, _) =>
+            assert(aLo === vLo * 4 && aHi <= Math.round(
+              DurationEnsemble.truncatedLength(nA, nV) * 100).toInt)
+          }
+        }
+      }
+    }
+  }
+
+  test("visual preprocessing: gray in [0,255], resize preserves value bounds, " +
+    "crop side is 2·(c/2) with c = S/2 — the reference's int arithmetic (200 cases)") {
+    import graft.operators.Visual
+    val r = rnd
+    for (_ <- 1 to 200) {
+      val payload = Array.fill[Byte](r.nextInt(200) + 1)(r.nextInt(256).toByte)
+      val side = (r.nextInt(6) + 2) * 2 // even 4..14
+      val out = Visual.preprocess(payload, 16, 16, side)
+      // int(c − c/2) : int(c + c/2) → width 2·(c/2); equals S/2 only
+      // when c is even (224→112; 14→6, not 7)
+      val c = side / 2
+      val k = 2 * (c / 2)
+      assert(out.length === k * k)
+      assert(out.forall(v => v >= 0.0 && v <= 255.0))
+      val gray = Visual.bgr2gray(Visual.decodeBgrStub(payload, 16, 16), 16, 16)
+      val (lo, hi) = (gray.min, gray.max)
+      // bilinear is a convex combination — never exceeds input bounds
+      out.foreach(v => assert(v >= lo - 1e-9 && v <= hi + 1e-9))
+    }
+  }
+
+  test("IVF nprobe results: dense ranks, cosine-descending (5 Spark cases)") {
+    import graft.operators.Similarity
+    val r = rnd
+    for (_ <- 1 to 5) { // each case is a full Spark job — keep few
+      val dim = r.nextInt(16) + 2
+      val emb = (0 until 40).map(i =>
+        (i.toLong, Array.fill(dim)(r.nextDouble().toFloat - 0.5f)))
+      import spark.implicits._
+      // nprobe=3 through the public path: every query's candidates span
+      // at most 3 cells and each hit is ranked by exact cosine desc
+      val df = emb.toDF("vec_id", "embedding")
+      val res = Similarity.ivfTopK(spark, df, k = 5, codebookSize = 8,
+        queryEvery = 10, nprobe = 3).collect()
+      res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val ranks = rows.map(r2 => r2.getLong(1)).sorted.toSeq
+        assert(ranks === (1L to ranks.length))
+        val coss = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+        coss.sliding(2).foreach {
+          case Array(a, b) => assert(a >= b - 1e-9)
+          case _ =>
+        }
+      }
+    }
+  }
 }
