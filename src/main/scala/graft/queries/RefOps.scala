@@ -332,6 +332,64 @@ object RefOps extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // The reference's COMPLETE run_evaluation file-to-metric shape
+    // (get_ava_active_speaker_performance.py:180–205): gt/pred CSVs on
+    // disk → schema'd scans + uid derivation (:85) → 1:1-validated
+    // merge + bbox audit (:94–140) → ONE VOC average precision over
+    // all rows (:143–177). The single global sort is exactly the
+    // low-cardinality case the two-phase AP plan exists for, so the
+    // AP runs through averagePrecisionScaled with a known-domain
+    // bounds hint. Timestamps are exact binary quarters (k·0.25) and
+    // boxes exact 1/64ths, so the double→string uid cast and the CSV
+    // roundtrip are engine-stable.
+    "q71_ava_eval_e2e" -> { (s, dir) =>
+      val tmp = scratchDir(s, "graft_ava_eval")
+      val e = Tables.events(s, dir).select(
+        concat(lit("v"), col("user_id")).as("video_id"),
+        ((col("event_id") % 400).cast("double") * 0.25).as("frame_timestamp"),
+        ((col("event_id") % 64).cast("double") / 64.0).as("entity_box_x1"),
+        ((col("event_id") % 32).cast("double") / 64.0).as("entity_box_y1"),
+        ((col("event_id") % 64).cast("double") / 64.0 + 0.25).as("entity_box_x2"),
+        ((col("event_id") % 32).cast("double") / 64.0 + 0.25).as("entity_box_y2"),
+        concat(lit("u"), col("user_id"), lit("_e"), col("event_id")).as("entity_id"),
+        col("event_id"), col("value"))
+      e.select(col("video_id"), col("frame_timestamp"),
+          col("entity_box_x1"), col("entity_box_y1"), col("entity_box_x2"), col("entity_box_y2"),
+          when(col("event_id") % 3 === 0, "SPEAKING_AUDIBLE").otherwise("NOT_SPEAKING").as("label"),
+          col("entity_id"),
+          when(col("event_id") % 3 === 0, 1).otherwise(0).as("label_id"),
+          col("entity_id").as("instance_id"))
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/gt")
+      e.select(col("frame_timestamp"), col("entity_id"), col("event_id"),
+          col("entity_box_x1"), col("entity_box_y1"), col("entity_box_x2"), col("entity_box_y2"),
+          col("value").as("score"), lit("SPEAKING_AUDIBLE").as("label"))
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/pred")
+      val gt = graft.sources.AvaCsv.readLabels(s, s"$tmp/gt")
+        .select(col("uid"), col("label").as("label_gt"),
+          col("entity_box_x1").as("gt_x1"), col("entity_box_y1").as("gt_y1"),
+          col("entity_box_x2").as("gt_x2"), col("entity_box_y2").as("gt_y2"))
+      val pred = s.read.schema("frame_timestamp DOUBLE, entity_id STRING, event_id LONG, " +
+          "entity_box_x1 DOUBLE, entity_box_y1 DOUBLE, entity_box_x2 DOUBLE, " +
+          "entity_box_y2 DOUBLE, score DOUBLE, label STRING")
+        .option("header", "true").csv(s"$tmp/pred")
+        .withColumn("uid",
+          concat(col("frame_timestamp").cast("string"), lit(":"), col("entity_id")))
+        .select(col("uid"), col("event_id"), col("score"),
+          col("entity_box_x1").as("pred_x1"), col("entity_box_y1").as("pred_y1"),
+          col("entity_box_x2").as("pred_x2"), col("entity_box_y2").as("pred_y2"))
+      val merged = Eval.bboxAudit(Eval.joinOneToOne(gt, pred, "uid"), "gt_", "pred_")
+        .withColumn("grp", lit("all"))
+        .withColumn("label", when(col("label_gt") === "SPEAKING_AUDIBLE", 1L).otherwise(0L))
+      val rows = Eval.averagePrecisionScaled(merged, "grp", "score", "label", "event_id",
+        buckets = 64, boundsHint = Some((1 until 64).map(_ * 100.0 / 64).toArray))
+      rows.groupBy(col("grp"))
+        .agg((sum(round(col("prec_env") * col("delta_rec") * 1e9).cast("long"))
+            .cast("double") / 1.0e9).as("ap"),
+          max(col("pos")).as("n_pos"), count(lit(1)).as("n"),
+          sum(when(col("bbox_ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("grp"))
+    },
+
     // Speaking segments via the custom Catalyst Generator (UDTF form
     // of q32's windows plan): per-track score arrays → segment rows.
     "q59_segments_generator" -> { (s, dir) =>
@@ -539,9 +597,34 @@ object RefOps extends QueryPack {
        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** The CSV roundtrip is lossless (shortest-repr doubles), so the
+    * oracle recomputes from events: label = event_id%3=0, one global
+    * AP over (score desc, event_id), boxes identical → n_ok = n. */
+  private val q71Sql =
+    """WITH l AS (SELECT event_id, value AS score,
+      |    CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+      |  FROM events),
+      |s AS (SELECT *,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(sum(label) OVER (ORDER BY score DESC, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      |  CAST(sum(label) OVER () AS BIGINT) AS pos
+      |  FROM l WINDOW w AS (ORDER BY score DESC, event_id)),
+      |p AS (SELECT *, CAST(tp AS DOUBLE)/rn AS prec, CAST(tp AS DOUBLE)/pos AS rec FROM s),
+      |v AS (SELECT *,
+      |  max(prec) OVER (ORDER BY score DESC, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS prec_env,
+      |  rec - lag(rec, 1, 0.0) OVER (ORDER BY score DESC, event_id) AS delta_rec
+      |  FROM p)
+      |SELECT 'all' AS grp,
+      |  CAST(sum(CAST(round(prec_env*delta_rec*1e9) AS BIGINT)) AS DOUBLE)/1000000000.0 AS ap,
+      |  CAST(max(pos) AS BIGINT) AS n_pos, count(*) AS n, count(*) AS n_ok
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle = Map(
     "q52_ivf_topk" -> q52Sql,
     "q69_ivf_nprobe" -> q69Sql,
+    "q71_ava_eval_e2e" -> q71Sql,
 
     // Mirrors q62 term for term: same box derivations (identical IEEE
     // expression trees on both engines), same planted perturbations,
