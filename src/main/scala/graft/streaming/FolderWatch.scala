@@ -52,4 +52,46 @@ object FolderWatch {
     q.awaitTermination()
     spark.read.parquet(outDir)
   }
+
+  /** The STREAMING half of HF-style ingestion
+    * (batchProcessVideos.py:111–124, `streaming=True`): JSONL sample
+    * shards arrive in a folder over time; each micro-batch parses the
+    * new shards' samples (`{"video":{"path","bytes"},"label"}` — the
+    * same flattening as the batch ManifestSource) and appends the
+    * video descriptors to `outDir`. Incremental file listing means a
+    * pass only ever touches NEW shards — the resumable-iterator
+    * contract of a streaming dataset. */
+  def watchManifests(spark: SparkSession, watchDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val sample = new StructType()
+      .add("video", new StructType().add("path", StringType).add("bytes", LongType))
+      .add("label", StringType)
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(watchDir)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), sample).as("s"))
+      .select(col("s.video.path").as("video_path"),
+        col("s.video.bytes").as("video_bytes"), col("s.label").as("label"))
+      .withColumn("video_name",
+        regexp_extract(col("video_path"), "([^/]+)\\.[^.]+$", 1))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
+  /** One manifest-watch pass over what's present now. */
+  def processAvailableManifests(spark: SparkSession, watchDir: String,
+      outDir: String, checkpointDir: String): DataFrame = {
+    val q = watchManifests(spark, watchDir, outDir, checkpointDir)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }

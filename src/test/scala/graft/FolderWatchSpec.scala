@@ -34,4 +34,31 @@ class FolderWatchSpec extends SparkSpec {
     val newRows = segs2.filter(col("batch_id") > maxBatch1)
     assert(newRows.select("video_id").distinct().collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
+
+  test("manifest shards stream incrementally (the HF streaming=True mode)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_maniwatch").toString
+    val (watch, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+
+    def shard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(watch, name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    shard("shard0.jsonl", Seq(
+      """{"video":{"path":"data/clip_0001.mp4","bytes":11},"label":"a"}""",
+      """{"video":{"path":"data/clip_0002.mp4","bytes":22},"label":"b"}"""))
+    val p1 = FolderWatch.processAvailableManifests(spark, watch, out, ckpt)
+    assert(p1.count() === 2)
+    assert(p1.select("video_name").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("clip_0001", "clip_0002"))
+
+    // a later shard: only IT is parsed on the second pass
+    shard("shard1.jsonl", Seq(
+      """{"video":{"path":"nested/clip_0003.webm","bytes":33},"label":"a"}"""))
+    val p2 = FolderWatch.processAvailableManifests(spark, watch, out, ckpt)
+    assert(p2.count() === 3)
+    val maxBatch1 = p1.agg(max("batch_id")).first().getLong(0)
+    val fresh = p2.filter(col("batch_id") > maxBatch1).collect()
+    assert(fresh.length === 1 && fresh.head.getAs[String]("video_name") === "clip_0003")
+  }
 }
