@@ -34,4 +34,38 @@ class PipelineE2eSpec extends SparkSpec {
       assert(Files.size(Paths.get(m.getString(3))) === m.getLong(4), m.getString(3))
     }
   }
+
+  test("visualization and image sinks consume real pipeline outputs") {
+    val frames = spark.read.format(classOf[FrameSource].getName)
+      .option("videos", "5:8.0").option("fps", "25").load()
+      .select(substring(col("video_name"), 2, 5).cast("long").as("video_id"),
+        col("frame").cast("int"),
+        (floor(col("frame") / 100) * 80.0 + 10.0).as("content"))
+    val r = BatchPipeline.run(spark, frames)
+    // overlay rows: smoothed scores joined with the medfilt geometry
+    val smoothed = BatchPipeline.smoothScoresQuirk(spark, r.scores)
+      .select(col("video_id"), col("track_id"), col("frame"), col("smoothed").as("score"))
+    val overlays = smoothed.join(r.procTracks.toDF()
+        .select(col("video_id"), col("track_id"), col("frame"),
+          col("cx").as("x"), col("cy").as("y"), col("s")),
+      Seq("video_id", "track_id", "frame"))
+    val out = Files.createTempDirectory("graft_e2e_vis").toString
+    val vis = MediaSinks.writeVisualization(spark, overlays, out).collect()
+    assert(vis.length === 1)
+    assert(Files.exists(Paths.get(out, "v00005", "pyavi", "video_out.avi")))
+
+    // face-crop image sink from track geometry (tools.py layout)
+    val crops = r.procTracks.toDF().select(
+      concat(lit("v"), col("video_id")).as("video_key"),
+      concat(lit("v"), col("video_id"), lit("_t"), col("track_id")).as("entity_id"),
+      (col("frame").cast("double") / 25).as("frame_timestamp"),
+      (col("cx") - col("s")).as("x1"), (col("cy") - col("s")).as("y1"),
+      (col("cx") + col("s")).as("x2"), (col("cy") + col("s")).as("y2"))
+    val cropped = MediaSinks.writeFaceCrops(spark, crops, out + "/crops").collect()
+    assert(cropped.length === r.procTracks.toDF().count())
+    // frame dump from the decoded frame table
+    val dumped = MediaSinks.dumpFrames(spark, frames.select("video_id", "frame"),
+      out + "/frames").collect()
+    assert(dumped.length === 200)
+  }
 }
