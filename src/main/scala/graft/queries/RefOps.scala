@@ -352,7 +352,11 @@ object RefOps extends QueryPack {
         ((col("event_id") % 64).cast("double") / 64.0 + 0.25).as("entity_box_x2"),
         ((col("event_id") % 32).cast("double") / 64.0 + 0.25).as("entity_box_y2"),
         concat(lit("u"), col("user_id"), lit("_e"), col("event_id")).as("entity_id"),
-        col("event_id"), col("value"))
+        col("event_id"),
+        // UNIQUE exact-integer scores (ties would make the reference
+        // evaluator's unstable pandas sort order-dependent — real AVA
+        // scores are distinct floats): cents·1e6 + event_id < 2^53
+        (cents(col("value")) * 1000000L + col("event_id")).cast("double").as("value"))
       e.select(col("video_id"), col("frame_timestamp"),
           col("entity_box_x1"), col("entity_box_y1"), col("entity_box_x2"), col("entity_box_y2"),
           when(col("event_id") % 3 === 0, "SPEAKING_AUDIBLE").otherwise("NOT_SPEAKING").as("label"),
@@ -601,7 +605,8 @@ object RefOps extends QueryPack {
     * oracle recomputes from events: label = event_id%3=0, one global
     * AP over (score desc, event_id), boxes identical → n_ok = n. */
   private val q71Sql =
-    """WITH l AS (SELECT event_id, value AS score,
+    """WITH l AS (SELECT event_id,
+      |    CAST(CAST(round(value*100) AS BIGINT)*1000000 + event_id AS DOUBLE) AS score,
       |    CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS label
       |  FROM events),
       |s AS (SELECT *,

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *    min-duration filter from extractSpeakingSegments.py via
   *    tools/gen_ref_segments_golden.py; pins
   *    SpeakingSegments.extract (thresholding, end-exclusive bounds,
-  *    trailing-run append, int-truncated min frames). */
+  *    trailing-run append, int-truncated min frames);
+  *  - ref_runeval_golden.json: the reference evaluator chain run on
+  *    q71's exact sf0.001 gt/pred derivation via
+  *    tools/gen_ref_runeval_golden.py; pins the COMPLETE
+  *    file-to-metric query (CSV roundtrip, 1:1 merge, audit, global
+  *    AP) to the number the reference itself computes. */
 class RefGoldenSpec extends SparkSpec {
 
   private case class Case(n: Int, posMod: Int, seedA: Int, ap: Double)
@@ -125,6 +130,23 @@ class RefGoldenSpec extends SparkSpec {
       assert(got === exp, s"case ${c.get("case").asText} th=${c.get("threshold")} " +
         s"minDur=${c.get("min_duration")}")
     }
+  }
+
+  test("q71's file-to-metric AP equals the reference run_evaluation on the same inputs") {
+    // tools/gen_ref_runeval_golden.py ran the reference's merge →
+    // precision/recall → compute_average_precision on q71's exact
+    // sf0.001 derivation (scores unique ⇒ the sort is deterministic)
+    val url = getClass.getResource("/ref_runeval_golden.json")
+    assert(url != null, "ref_runeval_golden.json missing — run tools/gen_ref_runeval_golden.py")
+    val g = new ObjectMapper().readTree(url)
+    val row = SparkEntry.queries("q71_ava_eval_e2e")(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n") === g.get("n").asLong)
+    assert(row.getAs[Long]("n_pos") === g.get("n_pos").asLong)
+    assert(row.getAs[Long]("n_ok") === g.get("n").asLong) // audit all-pass
+    // q71 nano-quantizes contributions; reference sums pairwise →
+    // bound n·0.5e-9
+    assert(math.abs(row.getAs[Double]("ap") - g.get("ap").asDouble)
+      < g.get("n").asLong * 0.5e-9, s"ap ${row.getAs[Double]("ap")} vs ${g.get("ap").asDouble}")
   }
 
   test("ApAggregator (typed Aggregator form) matches the reference evaluator") {
