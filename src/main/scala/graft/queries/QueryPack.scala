@@ -48,6 +48,22 @@ object Q {
     java.nio.file.Files.createTempDirectory(root, prefix).toString
   }
 
+  /** Empirical 1/64-quantile grid of `events.value` (computed once at
+    * sf0.1; the driver generator's value distribution — log-normal-ish,
+    * median ≈ 35, max ≈ 560 — is SF-stable, so one grid serves every
+    * scale). Used only as `boundsHint` bucket boundaries for the
+    * two-phase AP plans: boundaries steer BALANCE, never the result,
+    * so a drifted distribution degrades parallelism, not correctness.
+    * A naive even grid over the domain is useless here — the skew
+    * packs ~90% of rows into the lowest sixth of the range. */
+  val eventsValueQ64: Array[Double] = Array(
+    0.8, 1.6, 2.4, 3.3, 4.1, 5.0, 5.9, 6.8, 7.6, 8.6, 9.5, 10.5, 11.4,
+    12.5, 13.6, 14.6, 15.7, 16.8, 17.9, 19.1, 20.2, 21.3, 22.5, 23.7,
+    25.0, 26.2, 27.5, 28.9, 30.3, 31.7, 33.2, 34.8, 36.4, 38.0, 39.7,
+    41.4, 43.2, 45.1, 47.1, 49.1, 51.1, 53.3, 55.6, 58.1, 60.6, 63.3,
+    66.1, 68.9, 72.1, 75.4, 79.0, 83.1, 87.4, 92.2, 97.4, 103.2, 109.9,
+    117.4, 126.7, 137.9, 152.5, 172.3, 205.8)
+
   // ——— DuckDB-side mirrors of the graft hash/vector kernels ———
 
   /** RollingHash fold over a string SQL expr (per-character ascii ≡

@@ -315,15 +315,20 @@ object RefOps extends QueryPack {
         .withColumn(s"${p}y1", (col("event_id") % 37).cast("double") + col("value") / 1000.0)
         .withColumn(s"${p}x2", col("value") + 20.0 + (col("event_id") % 7).cast("double"))
         .withColumn(s"${p}y2", col(s"${p}y1") + 15.0)
+      // persist both sides: each is consumed twice (the 1:1 count-audit
+      // action, then the returned join) — without the cache the events
+      // scan + box derivation runs 4× instead of 2×
       val gt = withBoxes(e, "gt_")
         .select(col("uid"), col("event_type"),
           col("gt_x1"), col("gt_y1"), col("gt_x2"), col("gt_y2"))
+        .persist()
       val pred = withBoxes(e, "pred_")
         .withColumn("pred_x1", col("pred_x1") +
           (when(col("event_id") % 97 === 0, 0.5).otherwise(0.0) +
            when(col("event_id") % 10 === 0, 5e-10).otherwise(0.0)))
         .select(col("uid"), col("value").as("score"),
           col("pred_x1"), col("pred_y1"), col("pred_x2"), col("pred_y2"))
+        .persist()
       Eval.bboxAudit(Eval.joinOneToOne(gt, pred, "uid"), "gt_", "pred_")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -344,7 +349,13 @@ object RefOps extends QueryPack {
     // roundtrip are engine-stable.
     "q71_ava_eval_e2e" -> { (s, dir) =>
       val tmp = scratchDir(s, "graft_ava_eval")
-      val e = Tables.events(s, dir).select(
+      // the events table arrives as ONE small file at test SFs → a
+      // 1-partition scan would serialize both CSV sinks AND every
+      // downstream CSV scan; spread the derivation first (at real
+      // scale the scan is already wide and this is a cheap rebalance)
+      val e = Tables.events(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
         concat(lit("v"), col("user_id")).as("video_id"),
         ((col("event_id") % 400).cast("double") * 0.25).as("frame_timestamp"),
         ((col("event_id") % 64).cast("double") / 64.0).as("entity_box_x1"),
@@ -368,10 +379,14 @@ object RefOps extends QueryPack {
           col("entity_box_x1"), col("entity_box_y1"), col("entity_box_x2"), col("entity_box_y2"),
           col("value").as("score"), lit("SPEAKING_AUDIBLE").as("label"))
         .write.mode("overwrite").option("header", "true").csv(s"$tmp/pred")
+      // persist the parsed CSVs: each side is scanned by the 1:1
+      // count-audit action AND the merge join — uncached, the text
+      // parse would run twice per side
       val gt = graft.sources.AvaCsv.readLabels(s, s"$tmp/gt")
         .select(col("uid"), col("label").as("label_gt"),
           col("entity_box_x1").as("gt_x1"), col("entity_box_y1").as("gt_y1"),
           col("entity_box_x2").as("gt_x2"), col("entity_box_y2").as("gt_y2"))
+        .persist()
       val pred = s.read.schema("frame_timestamp DOUBLE, entity_id STRING, event_id LONG, " +
           "entity_box_x1 DOUBLE, entity_box_y1 DOUBLE, entity_box_x2 DOUBLE, " +
           "entity_box_y2 DOUBLE, score DOUBLE, label STRING")
@@ -381,11 +396,24 @@ object RefOps extends QueryPack {
         .select(col("uid"), col("event_id"), col("score"),
           col("entity_box_x1").as("pred_x1"), col("entity_box_y1").as("pred_y1"),
           col("entity_box_x2").as("pred_x2"), col("entity_box_y2").as("pred_y2"))
+        .persist()
+      // persist the merge too: the scaled AP consumes it twice (bucket
+      // offsets aggregate + the row-plan window pass)
+      // slim to exactly the columns the AP windows carry: boxes/uids
+      // would otherwise ride every sort, the persist, and both
+      // broadcast joins of the two-phase plan
       val merged = Eval.bboxAudit(Eval.joinOneToOne(gt, pred, "uid"), "gt_", "pred_")
-        .withColumn("grp", lit("all"))
-        .withColumn("label", when(col("label_gt") === "SPEAKING_AUDIBLE", 1L).otherwise(0L))
+        .select(lit("all").as("grp"), col("score"), col("event_id"), col("bbox_ok"),
+          when(col("label_gt") === "SPEAKING_AUDIBLE", 1L).otherwise(0L).as("label"))
+        .persist()
+      // score = cents(value)·1e6 + event_id, so score-space quantiles
+      // are the value quantile grid ×100×1e6 (the +event_id term is
+      // < 1e6 — balance noise only). The grp key is a single value, so
+      // without real bucket spread every window would serialize into
+      // one task.
       val rows = Eval.averagePrecisionScaled(merged, "grp", "score", "label", "event_id",
-        buckets = 64, boundsHint = Some((1 until 64).map(_ * 100.0 / 64).toArray))
+        buckets = 64,
+        boundsHint = Some(eventsValueQ64.map(v => math.round(v * 100).toDouble * 1e6)))
       rows.groupBy(col("grp"))
         .agg((sum(round(col("prec_env") * col("delta_rec") * 1e9).cast("long"))
             .cast("double") / 1.0e9).as("ap"),

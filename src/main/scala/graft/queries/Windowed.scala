@@ -135,12 +135,14 @@ object Windowed extends QueryPack {
       val scored = ev(s, dir)
         .withColumn("label", (col("event_id") % 2).cast("long"))
         .select(col("event_type"), col("event_id"), col("value_c"), col("label"))
-      // value_c is cents of value ∈ [0,100] → known [0,10000] domain:
-      // fixed evenly-spaced bounds skip the approxQuantile job (bounds
-      // affect only balance, never the result)
+      // fixed bounds skip the approxQuantile job (bounds affect only
+      // balance, never the result); the empirical quantile grid of the
+      // skewed value distribution — NOT an even [0,max] grid — keeps
+      // the 32 buckets near-equal (value_c = cents ⇒ scale ×100)
       graft.operators.Eval
         .averagePrecisionScaled(scored, "event_type", "value_c", "label", "event_id",
-          buckets = 32, boundsHint = Some((1 until 32).map(_ * 10000.0 / 32).toArray))
+          buckets = 32,
+          boundsHint = Some((1 until 32).map(k => eventsValueQ64(2 * k - 1) * 100.0).toArray))
         .withColumn("contrib_n", round(col("prec_env") * col("delta_rec") * 1e9).cast("long"))
         .groupBy(col("event_type"))
         .agg((sum(col("contrib_n")).cast("double") / 1.0e9).as("ap"),
