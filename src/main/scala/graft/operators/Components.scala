@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step of corpus-scale dedup. Candidate-pair operators (Dedup
+  * .minhashCandidatePairs, jaccardBlockedPairs, the SimHash buckets)
+  * only assert "these two are near-dups"; keeping ONE representative
+  * per duplicate GROUP needs the transitive closure: A~B and B~C put
+  * {A,B,C} in one cluster even when A and C share no band. The
+  * reference has no analogue (its corpus is one video), but any
+  * training-data pipeline built on these operators does.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts as
+  * its own component (comp = id); each round every node takes the min
+  * of its own label and its neighbors' labels; fixpoint ⟺ every node
+  * carries the component-minimum id. Rounds = component diameter,
+  * which for near-dup clusters (dense cliques of rewrites of one
+  * document, glued by shared shingles) is small — single digits in
+  * practice. Per round the shuffled payload is only (id, comp) longs
+  * plus the (a, b) edge list: the checkpoint keeps each round's
+  * lineage O(1), so 100 TB of *text* never re-enters the loop — the
+  * loop sees just the integer graph. A convergence count per round is
+  * one cheap action on the just-materialized labels. For adversarial
+  * long-chain graphs (diameter ~ n) the two-phase star contractions
+  * (large-star/small-star, Kiveris et al., "Connected Components in
+  * MapReduce and Beyond") converge in O(log² n) rounds instead; dedup
+  * graphs are never chains, so propagation's simpler rounds win here.
+  */
+object Components {
+
+  /** `nodes`: one row per node (`id`: long, must include isolated
+    * nodes); `edges`: undirected pairs (`id_a`, `id_b`). Returns
+    * (id, comp) with comp = min node id of the component. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    // symmetrize once; reused every round — checkpoint, not recompute
+    // (the edge derivation upstream may be a whole LSH pipeline)
+    val sym = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      val nb = sym
+        .join(labels.select(col("id").as("b"), col("comp").as("nbcomp")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nbcomp")).as("ncomp"))
+      val next = labels
+        .join(nb.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      changed = next.filter(col("comp2") < col("comp")).count()
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      round += 1
+    }
+    require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
+  /** Dedup clustering: components of the near-dup graph plus cluster
+    * size and the keep flag (representative = min doc id). Isolated
+    * docs are singleton clusters of themselves. */
+  def dedupClusters(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(nodes, edges)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_n"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_n"), (col("id") === col("comp")).cast("int").as("keep"))
+  }
+}

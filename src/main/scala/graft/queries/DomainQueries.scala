@@ -70,6 +70,22 @@ object DomainQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Dedup CLUSTERING: q40's verified near-dup pairs are only edges;
+    // keeping one doc per duplicate group needs their transitive
+    // closure. Components.dedupClusters runs iterative min-label
+    // propagation (rounds = cluster diameter; only (id, comp) longs
+    // ever re-enter the loop); the oracle walks the same closure with
+    // a recursive CTE.
+    "q72_dedup_clusters" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val edges = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.6,
+        shingleK = 3, hashFn = Dedup.polyHash)
+      graft.operators.Components.dedupClusters(
+          docs.select(col("doc_id").as("id")), edges)
+        .orderBy(col("doc_id"))
+    },
+
     // Sign-LSH ANN: hash-derived rational hyperplanes (see
     // Similarity.planes), bucket-equality candidates, exact cosine
     // rank — oracled end-to-end.
@@ -181,10 +197,12 @@ object DomainQueries extends QueryPack {
     * token hash feeds Q.uhashSql directly. The hot-bucket guard
     * (maxBucket=100000) never fires on the driver corpus, so the
     * oracle omits it. */
-  private val q40Sql = {
+  /** The q40 pair derivation as a reusable CTE chain (`mhpairs` =
+    * verified near-dup pairs) — shared by the q72 closure oracle. */
+  private val q40PairsCte = {
     val ph = Q.polyHashSql("mht")
     val uh = Q.uhashSql("mhs", "mhh")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wt
        |  FROM documents),
        |sh AS (
@@ -204,15 +222,37 @@ object DomainQueries extends QueryPack {
        |  FROM sg a JOIN sg b ON a.id < b.id
        |  WHERE len(list_filter(range(0, 32),
        |        mhb -> a.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)]
-       |             = b.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)])) > 0)
-       |SELECT id_a, id_b,
-       |  CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) AS jac
-       |FROM cand
-       |WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= 0.6
-       |ORDER BY id_a, id_b""".stripMargin
+       |             = b.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)])) > 0),
+       |mhpairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) AS jac
+       |  FROM cand
+       |  WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= 0.6)""".stripMargin
   }
+
+  private val q40Sql =
+    s"WITH $q40PairsCte\nSELECT id_a, id_b, jac FROM mhpairs ORDER BY id_a, id_b"
+
+  /** Mirrors Components.dedupClusters over the q40 edge set: the
+    * transitive closure via a recursive CTE (min reachable id = the
+    * component minimum — exactly the propagation fixpoint). */
+  private val q72Sql =
+    s"""WITH RECURSIVE $q40PairsCte,
+       |ccn AS (SELECT doc_id AS id FROM documents),
+       |ccs AS (SELECT id_a AS a, id_b AS b FROM mhpairs
+       |        UNION ALL SELECT id_b, id_a FROM mhpairs),
+       |walk AS (
+       |  SELECT id, id AS r FROM ccn
+       |  UNION
+       |  SELECT s.b AS id, w.r FROM walk w JOIN ccs s ON s.a = w.id),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM comp GROUP BY cluster_id)
+       |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_n,
+       |  CAST(comp.id = comp.cluster_id AS INT) AS keep
+       |FROM comp JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Mirrors Dedup.simhashBucketsPoly (family 200..263): per-token
     * 1-bit hashes, majority vote per bit, signed-64 reassembly (bit 63
@@ -307,6 +347,7 @@ object DomainQueries extends QueryPack {
 
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
+    "q72_dedup_clusters" -> q72Sql,
     "q41_simhash_buckets" -> q41Sql,
     "q43_ann_topk" -> q43Sql,
     "q65_duration_ensemble" -> q65Sql,
