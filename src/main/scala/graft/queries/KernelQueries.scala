@@ -31,6 +31,11 @@ object KernelQueries extends QueryPack {
     // the oracle is a plain aggregate of the original table.
     "q70_stream_dedup" -> { (s, dir) => EventStream.dedupRollup(s, dir) },
 
+    // Stream-STREAM watermarked interval join driven to completion:
+    // clicks ⋈ views on user + 24-hour event-time range; the oracle is
+    // the equivalent batch inner interval join.
+    "q76_stream_join" -> { (s, dir) => EventStream.intervalJoinRollup(s, dir) },
+
     // Audio DSP kernel: synthesize deterministic PCM per supplier,
     // WAV encode→decode roundtrip, MFCC framing (demoTalkNet.py:238
     // defaults: 25 ms / 10 ms @ 16 kHz → frame_len 400, step 160).
@@ -124,6 +129,21 @@ object KernelQueries extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q76_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    (epoch_ns(ts) // 1000) * 1000 AS ts_ns,
+        |    CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_ns AS cts
+        |      FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, ts_ns AS vts, value_c
+        |      FROM e WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, count(*) AS n_views,
+        |  CAST(sum(v.value_c) AS BIGINT) AS view_value_c
+        |FROM c JOIN v
+        |  ON v.user_id = c.user_id
+        | AND v.vts > c.cts - 86400000000000 AND v.vts <= c.cts
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q45_mfcc_frames" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,

@@ -239,6 +239,30 @@ object Windowed extends QueryPack {
           (col("ts_ns") - col("lv_ts")).as("gap_ns"))
         .orderBy(col("click_id"))
     },
+
+    // Interval (range) join: q19 takes only the LATEST view before
+    // each click; this joins ALL views of the same user in the
+    // 24-hour window before the click (inclusive; the driver events are sparse per user — minutes-wide windows almost never match). Plan: the
+    // equi-key (user_id) drives a shuffled join — high-cardinality, so
+    // it partitions at any scale — and the range predicate rides along
+    // as a join filter; per-click aggregates keep the output one row
+    // per click (left join ⇒ zero-view clicks stay, n_views = 0).
+    "q73_interval_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_ns").as("cts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_ns").as("vts"), col("value_c"))
+      clicks.join(views,
+          clicks("user_id") === views("user_id") &&
+            col("vts") > col("cts") - lit(86400L * 1000000000L) && col("vts") <= col("cts"),
+          "left")
+        .groupBy(col("click_id"), clicks("user_id"))
+        .agg(count(col("view_id")).as("n_views"),
+          sum(coalesce(col("value_c"), lit(0L))).as("view_value_c"))
+        .orderBy(col("click_id"))
+    },
   )
 
   val oracle = Map(
@@ -397,5 +421,18 @@ object Windowed extends QueryPack {
          |SELECT event_id AS click_id, user_id, lv_id AS matched_view_id,
          |  ts_ns - lv_ts AS gap_ns
          |FROM t WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+
+    "q73_interval_join" ->
+      s"""WITH $E,
+         |c AS (SELECT user_id, event_id AS click_id, ts_ns AS cts
+         |      FROM e WHERE event_type = 'click'),
+         |v AS (SELECT user_id, event_id AS view_id, ts_ns AS vts, value_c
+         |      FROM e WHERE event_type = 'view')
+         |SELECT c.click_id, c.user_id, count(v.view_id) AS n_views,
+         |  CAST(sum(coalesce(v.value_c, 0)) AS BIGINT) AS view_value_c
+         |FROM c LEFT JOIN v
+         |  ON v.user_id = c.user_id
+         | AND v.vts > c.cts - 86400000000000 AND v.vts <= c.cts
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

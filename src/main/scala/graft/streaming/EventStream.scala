@@ -105,6 +105,51 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-STREAM interval join driven to completion (q76): clicks
+    * and views are two watermarked streams (here both fed from the
+    * events table; in production two live sources), inner-joined on
+    * user_id plus an event-time range — every view in the 24-hour
+    * window before a click. The range condition between the two
+    * event-time columns is what lets Spark evict join state as the
+    * watermark advances (without it, both sides buffer forever on an
+    * unbounded stream). Matches are appended to the sink as they are
+    * produced; the per-click aggregation runs as a batch over the
+    * sink so the whole thing stays oracle-checkable (= the batch
+    * interval join's inner-match subset, q73 without zero-view
+    * clicks). The ns-precision strict bound rides along as a plain
+    * filter so the oracle is integer-exact. */
+  def intervalJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_join_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_ns", expr("(ts DIV 1000) * 1000"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("ets").as("cets"), col("ts_ns").as("cts"))
+      .withWatermark("cets", "3650 days")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
+        col("ets").as("vets"), col("ts_ns").as("vts"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
+      .withWatermark("vets", "3650 days")
+    val joined = clicks.join(views,
+      col("c_uid") === col("v_uid") &&
+        col("vets") >= col("cets") - expr("INTERVAL 24 HOURS") &&
+        col("vets") <= col("cets") &&
+        col("vts") > col("cts") - lit(86400L * 1000000000L))
+    val q = joined.select(col("click_id"), col("c_uid").as("user_id"), col("value_c"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views"), sum(col("value_c")).as("view_value_c"))
+      .orderBy(col("click_id"))
+  }
+
   final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
 
