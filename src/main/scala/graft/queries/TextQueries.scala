@@ -121,9 +121,103 @@ object TextQueries extends QueryPack {
           (col("sum_k").cast("double") / col("n")).as("avg_k"))
         .orderBy(col("event_type"))
     },
+
+    // Corpus-wide n-gram frequency top-k (benchmark-contamination /
+    // memorization probes scan exactly this). Two-level hash
+    // aggregation — the explode feeds map-side partial counts, the
+    // final shuffle carries one row per DISTINCT trigram (≪ corpus),
+    // and the top-k is a TakeOrderedAndProject (per-partition heaps →
+    // driver merge, never a global sort). Tie-break on the ngram text
+    // keeps the cut deterministic.
+    "q74_ngram_topk" -> { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(split(trim(col("text")), "\\s+").as("w"))
+        .select(explode(when(size(col("w")) >= 3,
+            expr("transform(sequence(0, size(w)-3), i -> array_join(slice(w, i+1, 3), ' '))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+
+    // Within-document repetition scoring (the Gopher-style repetition
+    // filters): most-frequent-word share and duplicate-bigram share
+    // per doc. Relational shape — explode → per-(doc, word) counts →
+    // per-doc rollups — so every stage partial-aggregates; the two
+    // fractions are single integer divisions (bit-exact on both
+    // engines).
+    "q75_doc_repetition" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val wc = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wn"))
+      val top = wc
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("wn").desc, col("word"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_word"), col("wn").as("top_word_n"))
+      val totals = wc.groupBy(col("doc_id"))
+        .agg(sum(col("wn")).as("n_words"), count(lit(1)).as("n_distinct_words"))
+      val bc = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+            expr("transform(sequence(0, size(w)-2), i -> array_join(slice(w, i+1, 2), ' '))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct_bigrams"))
+      totals.join(top, Seq("doc_id")).join(bc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("top_word"), col("top_word_n"),
+          (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
+            .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+              / col("n_bigrams")).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val oracle = Map(
+    "q74_ngram_topk" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      ngi -> array_to_string(wt[(CAST(ngi AS INT)+1):(CAST(ngi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM w)
+        |SELECT ngram, count(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "q75_doc_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS wn FROM w GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct_words FROM wc GROUP BY 1),
+        |top AS (SELECT doc_id, word AS top_word, wn AS top_word_n FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY wn DESC, word) AS rn
+        |   FROM wc) WHERE rn = 1),
+        |b0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(wt) >= 2
+        |    THEN list_transform(range(0, len(wt)-1),
+        |      bgi -> array_to_string(wt[(CAST(bgi AS INT)+1):(CAST(bgi AS INT)+2)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS b
+        |  FROM b0),
+        |bc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    count(DISTINCT b) AS n_distinct_bigrams FROM bg GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_words, tot.n_distinct_words,
+        |  top.top_word, top.top_word_n,
+        |  CAST(top.top_word_n AS DOUBLE) / tot.n_words AS top_word_frac,
+        |  coalesce(bc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(bc.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |  CASE WHEN coalesce(bc.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(bc.n_bigrams - bc.n_distinct_bigrams AS DOUBLE) / bc.n_bigrams
+        |  END AS dup_bigram_frac
+        |FROM tot JOIN top USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q20_token_stats" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_m,
