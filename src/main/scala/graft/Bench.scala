@@ -30,6 +30,11 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2fs  ($dir)")
+      // queries persist() intermediates consumed by multiple actions;
+      // drop them between queries (outside the timed region) so cache
+      // and GC pressure don't accumulate across the 70+ query run and
+      // bleed into later queries' numbers
+      spark.catalog.clearCache()
       dt
     }
 

@@ -40,7 +40,11 @@ object Components {
     val sym = edges.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(edges.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // only edge-connected nodes can ever change label — the loop runs
+    // on that subgraph (for dedup graphs a sliver of the corpus) and
+    // the singleton majority joins back once at the end
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -57,7 +61,9 @@ object Components {
       round += 1
     }
     require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
-    labels
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Dedup clustering: components of the near-dup graph plus cluster

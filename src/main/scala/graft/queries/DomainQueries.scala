@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
 object DomainQueries extends QueryPack {
   import Q._
 
+  /** Same English stopword family as TextQueries.STOP_EN (q21/q22). */
+  private val STOP_EN_RE = "\\b(the|and|of|to|in|is|a)\\b"
+
   /** Dense per-user frame index + score columns from events (the
     * score-series shape of the reference's scores.pckl). */
   private def scoreSeries(s: SparkSession, dir: String): DataFrame = {
@@ -83,6 +86,59 @@ object DomainQueries extends QueryPack {
         shingleK = 3, hashFn = Dedup.polyHash)
       graft.operators.Components.dedupClusters(
           docs.select(col("doc_id").as("id")), edges)
+        .orderBy(col("doc_id"))
+    },
+
+    // The corpus-cleaning pipeline COMPOSED (the realistic LLM-data
+    // shape: quality gate → repetition gate → exact dedup → near-dup
+    // cluster dedup), emitting one disposition per document. Gates are
+    // integer comparisons (100·stop_n < n_words ⟺ stop_ratio < 0.01,
+    // 100·top_n > 15·n_words ⟺ top_word_frac > 0.15) so the oracle
+    // never compares derived floats. The expensive stage (MinHash-LSH
+    // + closure) runs only on the cheap-gate SURVIVORS — at 100 TB the
+    // per-row gates drop junk before anything shuffles token sets.
+    // (The driver corpus has no exact duplicates, so the exact_dup
+    // branch emits 0 rows there; TextQueries' q24 and the oracle's
+    // identical fpk CTE keep the stage itself under test.)
+    "q77_corpus_clean" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val wc = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wn"))
+      val rep = wc.groupBy(col("doc_id"))
+        .agg(sum(col("wn")).as("n_words"), max(col("wn")).as("top_n"))
+      val base = docs
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(regexp_extract_all(lower(col("text")), lit(STOP_EN_RE), lit(0)))
+            .cast("long").as("stop_n"))
+        .join(rep, Seq("doc_id"))
+        .withColumn("fail_quality",
+          col("n_words") < 20L || col("stop_n") * 100L < col("n_words"))
+        .withColumn("fail_rep", col("top_n") * 100L > col("n_words") * 15L)
+      val surv1 = base.filter(!col("fail_quality") && !col("fail_rep"))
+        .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      val fpKeep = surv1.groupBy(col("fp")).agg(min(col("doc_id")).as("fp_keep"))
+      val surv2 = surv1.join(fpKeep, Seq("fp"))
+        .filter(col("doc_id") === col("fp_keep"))
+        .select(col("doc_id"), col("text"))
+        // the LSH kernel + the components loop both re-read this —
+        // don't re-run the gates per consumer
+        .localCheckpoint()
+      val edges = Dedup.minhashCandidatePairs(surv2, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.6,
+        shingleK = 3, hashFn = Dedup.polyHash)
+      val comp = graft.operators.Components.connectedComponents(
+        surv2.select(col("doc_id").as("id")), edges)
+      base
+        .join(surv1.select(col("doc_id"), col("fp")), Seq("doc_id"), "left")
+        .join(fpKeep, Seq("fp"), "left")
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_words"), col("top_n"), col("stop_n"),
+          when(col("fail_quality"), "quality")
+            .when(col("fail_rep"), "repetition")
+            .when(col("doc_id") =!= col("fp_keep"), "exact_dup")
+            .when(col("doc_id") =!= col("comp"), "near_dup")
+            .otherwise("kept").as("disposition"))
         .orderBy(col("doc_id"))
     },
 
@@ -199,12 +255,12 @@ object DomainQueries extends QueryPack {
     * oracle omits it. */
   /** The q40 pair derivation as a reusable CTE chain (`mhpairs` =
     * verified near-dup pairs) — shared by the q72 closure oracle. */
-  private val q40PairsCte = {
+  private def mhPairsCte(src: String): String = {
     val ph = Q.polyHashSql("mht")
     val uh = Q.uhashSql("mhs", "mhh")
     s"""w AS (
        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wt
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT id,
        |    list_distinct(list_transform(range(0, greatest(len(wt)-3, 0)+1),
@@ -233,13 +289,13 @@ object DomainQueries extends QueryPack {
   }
 
   private val q40Sql =
-    s"WITH $q40PairsCte\nSELECT id_a, id_b, jac FROM mhpairs ORDER BY id_a, id_b"
+    s"WITH ${mhPairsCte("documents")}\nSELECT id_a, id_b, jac FROM mhpairs ORDER BY id_a, id_b"
 
   /** Mirrors Components.dedupClusters over the q40 edge set: the
     * transitive closure via a recursive CTE (min reachable id = the
     * component minimum — exactly the propagation fixpoint). */
   private val q72Sql =
-    s"""WITH RECURSIVE $q40PairsCte,
+    s"""WITH RECURSIVE ${mhPairsCte("documents")},
        |ccn AS (SELECT doc_id AS id FROM documents),
        |ccs AS (SELECT id_a AS a, id_b AS b FROM mhpairs
        |        UNION ALL SELECT id_b, id_a FROM mhpairs),
@@ -345,9 +401,52 @@ object DomainQueries extends QueryPack {
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Mirrors q77: gates as integer comparisons, md5 exact dedup, then
+    * the recursive closure over the survivors' MinHash pair graph. */
+  private val q77Sql =
+    s"""WITH RECURSIVE
+       |wd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |wcq AS (SELECT doc_id, word, count(*) AS wn FROM wd GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_words,
+       |    CAST(max(wn) AS BIGINT) AS top_n FROM wcq GROUP BY 1),
+       |base0 AS (SELECT d.doc_id, d.lang, d.text,
+       |    CAST(len(regexp_extract_all(lower(d.text), '\\b(the|and|of|to|in|is|a)\\b')) AS BIGINT) AS stop_n,
+       |    r.n_words, r.top_n
+       |  FROM documents d JOIN rep r USING (doc_id)),
+       |base AS (SELECT *,
+       |    (n_words < 20 OR stop_n * 100 < n_words) AS fail_quality,
+       |    (top_n * 100 > n_words * 15) AS fail_rep
+       |  FROM base0),
+       |surv1 AS (SELECT *, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM base WHERE NOT fail_quality AND NOT fail_rep),
+       |fpk AS (SELECT fp, min(doc_id) AS fp_keep FROM surv1 GROUP BY 1),
+       |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s JOIN fpk USING (fp)
+       |  WHERE s.doc_id = fpk.fp_keep),
+       |${mhPairsCte("surv2")},
+       |ccs AS (SELECT id_a AS a, id_b AS b FROM mhpairs
+       |        UNION ALL SELECT id_b, id_a FROM mhpairs),
+       |walk AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM surv2
+       |  UNION
+       |  SELECT s.b AS id, w.r FROM walk w JOIN ccs s ON s.a = w.id),
+       |compc AS (SELECT id, min(r) AS comp FROM walk GROUP BY id)
+       |SELECT b.doc_id, b.lang, b.n_words, b.top_n, b.stop_n,
+       |  CASE WHEN b.fail_quality THEN 'quality'
+       |       WHEN b.fail_rep THEN 'repetition'
+       |       WHEN b.doc_id <> fpk.fp_keep THEN 'exact_dup'
+       |       WHEN b.doc_id <> c.comp THEN 'near_dup'
+       |       ELSE 'kept' END AS disposition
+       |FROM base b
+       |LEFT JOIN surv1 s1 ON s1.doc_id = b.doc_id
+       |LEFT JOIN fpk ON fpk.fp = s1.fp
+       |LEFT JOIN compc c ON c.id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
     "q72_dedup_clusters" -> q72Sql,
+    "q77_corpus_clean" -> q77Sql,
     "q41_simhash_buckets" -> q41Sql,
     "q43_ann_topk" -> q43Sql,
     "q65_duration_ensemble" -> q65Sql,

@@ -17,6 +17,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Runs `f` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the session value after. Streaming queries bind
+    * their STATE STORE count to the shuffle-partition setting at start
+    * time (AQE never re-plans a stream), and every micro-batch commits
+    * every state store — so a test-scale stream pays 32 store commits
+    * per stateful operator per batch for data that fits in a handful.
+    * The rollups below size state to their volume; a production deploy
+    * sizes this to sustained throughput instead. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Hourly tumbling-window counts/sums per event_type, computed by a
     * real streaming query (memory sink, complete mode). */
   def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -34,10 +49,12 @@ object EventStream {
     val agg = stream
       .groupBy(window(col("ets"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name).select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"),
@@ -94,11 +111,13 @@ object EventStream {
       .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
       .withColumn("copy", explode(array(lit(1), lit(2)))) // planted dups
     val deduped = dedupStream(stream, Seq("event_id"), delay = "3650 days")
-    val q = deduped
-      .select(col("event_type"), col("value_c"))
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = deduped
+        .select(col("event_type"), col("value_c"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
@@ -140,10 +159,12 @@ object EventStream {
         col("vets") >= col("cets") - expr("INTERVAL 24 HOURS") &&
         col("vets") <= col("cets") &&
         col("vts") > col("cts") - lit(86400L * 1000000000L))
-    val q = joined.select(col("click_id"), col("c_uid").as("user_id"), col("value_c"))
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = joined.select(col("click_id"), col("c_uid").as("user_id"), col("value_c"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
       .groupBy(col("click_id"), col("user_id"))
       .agg(count(lit(1)).as("n_views"), sum(col("value_c")).as("view_value_c"))
