@@ -279,7 +279,7 @@ object DomainQueries extends QueryPack {
        |  WHERE len(list_filter(range(0, 32),
        |        mhb -> a.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)]
        |             = b.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)])) > 0),
-       |mhpairs AS (
+       |mhpairs AS MATERIALIZED (
        |  SELECT id_a, id_b,
        |    CAST(len(list_intersect(ta, tb)) AS DOUBLE)
        |      / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) AS jac
@@ -297,7 +297,7 @@ object DomainQueries extends QueryPack {
   private val q72Sql =
     s"""WITH RECURSIVE ${mhPairsCte("documents")},
        |ccn AS (SELECT doc_id AS id FROM documents),
-       |ccs AS (SELECT id_a AS a, id_b AS b FROM mhpairs
+       |ccs AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mhpairs
        |        UNION ALL SELECT id_b, id_a FROM mhpairs),
        |walk AS (
        |  SELECT id, id AS r FROM ccn
@@ -414,17 +414,17 @@ object DomainQueries extends QueryPack {
        |    CAST(len(regexp_extract_all(lower(d.text), '\\b(the|and|of|to|in|is|a)\\b')) AS BIGINT) AS stop_n,
        |    r.n_words, r.top_n
        |  FROM documents d JOIN rep r USING (doc_id)),
-       |base AS (SELECT *,
+       |base AS MATERIALIZED (SELECT *,
        |    (n_words < 20 OR stop_n * 100 < n_words) AS fail_quality,
        |    (top_n * 100 > n_words * 15) AS fail_rep
        |  FROM base0),
-       |surv1 AS (SELECT *, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |surv1 AS MATERIALIZED (SELECT *, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
        |  FROM base WHERE NOT fail_quality AND NOT fail_rep),
        |fpk AS (SELECT fp, min(doc_id) AS fp_keep FROM surv1 GROUP BY 1),
        |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s JOIN fpk USING (fp)
        |  WHERE s.doc_id = fpk.fp_keep),
        |${mhPairsCte("surv2")},
-       |ccs AS (SELECT id_a AS a, id_b AS b FROM mhpairs
+       |ccs AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mhpairs
        |        UNION ALL SELECT id_b, id_a FROM mhpairs),
        |walk AS (
        |  SELECT doc_id AS id, doc_id AS r FROM surv2
