@@ -122,6 +122,128 @@ object Similarity {
       (id, dot)
     }.sortBy { case (id, dot) => (-dot, id) }.take(n).map(_._1)
 
+  /** Product-quantization ANN with asymmetric distance (ADC) — the
+    * compressed-corpus member of the similarity family (brute q27,
+    * sign-LSH q43, IVF q52/q69). The corpus is stored as `m` codes of
+    * log₂(ksub) bits each (here 8×4 bits = 4 bytes vs 256 bytes of
+    * floats — the representation that lets 100 TB of embeddings sit in
+    * executor memory); each QUERY keeps its exact vector and scores a
+    * corpus row in O(m) table lookups instead of O(dim) multiplies.
+    *
+    * Codebook seat: per subspace, the subvectors of the `ksub` corpus
+    * rows whose ids hash lowest under the universal family (index
+    * 6000 — disjoint from every other consumer), i.e. a fixed-size
+    * pseudo-random sample — O(ksub) driver collect regardless of
+    * corpus size; per-subspace k-means drops in unchanged.
+    *
+    * Scale shape: ONE corpus pass encodes codes (no join back onto the
+    * scan); queries + their m×ksub distance LUTs broadcast; the ADC
+    * scan keeps a bounded per-(partition, query) top-k heap so only
+    * partitions×queries×k candidate rows ever shuffle — the
+    * corpus×queries product never materializes. Exact top-k of a total
+    * order ((adc, cid) — cid unique) is partition-independent, so the
+    * heap + global window equals the full-sort result and the plain
+    * SQL oracle. Every distance is the same 0-seeded ascending fold on
+    * both engines — bit-exact doubles. */
+  def pqTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, queryEvery: Int = 50): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val (ha, hb) = Dedup.affine(6000)
+    val idHash = pmod(lit(ha) * pmod(col("vec_id").cast("long"), lit(P32)) + lit(hb), lit(P32))
+    // cent_k = position in (hash, vec_id) order — the oracle's row_number
+    val cents: Array[Array[Double]] = emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .withColumn("h", idHash)
+      .orderBy(col("h"), col("vec_id"))
+      .limit(ksub)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    require(cents.length == ksub, s"corpus smaller than ksub=$ksub")
+    val bcC = spark.sparkContext.broadcast(cents)
+    // ‖v_m − c_m‖² with the j-ascending 0-seeded fold the oracle mirrors
+    def subDist(v: Array[Float], c: Array[Double], mm: Int): Double = {
+      var dsum = 0.0; var j = 0
+      while (j < sub) {
+        val diff = v(mm * sub + j).toDouble - c(mm * sub + j)
+        dsum += diff * diff; j += 1
+      }
+      dsum
+    }
+    val codes = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, v) =>
+          val code = new Array[Int](m)
+          var mm = 0
+          while (mm < m) {
+            var best = 0; var bestD = Double.MaxValue; var kk = 0
+            while (kk < ksub) {
+              val d = subDist(v, cs(kk), mm)
+              if (d < bestD) { bestD = d; best = kk } // strict < ⇒ min k on ties
+              kk += 1
+            }
+            code(mm) = best; mm += 1
+          }
+          (id, code)
+        }
+      }.toDF("cid", "code")
+    // query LUTs: lut(mm·ksub + kk) = ‖q_mm − c_kk,mm‖²; O(queries·m·ksub)
+    val luts: Array[(Long, Array[Double])] = emb
+      .filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (qid, qv) =>
+        val lut = new Array[Double](m * ksub)
+        var mm = 0
+        while (mm < m) {
+          var kk = 0
+          while (kk < ksub) { lut(mm * ksub + kk) = subDist(qv, bcC.value(kk), mm); kk += 1 }
+          mm += 1
+        }
+        (qid, lut)
+      }
+    val bcL = spark.sparkContext.broadcast(luts)
+    val kk = k
+    val cand = codes.as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val ls = bcL.value
+        // bounded per-(partition, query) top-k by (adc, cid) — total
+        // order, so local pruning cannot change the global top-k
+        val heaps = Array.fill(ls.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)))
+        it.foreach { case (cid, code) =>
+          var qi = 0
+          while (qi < ls.length) {
+            val (qid, lut) = ls(qi)
+            if (cid != qid) {
+              var adc = 0.0; var mm = 0
+              while (mm < m) { adc += lut(mm * ksub + code(mm)); mm += 1 }
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((adc, cid))
+              else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+                  .lt((adc, cid), h.head)) { h.dequeue(); h.enqueue((adc, cid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (adc, cid) => (ls(qi)._1, cid, adc) }
+        }
+      }.toDF("qid", "cid", "adc")
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("adc"), 6).as("adc_r"))
+  }
+
   /** IVF-style ANN: a small deterministic coarse codebook — the
     * `codebookSize` vectors whose ids hash lowest under the universal
     * family (index 5000), i.e. a FIXED-SIZE pseudo-random sample —

@@ -150,6 +150,15 @@ object DomainQueries extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Product-quantization ANN (Similarity.pqTopK): 8×16 codebook from
+    // the hash-lowest sample, one encode pass, broadcast query LUTs,
+    // bounded per-partition heaps — ADC top-10 per query, every
+    // distance the same 0-seeded fold the oracle walks.
+    "q78_pq_topk" -> { (s, dir) =>
+      Similarity.pqTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // ——— rows-only (no SQL oracle) ———
     "q42_greedy_tracks" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
@@ -443,10 +452,53 @@ object DomainQueries extends QueryPack {
        |LEFT JOIN compc c ON c.id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Mirrors Similarity.pqTopK(m=8, ksub=16, queryEvery=50, k=10):
+    * codebook = row_number over (uhash(6000, id), id) < 16; subspace
+    * distances as j-ascending folds of squared diffs; corpus code =
+    * argmin (dist, cent_k); ADC = m-ascending fold over LUT entries.
+    * Every fold is list_reduce without seed ≡ the kernels' 0.0-seeded
+    * ascending loops. */
+  private val q78Sql = {
+    val uh = Q.uhashSql("6000", "(vec_id % 4294967291)")
+    s"""WITH cb AS (
+       |  SELECT cent_k, embedding FROM (
+       |    SELECT embedding,
+       |      row_number() OVER (ORDER BY $uh, vec_id) - 1 AS cent_k
+       |    FROM embeddings) WHERE cent_k < 16),
+       |sd AS (
+       |  SELECT e.vec_id, pqm.m, cb.cent_k,
+       |    list_reduce(list_transform(range(1, 9), pqj ->
+       |      (CAST(e.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE)
+       |         - CAST(cb.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE))
+       |      * (CAST(e.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE)
+       |         - CAST(cb.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE))),
+       |      (pqx, pqy) -> pqx + pqy) AS dist
+       |  FROM embeddings e, range(0, 8) pqm(m), cb),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS cid, list(cent_k ORDER BY m) AS code FROM (
+       |    SELECT vec_id, m, cent_k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_k) AS rn
+       |    FROM sd) WHERE rn = 1 GROUP BY vec_id),
+       |luts AS MATERIALIZED (
+       |  SELECT vec_id AS qid, list(dist ORDER BY m, cent_k) AS lut
+       |  FROM sd WHERE vec_id % 50 = 0 GROUP BY vec_id),
+       |adc AS (
+       |  SELECT l.qid, c.cid,
+       |    list_reduce(list_transform(range(0, 8), pqm ->
+       |      lut[CAST(pqm*16 AS INT) + code[CAST(pqm AS INT) + 1] + 1]),
+       |      (pqx, pqy) -> pqx + pqy) AS adc
+       |  FROM luts l, codes c WHERE c.cid <> l.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+       |      FROM adc)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(adc, 6) AS adc_r
+       |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
     "q72_dedup_clusters" -> q72Sql,
     "q77_corpus_clean" -> q77Sql,
+    "q78_pq_topk" -> q78Sql,
     "q41_simhash_buckets" -> q41Sql,
     "q43_ann_topk" -> q43Sql,
     "q65_duration_ensemble" -> q65Sql,
