@@ -177,9 +177,76 @@ object TextQueries extends QueryPack {
               / col("n_bigrams")).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     },
+
+    // Deterministic STRATIFIED sampling: per-language rates via the
+    // universal hash of doc_id (family index 9000 — disjoint) — the
+    // reproducible replacement for rand()-based sampling (same policy
+    // as q49's split). Pure per-row predicate: no shuffle, pushes into
+    // the scan, identical sample on any cluster/partitioning.
+    "q79_stratified_sample" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(9000)
+      val bucket = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L)) % 100
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 25)
+        .when(col("lang") === "es", 10)
+        .otherwise(75)
+      Tables.table(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: emails and long digit runs scrubbed to fixed
+    // placeholders, with per-doc match counts for audit. The driver
+    // corpus has no PII, so deterministic synthetic contact lines are
+    // appended first — the operator's regexes and global replace are
+    // what's under test. Per-row codegen'd regex; no shuffle.
+    "q80_pii_scrub" -> { (s, dir) =>
+      val email = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val digits = "[0-9]{5,}"
+      Tables.table(s, dir, "documents")
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+          (col("doc_id") * 7919 + 100000).cast("string")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(digits), lit(0))).cast("long").as("n_idnums"),
+          md5(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            digits, "<NUM>")).as("redacted_fp"),
+          length(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            digits, "<NUM>")).cast("long").as("redacted_len"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val oracle = Map(
+    "q79_stratified_sample" -> {
+      val uh = Q.uhashSql("9000", "(doc_id % 4294967291)")
+      s"""SELECT doc_id, lang, CAST($uh % 100 AS BIGINT) AS bucket
+         |FROM documents
+         |WHERE $uh % 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+         |                             WHEN 'es' THEN 10 ELSE 75 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q80_pii_scrub" ->
+      """WITH r0 AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com ref '
+        |         || CAST(doc_id*7919 + 100000 AS VARCHAR) AS raw
+        |  FROM documents),
+        |rr AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(raw, '[0-9]{5,}')) AS BIGINT) AS n_idnums,
+        |    regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{5,}', '<NUM>', 'g') AS red
+        |  FROM r0)
+        |SELECT doc_id, n_emails, n_idnums, md5(red) AS redacted_fp,
+        |  CAST(length(red) AS BIGINT) AS redacted_len
+        |FROM rr ORDER BY doc_id""".stripMargin,
+
     "q74_ngram_topk" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
         |g AS (SELECT unnest(CASE WHEN len(wt) >= 3
