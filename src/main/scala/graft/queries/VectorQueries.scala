@@ -59,6 +59,64 @@ object VectorQueries extends QueryPack {
           round(col("min_norm0"), 6).as("min_norm"))
         .orderBy(col("label"))
     },
+
+    // Nearest-prototype classification (the embedding-eval shape:
+    // class centroids → argmin-distance assignment → confusion
+    // matrix). Centroids are EXACT: per-(label, dim) integer-scaled
+    // sums (order-independent longs, map-side partials over the
+    // posexplode), one double division each — so the broadcast
+    // prototype matrix is bit-identical on every run and engine. The
+    // collect is labels×dims (bounded by the label vocabulary, never
+    // the corpus); assignment is a one-pass kernel with the same
+    // 0-seeded j-ascending distance fold as the PQ/ANN family.
+    "q81_prototype_classify" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.table(s, dir, "embeddings")
+      val centRows = emb
+        .select(col("label").cast("int").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+      val labels: Array[Int] = centRows.map(_.getInt(0)).distinct.sorted
+      val dim = centRows.map(_.getInt(1)).max + 1
+      val cents: Array[Array[Double]] = {
+        val m = Array.ofDim[Double](labels.length, dim)
+        val idx = labels.zipWithIndex.toMap
+        centRows.foreach { r =>
+          m(idx(r.getInt(0)))(r.getInt(1)) =
+            r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)
+        }
+        m
+      }
+      val bcC = s.sparkContext.broadcast((labels, cents))
+      emb.select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          val (ls, cs) = bcC.value
+          it.map { case (id, v, lbl) =>
+            var best = 0; var bestD = Double.MaxValue
+            var li = 0
+            while (li < ls.length) {
+              val c = cs(li)
+              var dsum = 0.0; var j = 0
+              while (j < c.length && j < v.length) {
+                val diff = v(j).toDouble - c(j); dsum += diff * diff; j += 1
+              }
+              // strict < with labels ascending ⇒ min label on ties
+              if (dsum < bestD) { bestD = dsum; best = ls(li) }
+              li += 1
+            }
+            (id, lbl, best)
+          }
+        }
+        .toDF("vec_id", "label", "pred_label")
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred_label"))
+    },
   )
 
   /** Oracle-side strict-left-fold dot product over double-cast lists
@@ -90,5 +148,30 @@ object VectorQueries extends QueryPack {
          |  CAST(norm_u AS DOUBLE)/1000000.0/n AS avg_norm,
          |  round(max_norm0, 6) AS max_norm, round(min_norm0, 6) AS min_norm
          |FROM a ORDER BY label""".stripMargin,
+
+    // Mirrors q81: integer-scaled centroid sums, one double division,
+    // j-ascending 0-seeded distance folds, (dist, label) argmin.
+    "q81_prototype_classify" ->
+      """WITH cs AS (
+        |  SELECT CAST(label AS INT) AS label, d.dim,
+        |    CAST(sum(CAST(round(CAST(embedding[d.dim] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sm,
+        |    count(*) AS n
+        |  FROM embeddings, range(1, 65) d(dim) GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT label,
+        |    list(CAST(sm AS DOUBLE)/(CAST(n AS DOUBLE)*1e6) ORDER BY dim) AS cent
+        |  FROM cs GROUP BY 1),
+        |a AS (
+        |  SELECT e.vec_id, CAST(e.label AS INT) AS true_label, c.label AS cand,
+        |    list_reduce(list_transform(range(1, 65), pcj ->
+        |      (CAST(e.embedding[pcj] AS DOUBLE) - cent[pcj])
+        |      * (CAST(e.embedding[pcj] AS DOUBLE) - cent[pcj])),
+        |      (pcx, pcy) -> pcx + pcy) AS dist
+        |  FROM embeddings e, cl c),
+        |p AS (SELECT vec_id, true_label, cand,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+        |  FROM a)
+        |SELECT true_label AS label, cand AS pred_label, count(*) AS n
+        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
