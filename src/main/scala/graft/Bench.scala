@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
 
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -18,6 +18,7 @@ object Explain {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
     for (n <- names) {
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

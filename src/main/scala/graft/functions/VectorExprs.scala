@@ -52,10 +52,59 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** ‖a‖² as a single-scan fold — the self-dot special case. Every ANN
+  * query norms its vectors with `dotp(v, v)`; evaluating that as the
+  * general binary op reads each element twice (and re-checks the
+  * shared length twice). Numerically IDENTICAL to `DotProduct(a, a)`
+  * (same 0.0-seeded ascending fold of xᵢ·xᵢ), so the rewrite — in
+  * `VectorExprs.dotp` at construction and in
+  * `GraftExtensions.SelfDotRewrite` for SQL-authored plans — can
+  * never change a result, only halve the array reads. */
+case class Norm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm2"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Norm2 =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 
-  /** Column-API entry: dotp(a, b) over ARRAY<DOUBLE>. */
+  /** Column-API entry: dotp(a, b) over ARRAY<DOUBLE>. Self-dots are
+    * NOT special-cased here — Spark 4 Columns arrive as
+    * `ColumnNodeExpression` trees whose Origins differ per call site,
+    * so equality is only decidable post-analysis; that's
+    * `GraftExtensions.SelfDotRewrite`'s job (installed by the graft
+    * mains via `GraftExtensions.install`). */
   def dotp(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -31,6 +31,21 @@ class ExtensionsSpec extends AnyFunSuite {
       // ((0*31+97)*31+98)*31+99 = 96354 (mod 1e9+7 unchanged)
       assert(r.getLong(0) === (('a'.toLong * 31 + 'b') * 31 + 'c') % 1000000007L)
       assert(r.getDouble(1) === 11.0)
+
+      // SelfDotRewrite: SQL-authored dotp(e, e) over a NON-literal
+      // column (literals constant-fold before the rewrite is visible)
+      // optimizes to norm2
+      spark.range(3).selectExpr("array(CAST(id AS DOUBLE), 2.0d) AS v")
+        .createOrReplaceTempView("graft_ext_vecs")
+      val selfDot = spark.sql("SELECT dotp(v, v) AS n2 FROM graft_ext_vecs")
+      assert(selfDot.queryExecution.optimizedPlan.toString.contains("norm2"),
+        selfDot.queryExecution.optimizedPlan.toString)
+      assert(selfDot.orderBy("n2").head().getDouble(0) === 4.0) // 0²+2²
+      // …but distinct columns keep the binary op
+      val cross = spark.sql(
+        "SELECT dotp(v, array(1.0d, 1.0d)) AS d FROM graft_ext_vecs")
+      assert(!cross.queryExecution.optimizedPlan.toString.contains("norm2"))
+      assert(cross.orderBy("d").head().getDouble(0) === 2.0) // 0+2
     } finally {
       // do NOT spark.stop(): the SparkContext is shared JVM-wide with
       // the other suites; just restore the session slots

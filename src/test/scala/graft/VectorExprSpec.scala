@@ -28,6 +28,23 @@ class VectorExprSpec extends SparkSpec {
     assert(out === 32.0)
   }
 
+  test("SelfDotRewrite collapses dotp(a, a) to norm2, bit-equal to the binary op") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    // range source: a LocalRelation would be fully evaluated by
+    // ConvertToLocalRelation before the rewrite is observable
+    val df = spark.range(100)
+      .select(transform(sequence(lit(0), lit(63)),
+        j => sin(col("id") * 64 + j)).as("a"))
+      .withColumn("self", VectorExprs.dotp(col("a"), col("a")))
+      // a distinct-but-equal column defeats semanticEquals → binary op
+      .withColumn("copyv", transform(col("a"), x => x))
+      .withColumn("viaDot", VectorExprs.dotp(col("a"), col("copyv")))
+    assert(df.queryExecution.optimizedPlan.toString.contains("norm2"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.filter(col("self") =!= col("viaDot")).count() === 0)
+  }
+
   test("dotp is null-safe and length-tolerant (min length)") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0, 5.0)),
