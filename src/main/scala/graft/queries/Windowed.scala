@@ -240,6 +240,37 @@ object Windowed extends QueryPack {
         .orderBy(col("click_id"))
     },
 
+    // Funnel / conversion attribution: within each 30-min session,
+    // the ordered stage chain view → click → purchase, where each
+    // stage only counts at-or-after the previous stage's first hit.
+    // Three stacked unbounded window aggregates over the SAME
+    // (user, session) partitioning — one shuffle, no sort (min over
+    // the whole frame), each stage referencing the previous projection
+    // — then one tiny rollup of sessions per deepest stage reached.
+    "q82_funnel" -> { (s, dir) =>
+      val gapNs = 1800L * 1000000000L
+      val lagTs = lag(col("ts_ns"), 1).over(wUser)
+      val sess = ev(s, dir)
+        .withColumn("new_sess",
+          when(lagTs.isNull || col("ts_ns") - lagTs > gapNs, 1L).otherwise(0L))
+        .withColumn("sess_idx",
+          sum(col("new_sess")).over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w = Window.partitionBy(col("user_id"), col("sess_idx"))
+      sess
+        .withColumn("v_ts", min(when(col("event_type") === "view", col("ts_ns"))).over(w))
+        .withColumn("c_ts", min(when(col("event_type") === "click" &&
+          col("ts_ns") >= col("v_ts"), col("ts_ns"))).over(w))
+        .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+          col("ts_ns") >= col("c_ts"), col("ts_ns"))).over(w))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(max(when(col("p_ts").isNotNull, 3)
+          .when(col("c_ts").isNotNull, 2)
+          .when(col("v_ts").isNotNull, 1).otherwise(0)).as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("stage"))
+    },
+
     // Interval (range) join: q19 takes only the LATEST view before
     // each click; this joins ALL views of the same user in the
     // 24-hour window before the click (inclusive; the driver events are sparse per user — minutes-wide windows almost never match). Plan: the
@@ -421,6 +452,27 @@ object Windowed extends QueryPack {
          |SELECT event_id AS click_id, user_id, lv_id AS matched_view_id,
          |  ts_ns - lv_ts AS gap_ns
          |FROM t WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+
+    "q82_funnel" ->
+      s"""WITH $E,
+         |m AS (SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+         |         OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+         |       THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         |s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx FROM m),
+         |f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END)
+         |    OVER (PARTITION BY user_id, sess_idx) AS v_ts FROM s2),
+         |f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_ns >= v_ts THEN ts_ns END)
+         |    OVER (PARTITION BY user_id, sess_idx) AS c_ts FROM f1),
+         |f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ns >= c_ts THEN ts_ns END)
+         |    OVER (PARTITION BY user_id, sess_idx) AS p_ts FROM f2),
+         |g AS (SELECT user_id, sess_idx,
+         |    max(CASE WHEN p_ts IS NOT NULL THEN 3 WHEN c_ts IS NOT NULL THEN 2
+         |             WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS stage
+         |  FROM f3 GROUP BY 1, 2)
+         |SELECT CAST(stage AS INT) AS stage, count(*) AS n_sessions
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_interval_join" ->
       s"""WITH $E,
