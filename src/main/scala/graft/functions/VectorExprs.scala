@@ -56,10 +56,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * query norms its vectors with `dotp(v, v)`; evaluating that as the
   * general binary op reads each element twice (and re-checks the
   * shared length twice). Numerically IDENTICAL to `DotProduct(a, a)`
-  * (same 0.0-seeded ascending fold of xᵢ·xᵢ), so the rewrite — in
-  * `VectorExprs.dotp` at construction and in
-  * `GraftExtensions.SelfDotRewrite` for SQL-authored plans — can
-  * never change a result, only halve the array reads. */
+  * (same 0.0-seeded ascending fold of xᵢ·xᵢ), so the
+  * `GraftExtensions.SelfDotRewrite` optimizer rule — the single
+  * rewrite site; `dotp` itself cannot special-case self-dots
+  * pre-analysis (see its entry comment) — can never change a result,
+  * only halve the array reads. */
 case class Norm2(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

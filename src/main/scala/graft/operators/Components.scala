@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the clustering
@@ -30,6 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** The block-manager RDD behind a localCheckpoint'd plan, so a
+    * superseded round's snapshot can be unpersisted instead of staying
+    * pinned for the life of the job (maxIter (id, comp) snapshots on a
+    * large graph otherwise). */
+  private def checkpointRdd(df: DataFrame) =
+    df.queryExecution.logical.collectFirst { case l: LogicalRDD => l.rdd }
+
   /** `nodes`: one row per node (`id`: long, must include isolated
     * nodes); `edges`: undirected pairs (`id_a`, `id_b`). Returns
     * (id, comp) with comp = min node id of the component. */
@@ -57,13 +65,22 @@ object Components {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
         .localCheckpoint()
       changed = next.filter(col("comp2") < col("comp")).count()
+      // `next` is materialized (eager checkpoint + the count above) and
+      // no longer reads `labels` — drop the superseded round's blocks
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next.select(col("id"), col("comp2").as("comp"))
       round += 1
     }
     require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
-    nodes.select(col("id"))
+    val out = nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint()
+    // the node join-back is the last reader of the loop state and the
+    // reused symmetric edge list — release both
+    checkpointRdd(labels).foreach(_.unpersist(blocking = false))
+    checkpointRdd(sym).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Dedup clustering: components of the near-dup graph plus cluster

@@ -215,9 +215,9 @@ object Similarity {
         val ls = bcL.value
         // bounded per-(partition, query) top-k by (adc, cid) — total
         // order, so local pruning cannot change the global top-k
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
         val heaps = Array.fill(ls.length)(
-          collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)))
+          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
         it.foreach { case (cid, code) =>
           var qi = 0
           while (qi < ls.length) {
@@ -227,8 +227,7 @@ object Similarity {
               while (mm < m) { adc += lut(mm * ksub + code(mm)); mm += 1 }
               val h = heaps(qi)
               if (h.size < kk) h.enqueue((adc, cid))
-              else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-                  .lt((adc, cid), h.head)) { h.dequeue(); h.enqueue((adc, cid)) }
+              else if (ord.lt((adc, cid), h.head)) { h.dequeue(); h.enqueue((adc, cid)) }
             }
             qi += 1
           }

@@ -457,7 +457,10 @@ object DomainQueries extends QueryPack {
     * distances as j-ascending folds of squared diffs; corpus code =
     * argmin (dist, cent_k); ADC = m-ascending fold over LUT entries.
     * Every fold is list_reduce without seed ≡ the kernels' 0.0-seeded
-    * ascending loops. */
+    * ascending loops. The subspace width is len(embedding)//8 — read
+    * from the data like the kernel's dim/m — so a re-generated fixture
+    * with a different width changes both sides in lockstep instead of
+    * silently truncating only the oracle. */
   private val q78Sql = {
     val uh = Q.uhashSql("6000", "(vec_id % 4294967291)")
     s"""WITH cb AS (
@@ -467,11 +470,11 @@ object DomainQueries extends QueryPack {
        |    FROM embeddings) WHERE cent_k < 16),
        |sd AS (
        |  SELECT e.vec_id, pqm.m, cb.cent_k,
-       |    list_reduce(list_transform(range(1, 9), pqj ->
-       |      (CAST(e.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE)
-       |         - CAST(cb.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE))
-       |      * (CAST(e.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE)
-       |         - CAST(cb.embedding[CAST(pqm.m*8 + pqj AS INT)] AS DOUBLE))),
+       |    list_reduce(list_transform(range(1, len(e.embedding)//8 + 1), pqj ->
+       |      (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE)
+       |         - CAST(cb.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE))
+       |      * (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE)
+       |         - CAST(cb.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE))),
        |      (pqx, pqy) -> pqx + pqy) AS dist
        |  FROM embeddings e, range(0, 8) pqm(m), cb),
        |codes AS MATERIALIZED (

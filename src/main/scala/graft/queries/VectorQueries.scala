@@ -150,20 +150,28 @@ object VectorQueries extends QueryPack {
          |FROM a ORDER BY label""".stripMargin,
 
     // Mirrors q81: integer-scaled centroid sums, one double division,
-    // j-ascending 0-seeded distance folds, (dist, label) argmin.
+    // j-ascending 0-seeded distance folds, (dist, label) argmin. Dims
+    // are derived from len(embedding) (as q43 does) so a re-generated
+    // fixture with a different width errors loudly instead of silently
+    // truncating the oracle's distance sums.
     "q81_prototype_classify" ->
-      """WITH cs AS (
-        |  SELECT CAST(label AS INT) AS label, d.dim,
-        |    CAST(sum(CAST(round(CAST(embedding[d.dim] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sm,
+      """WITH ex AS (
+        |  SELECT CAST(label AS INT) AS label,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cs AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sm,
         |    count(*) AS n
-        |  FROM embeddings, range(1, 65) d(dim) GROUP BY 1, 2),
+        |  FROM ex GROUP BY 1, 2),
         |cl AS (
         |  SELECT label,
         |    list(CAST(sm AS DOUBLE)/(CAST(n AS DOUBLE)*1e6) ORDER BY dim) AS cent
         |  FROM cs GROUP BY 1),
         |a AS (
         |  SELECT e.vec_id, CAST(e.label AS INT) AS true_label, c.label AS cand,
-        |    list_reduce(list_transform(range(1, 65), pcj ->
+        |    list_reduce(list_transform(range(1, len(e.embedding)+1), pcj ->
         |      (CAST(e.embedding[pcj] AS DOUBLE) - cent[pcj])
         |      * (CAST(e.embedding[pcj] AS DOUBLE) - cent[pcj])),
         |      (pcx, pcy) -> pcx + pcy) AS dist
