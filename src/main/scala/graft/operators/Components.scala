@@ -59,11 +59,14 @@ object Components {
       val nb = sym
         .join(labels.select(col("id").as("b"), col("comp").as("nbcomp")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nbcomp")).as("ncomp"))
+      // lazy checkpoint: the convergence count below is the action
+      // that materializes this round's blocks — one job per round, not
+      // an eager-checkpoint job plus a count job
       val next = labels
         .join(nb.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("comp2") < col("comp")).count()
       // `next` is materialized (eager checkpoint + the count above) and
       // no longer reads `labels` — drop the superseded round's blocks

@@ -107,30 +107,42 @@ object DomainQueries extends QueryPack {
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wn"))
       val rep = wc.groupBy(col("doc_id"))
         .agg(sum(col("wn")).as("n_words"), max(col("wn")).as("top_n"))
-      val base = docs
-        .select(col("doc_id"), col("lang"), col("text"),
+      // the gate table carries ONLY per-doc scalars, so the checkpoint
+      // that keeps the multi-consumer DAG from re-running the
+      // word-count aggregation pins a few longs per doc — never text
+      val gates = docs
+        .select(col("doc_id"), col("lang"),
           size(regexp_extract_all(lower(col("text")), lit(STOP_EN_RE), lit(0)))
             .cast("long").as("stop_n"))
         .join(rep, Seq("doc_id"))
         .withColumn("fail_quality",
           col("n_words") < 20L || col("stop_n") * 100L < col("n_words"))
         .withColumn("fail_rep", col("top_n") * 100L > col("n_words") * 15L)
-      val surv1 = base.filter(!col("fail_quality") && !col("fail_rep"))
-        .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
-      val fpKeep = surv1.groupBy(col("fp")).agg(min(col("doc_id")).as("fp_keep"))
-      val surv2 = surv1.join(fpKeep, Seq("fp"))
-        .filter(col("doc_id") === col("fp_keep"))
-        .select(col("doc_id"), col("text"))
-        // the LSH kernel + the components loop both re-read this —
-        // don't re-run the gates per consumer
         .localCheckpoint()
+      // md5 over normalized text runs exactly once; (doc_id, fp) is
+      // the second tiny checkpoint every later stage derives from
+      val fps = gates.filter(!col("fail_quality") && !col("fail_rep"))
+        .select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .localCheckpoint()
+      val fpKeep = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("fp_keep"))
+      // survivors' text is deliberately NOT checkpointed: the LSH
+      // kernel reads it once via a pruned parquet re-scan and the
+      // components loop needs only the ids — pinning near-the-whole
+      // corpus' text in the block manager is the wrong trade at scale
+      val surv2 = fps.join(fpKeep, Seq("fp"))
+        .filter(col("doc_id") === col("fp_keep"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
       val edges = Dedup.minhashCandidatePairs(surv2, "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.6,
         shingleK = 3, hashFn = Dedup.polyHash)
       val comp = graft.operators.Components.connectedComponents(
         surv2.select(col("doc_id").as("id")), edges)
-      base
-        .join(surv1.select(col("doc_id"), col("fp")), Seq("doc_id"), "left")
+      gates
+        .join(fps, Seq("doc_id"), "left")
         .join(fpKeep, Seq("fp"), "left")
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"), col("n_words"), col("top_n"), col("stop_n"),
