@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation text operators shared by the qNN queries and
+  * their specs: tokenization, word n-grams, sliding-window chunking,
+  * and benchmark decontamination. All column-only (whole-stage
+  * codegen; no UDFs), so every helper here is a per-row map — the
+  * embarrassingly-parallel shape that holds at any corpus size.
+  *
+  * The reference's string surface (split/format parsing,
+  * dataLoader.py:94–108) uses the same tokenize-then-slice idiom; the
+  * chunker mirrors the fixed-length clip windows its training loader
+  * cuts from score series (dataLoader.py:46, 64 `[:numFrames]`
+  * truncation, stride = window there).
+  */
+object TextOps {
+
+  /** Whitespace word array (the corpus tokenizer used by q20/q74/q75). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word k-grams joined by single spaces; `[]` when fewer than k
+    * words. Same construction as q74's trigrams, parameterized. */
+  def ngrams(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => array_join(slice(w, i + lit(1), lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sliding-window chunking with overlap (LLM context packing:
+    * window tokens per chunk, advancing by stride < window). Emits one
+    * row per chunk: (id, chunk_id, start, n_chunk_tokens, chunk_fp).
+    * Starts are 0, stride, 2·stride, … and emission STOPS at the first
+    * chunk that reaches the document end (the HF-tokenizer overflow
+    * rule) — a redundant tail start would re-emit tokens the previous
+    * chunk already covers, silently duplicating training data. So:
+    * chunks = 1 for n ≤ window, else ⌈(n−window)/stride⌉ + 1; only the
+    * last chunk may be shorter than `window`, and every token lands in
+    * ≥1 chunk. Pure per-row explode — no shuffle, chunk count scales
+    * with token volume, not doc count.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .withColumn("n_chunks",
+        when(size(col("w")) <= window, lit(1))
+          .otherwise((size(col("w")) - window + (stride - 1)).divide(stride)
+            .cast("int") + 1))
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(0), (col("n_chunks") - 1) * stride, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        slice(col("w"), col("start") + 1, lit(window)).as("c"))
+      .select(col(idCol), col("chunk_id"), col("start"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_fp"))
+  }
+
+  /** Benchmark decontamination: for every non-benchmark document,
+    * count the distinct word-k-grams it shares with the benchmark
+    * set's k-gram vocabulary (the n-gram-overlap eval-leak check run
+    * before training). Returns (id, n_shared, contaminated 0/1) for
+    * non-benchmark docs only.
+    *
+    * Scale shape: the benchmark gram vocabulary is benchmark-sized
+    * (eval suites, not the corpus) → broadcast; the corpus side
+    * explodes grams but only MATCHED (doc, gram) rows reach the
+    * count-distinct shuffle, so a clean corpus shuffles almost
+    * nothing. At 100 TB, join on a 64-bit gram hash instead of the
+    * gram text to keep the broadcast and shuffle rows fixed-width
+    * (the string join here keeps the DuckDB oracle exact; swapping in
+    * xxhash64 changes no counts with overwhelming probability).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, k: Int): DataFrame = {
+    val grams = docs
+      .withColumn("is_bench", isBenchmark)
+      .select(col(idCol), col("is_bench"),
+        explode(ngrams(words(col(textCol)), k)).as("g"))
+    val benchVocab = grams.filter(col("is_bench")).select(col("g")).distinct()
+    val shared = grams.filter(!col("is_bench"))
+      .join(broadcast(benchVocab), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_shared"))
+    docs.filter(!isBenchmark).select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  /** Per-(doc, word) counts — the shared first stage of the TF-IDF /
+    * BM25 / repetition queries. Two-level hash aggregation: map-side
+    * partials absorb within-doc repetition before the shuffle. */
+  def wordCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("wn"))
+}

@@ -563,6 +563,36 @@ object RefOps extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
         .orderBy(col("event_type"), col("label"))
     },
+
+    // Bucketed-write sink + CO-LOCATED fact-fact join: both sides are
+    // written `bucketBy` the join key (the 100 TB technique for joins
+    // run repeatedly — pay the shuffle once at write, never at read;
+    // BucketingSpec asserts the read-back plan has NO Exchange on the
+    // bucketed keys). The dim side (nation) broadcasts. Roundtrips
+    // through Q.scratchDir like q46/q54 — on a real cluster point
+    // graft.scratch.dir at shared storage.
+    "q87_colocated_join" -> { (s, dir) =>
+      val wh = scratchDir(s, "graft_q87_buckets")
+      s.sql("DROP TABLE IF EXISTS graft_q87_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_q87_customer_b")
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("graft_q87_orders_b")
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("graft_q87_customer_b")
+      s.table("graft_q87_orders_b")
+        .join(s.table("graft_q87_customer_b"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("revenue_c"))
+        .orderBy(col("n_name"))
+    },
   )
 
   private val hashSql =
@@ -940,5 +970,14 @@ object RefOps extends QueryPack {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS score_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The bucketed write is a physical-layout choice; the relational
+    // answer is the plain join.
+    "q87_colocated_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

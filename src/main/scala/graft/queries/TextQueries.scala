@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.TextOps
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -219,9 +220,204 @@ object TextQueries extends QueryPack {
             digits, "<NUM>")).cast("long").as("redacted_len"))
         .orderBy(col("doc_id"))
     },
+
+    // Benchmark DECONTAMINATION (the n-gram eval-leak check run before
+    // training): docs from src0/src1 stand in for the benchmark suite;
+    // every other doc is scored by how many distinct word-trigrams it
+    // shares with the benchmark vocabulary. The benchmark gram set is
+    // broadcast (benchmark-sized, never corpus-sized) and only matched
+    // (doc, gram) rows reach the count-distinct shuffle — a clean
+    // corpus shuffles almost nothing. See TextOps.decontaminate for
+    // the 64-bit-hash variant at 100 TB.
+    "q83_decontaminate" -> { (s, dir) =>
+      TextOps.decontaminate(Tables.table(s, dir, "documents"),
+          "doc_id", "text", col("source").isin("src0", "src1"), k = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Sliding-window CHUNKING with overlap (LLM context packing:
+    // 40-token windows advancing by 30). Pure per-row explode — chunk
+    // rows scale with token volume, not doc count; no shuffle at all
+    // (the orderBy is presentation-only). Boundary semantics pinned in
+    // TextOpsSpec: starts at 0, stride, … while start < n_tokens, last
+    // chunk may be short, sub-window docs yield exactly one chunk.
+    "q84_chunk_docs" -> { (s, dir) =>
+      TextOps.chunk(Tables.table(s, dir, "documents"),
+          "doc_id", "text", window = 40, stride = 30)
+        .withColumnRenamed("start", "chunk_start")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // TF-IDF top terms per doc (keyword extraction / quality signals).
+    // Relational shape: the (doc, word) counts partial-aggregate
+    // map-side; document frequency is a second hash agg over DISTINCT
+    // (doc, word) rows; the corpus-size scalar attaches as a 1-row
+    // broadcast cross join (the scalar-subquery shape: one row to
+    // every task, no shuffle). idf = ln((N+1)/(df+1)). The score RANKS but is not
+    // emitted: unlike +,-,*,/,sqrt (IEEE-defined, engine-identical),
+    // ln differs between the JVM intrinsic and DuckDB's libm in the
+    // last ulp for some arguments — while the ranking is immune (the
+    // smallest cross-(wn,df) adjacent score gap is ~1e-5 at every SF,
+    // 12 orders above ulp noise, and exact ties share identical inputs
+    // so both engines break them on `word` alike). Emitted columns are
+    // all exact longs/strings, so the oracle hash still attests the
+    // full TF-IDF ordering.
+    "q85_tfidf_topk" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val wc = TextOps.wordCounts(docs, "doc_id", "text")
+      val tot = wc.groupBy(col("doc_id")).agg(sum(col("wn")).as("n_words"))
+      val dfreq = wc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val sc = wc.join(tot, Seq("doc_id")).join(dfreq, Seq("word"))
+        .crossJoin(broadcast(nd))
+        .withColumn("score",
+          (col("wn").cast("double") / col("n_words"))
+            * log((col("nd") + 1).cast("double") / (col("df") + 1).cast("double")))
+      sc.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word")))
+          .cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("wn"), col("df"),
+          col("n_words"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // BM25 ranking of the corpus against a fixed query term set (the
+    // retrieval scorer for data-curation search). Same aggregation
+    // skeleton as q85; per-term contributions pivot to columns and add
+    // in a FIXED order (table+join+window+stream) because double
+    // addition is order-sensitive — a groupBy sum over the term rows
+    // would be partial-aggregation-order-dependent and could not
+    // hash-match any oracle. k1=1.2, b=0.75. As with q85, the ln-based
+    // score ranks but is not emitted (ulp-divergent ln; the top-20 cut
+    // sits on a ≥1e-5 gap at every SF) — rank/n_hit/dl are exact.
+    "q86_bm25" -> { (s, dir) =>
+      val terms = Seq("table", "join", "window", "stream")
+      val docs = Tables.table(s, dir, "documents")
+      val wc = TextOps.wordCounts(docs, "doc_id", "text")
+      val tot = wc.groupBy(col("doc_id")).agg(sum(col("wn")).as("dl"))
+      val dfreq = wc.filter(col("word").isin(terms: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val stats = tot.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+        .select(col("nd"), (col("sumdl").cast("double") / col("nd")).as("avgdl"))
+      val scored = wc.filter(col("word").isin(terms: _*))
+        .join(tot, Seq("doc_id")).join(broadcast(dfreq), Seq("word"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + ((col("nd") - col("df")).cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5)))
+        .withColumn("s_term",
+          col("idf") * ((col("wn").cast("double") * 2.2)
+            / (col("wn").cast("double")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+      val byDoc = scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"),
+          max(when(col("word") === "table", col("s_term"))).as("s_table"),
+          max(when(col("word") === "join", col("s_term"))).as("s_join"),
+          max(when(col("word") === "window", col("s_term"))).as("s_window"),
+          max(when(col("word") === "stream", col("s_term"))).as("s_stream"))
+        .withColumn("score",
+          coalesce(col("s_table"), lit(0.0)) + coalesce(col("s_join"), lit(0.0))
+            + coalesce(col("s_window"), lit(0.0)) + coalesce(col("s_stream"), lit(0.0)))
+      // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+      // heaps → driver merge, never a global sort); the rank window
+      // then runs over just those 20 rows
+      byDoc.join(tot, Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_hit"), col("dl"))
+        .orderBy(col("rank"))
+    },
   )
 
   val oracle = Map(
+    "q83_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |gr AS (SELECT doc_id, source, unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      dgi -> array_to_string(wt[(CAST(dgi AS INT)+1):(CAST(dgi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM w),
+        |bv AS (SELECT DISTINCT ngram FROM gr WHERE source IN ('src0','src1')),
+        |sh AS (SELECT t.doc_id, count(DISTINCT t.ngram) AS n_shared
+        |  FROM gr t JOIN bv USING (ngram)
+        |  WHERE t.source NOT IN ('src0','src1') GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN coalesce(sh.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.source NOT IN ('src0','src1')
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // chunk count = 1 for n<=window else ceil((n-window)/stride)+1 —
+    // emission stops at the first chunk reaching the doc end (see
+    // TextOps.chunk).
+    "q84_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |st AS (SELECT doc_id, wt,
+        |    unnest(range(0, CASE WHEN len(wt) <= 40 THEN 1
+        |      ELSE ((len(wt) - 40 + 29) // 30) + 1 END)) AS cki FROM w),
+        |ch AS (SELECT doc_id, CAST(cki AS BIGINT) AS chunk_id,
+        |    CAST(cki*30 AS BIGINT) AS chunk_start,
+        |    wt[(CAST(cki*30 AS INT)+1):(CAST(cki*30 AS INT)+40)] AS c
+        |  FROM st)
+        |SELECT doc_id, chunk_id, chunk_start,
+        |  CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(c, ' ')) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q85_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS wn FROM w GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_words FROM wc GROUP BY 1),
+        |dfreq AS (SELECT word, count(*) AS df FROM wc GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT wc.doc_id, wc.word, wc.wn, dfreq.df, tot.n_words,
+        |    (CAST(wc.wn AS DOUBLE) / tot.n_words)
+        |      * ln(CAST(nd.nd + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+        |  FROM wc JOIN tot USING (doc_id) JOIN dfreq USING (word) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        |  FROM sc)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, word, wn, df, n_words
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q86_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS wn FROM w GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS dl FROM wc GROUP BY 1),
+        |dfreq AS (SELECT word, count(*) AS df FROM wc
+        |  WHERE word IN ('table','join','window','stream') GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM tot),
+        |sc AS (SELECT wc.doc_id, wc.word,
+        |    ln(1.0 + (CAST(stats.nd - dfreq.df AS DOUBLE) + 0.5)
+        |             / (CAST(dfreq.df AS DOUBLE) + 0.5))
+        |    * ((CAST(wc.wn AS DOUBLE) * 2.2)
+        |       / (CAST(wc.wn AS DOUBLE)
+        |          + 1.2 * (0.25 + 0.75 * (CAST(tot.dl AS DOUBLE) / stats.avgdl)))) AS s_term
+        |  FROM wc JOIN tot USING (doc_id) JOIN dfreq USING (word) CROSS JOIN stats
+        |  WHERE wc.word IN ('table','join','window','stream')),
+        |byd AS (SELECT doc_id, count(*) AS n_hit,
+        |    max(CASE WHEN word = 'table' THEN s_term END) AS s_table,
+        |    max(CASE WHEN word = 'join' THEN s_term END) AS s_join,
+        |    max(CASE WHEN word = 'window' THEN s_term END) AS s_window,
+        |    max(CASE WHEN word = 'stream' THEN s_term END) AS s_stream
+        |  FROM sc GROUP BY 1),
+        |fin AS (SELECT byd.doc_id, byd.n_hit, tot.dl,
+        |    coalesce(s_table, 0.0) + coalesce(s_join, 0.0)
+        |      + coalesce(s_window, 0.0) + coalesce(s_stream, 0.0) AS score
+        |  FROM byd JOIN tot USING (doc_id))
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, n_hit, dl
+        |FROM fin ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q79_stratified_sample" -> {
       val uh = Q.uhashSql("9000", "(doc_id % 4294967291)")
       s"""SELECT doc_id, lang, CAST($uh % 100 AS BIGINT) AS bucket

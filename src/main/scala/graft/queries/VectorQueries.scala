@@ -117,6 +117,41 @@ object VectorQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("pred_label"))
     },
+
+    // Int8-QUANTIZED brute-force ANN (the memory-bound scale lever
+    // before PQ: 4× smaller corpus residency, integer dot products).
+    // Per-vector symmetric quantization q = round(x·127/max|x|), scan
+    // scores = int-dot × the two scales. The int dot is EXACT long
+    // arithmetic (|q| ≤ 127, 64 dims ⇒ ≤ 2²⁰, no overflow), so unlike
+    // a float-accumulated scan the result is order-independent and
+    // oracle-matchable bit-for-bit; the only doubles are the two
+    // per-vector scales applied once per pair. Same broadcast-queries
+    // / stream-corpus shape as q27; PQ (q78) is the next rung where
+    // even the int codes stop fitting.
+    "q88_quantized_ann" -> { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("mx", aggregate(col("vd"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .withColumn("qarr", transform(col("vd"), x =>
+          when(col("mx") === 0.0, lit(0L))
+            .otherwise(round(x * 127.0 / col("mx")).cast("long"))))
+        .withColumn("scale", col("mx") / 127.0)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("qarr").as("qv"), col("scale").as("qscale"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("qarr").as("cv"),
+        col("scale").as("cscale"))
+      corpus.join(broadcast(qs), col("cid") =!= col("qid"))
+        .withColumn("dot_q",
+          aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("score", col("dot_q").cast("double") * col("qscale") * col("cscale"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("cid"), col("dot_q"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
   )
 
   /** Oracle-side strict-left-fold dot product over double-cast lists
@@ -181,5 +216,36 @@ object VectorQueries extends QueryPack {
         |  FROM a)
         |SELECT true_label AS label, cand AS pred_label, count(*) AS n
         |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors q88: max|x| as an unseeded fold over abs values (≡ the
+    // kernel's 0.0-seeded greatest fold since abs ≥ 0), half-away-
+    // from-zero round on the same (x*127.0)/mx double tree, exact long
+    // dot, score = CAST(dot AS DOUBLE) * qscale * cscale left-to-right.
+    "q88_quantized_ann" ->
+      """WITH n AS (SELECT vec_id,
+        |    list_transform(embedding, q8x -> CAST(q8x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, vd,
+        |    list_reduce(list_transform(vd, q8a -> abs(q8a)),
+        |      (q8u, q8w) -> greatest(q8u, q8w)) AS mx
+        |  FROM n),
+        |q8 AS (SELECT vec_id,
+        |    list_transform(vd, q8y -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(q8y*127.0/mx) AS BIGINT) END) AS qarr,
+        |    mx/127.0 AS scale
+        |  FROM m),
+        |qq AS (SELECT vec_id AS qid, qarr AS qv, scale AS qscale
+        |  FROM q8 WHERE vec_id % 50 = 0),
+        |p AS (SELECT qid, c.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, len(qv)+1),
+        |      q8i -> qv[q8i] * c.qarr[q8i]), (q8s, q8t) -> q8s + q8t) AS dot_q,
+        |    qscale, c.scale AS cscale
+        |  FROM qq JOIN q8 c ON c.vec_id <> qid),
+        |r AS (SELECT qid, cid, dot_q,
+        |    CAST(dot_q AS DOUBLE) * qscale * cscale AS score FROM p),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+        |  FROM r)
+        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, dot_q, round(score, 6) AS score_r
+        |FROM rk WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -12,8 +12,13 @@ class QueriesSmokeSpec extends SparkSpec {
   /** Queries where a broadcast nested-loop join is the DESIGN, not a
     * lost equi-key: q27 is the exact brute-force ANN baseline — every
     * (corpus row, broadcast query) pair must be scored by definition;
-    * its scale paths are the bucketed q43/q52. */
-  private val deliberateNestedLoop = Set("q27_cosine_topk")
+    * q88 is the same scan over int8-quantized codes (the memory-bound
+    * lever, not a candidate-pruning one); their pruning scale paths
+    * are the bucketed q43/q52/q69/q78. q85/q86 attach a 1-row global
+    * aggregate (corpus size / avg doc length) as a broadcast cross
+    * join — the scalar-subquery shape, one broadcast row per task. */
+  private val deliberateNestedLoop =
+    Set("q27_cosine_topk", "q88_quantized_ann", "q85_tfidf_topk", "q86_bm25")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Pins the corpus-prep operators' boundary semantics: chunk start
+  * grid / last-short-chunk rule, n-gram underflow, decontamination
+  * counts (distinct shared grams, clean docs kept with 0). */
+class TextOpsSpec extends SparkSpec {
+
+  private def doc(id: Long, n: Int) =
+    (id, (1 to n).map(i => s"w$i").mkString(" "))
+
+  test("chunk: start grid, last short chunk, sub-window doc = one chunk") {
+    import spark.implicits._
+    // window=40 stride=30: n=1/39/40 → one chunk; 41 → two; 100 → four
+    val docs = Seq(doc(1, 1), doc(2, 39), doc(3, 40), doc(4, 41), doc(5, 100))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, "doc_id", "text", window = 40, stride = 30)
+      .select("doc_id", "chunk_id", "start", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    // n=100: the third chunk [60,100) reaches the end — no redundant
+    // 4th start at 90 (it would only re-emit tokens 90..99)
+    val want = Array(
+      (1L, 0L, 0L, 1L),
+      (2L, 0L, 0L, 39L),
+      (3L, 0L, 0L, 40L),
+      (4L, 0L, 0L, 40L), (4L, 1L, 30L, 11L),
+      (5L, 0L, 0L, 40L), (5L, 1L, 30L, 40L), (5L, 2L, 60L, 40L))
+    assert(got === want)
+  }
+
+  test("chunk: every token is covered and interior overlap = window - stride") {
+    import spark.implicits._
+    val n = 137
+    val docs = Seq(doc(1, n)).toDF("doc_id", "text")
+    val chunks = TextOps.chunk(docs, "doc_id", "text", window = 40, stride = 30)
+      .select("start", "n_chunk_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    // coverage: union of [start, start+len) is exactly [0, n)
+    val covered = chunks.flatMap { case (s, l) => s until (s + l) }.distinct.sorted
+    assert(covered === (0L until n.toLong).toArray)
+    // consecutive chunks overlap by 10 tokens except after the cut tail
+    chunks.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+      assert(s2 === s1 + 30)
+      assert(s1 + l1 - s2 === (if (l1 == 40) 10L else l1 - 30))
+    case _ => ()
+    }
+  }
+
+  test("ngrams: fewer than k words yields empty, k+ yields n-k+1 grams") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.ngrams(TextOps.words(col("text")), 3).as("g"))
+    val got = df.select(col("doc_id"), col("g")).as[(Long, Seq[String])]
+      .collect().sortBy(_._1)
+    assert(got(0)._2 === Seq.empty)
+    assert(got(1)._2 === Seq("a b c"))
+    assert(got(2)._2 === Seq("a b c", "b c d"))
+  }
+
+  test("decontaminate: distinct shared grams counted, clean docs kept at 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "bench"),    // benchmark doc
+      (2L, "x a b c y a b c", "tr"), // shares 'a b c' (once, distinct)
+      (3L, "b c d q c d e", "tr"),   // shares 'b c d' and 'c d e'
+      (4L, "z z z z z", "tr"))       // clean
+      .toDF("doc_id", "text", "kind")
+    val got = TextOps.decontaminate(docs, "doc_id", "text",
+        col("kind") === "bench", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((2L, 1L, 1L), (3L, 2L, 1L), (4L, 0L, 0L)))
+  }
+}
