@@ -210,6 +210,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** INCREMENTAL near-dup: match a batch of NEW docs against an
+    * already-INDEXED corpus without re-pairing the index against
+    * itself — the production dedup shape (the index's band buckets
+    * are precomputed once; each arriving batch only signs itself and
+    * probes them; at 100 TB the index side is a bucketed table and
+    * this probe is a co-located join). Candidates = any shared band
+    * bucket; survivors verified by exact shingle Jaccard; per new doc
+    * the BEST match wins (max jac, then smallest index id). Returns
+    * one row per new doc: (id, dup_of, jac), dup_of = −1 when clean.
+    *
+    * Same hot-bucket guard as minhashCandidatePairs, applied to the
+    * INDEX side (a degenerate index bucket of B docs would emit B
+    * candidates per probing doc): index buckets larger than
+    * `maxBucket` are skipped. */
+  def minhashIncrementalMatches(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, shingleK: Int = 3,
+      hashFn: String => Long = xxhash64String,
+      maxBucket: Int = 100000): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val spark = index.sparkSession
+    def banded(base: DataFrame) = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
+        .as(Seq("band", "bucket")))
+    // each side feeds the bucket join AND a toks re-attach → checkpoint
+    val baseI = minhashBase(spark, index, idCol, textCol, numHashes, shingleK, hashFn)
+      .localCheckpoint()
+    val baseN = minhashBase(spark, newDocs, idCol, textCol, numHashes, shingleK, hashFn)
+      .localCheckpoint()
+    val bandedI = banded(baseI)
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    val cand = banded(baseN).as("n")
+      .join(bandedI.as("i"),
+        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
+      .select(col("n.id").as("nid"), col("i.id").as("iid"))
+      .dropDuplicates("nid", "iid")
+    val ver = cand
+      .join(baseN.select(col("id").as("nid"), col("toks").as("tn")), "nid")
+      .join(baseI.select(col("id").as("iid"), col("toks").as("ti")), "iid")
+      .withColumn("jac", size(array_intersect(col("tn"), col("ti"))).cast("double")
+        / size(array_union(col("tn"), col("ti"))).cast("long"))
+      .filter(col("jac") >= threshold)
+    val best = ver
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nid")).orderBy(col("jac").desc, col("iid"))))
+      .filter(col("rn") === 1)
+      .select(col("nid").as("id"), col("iid").as("dup_of"), col("jac"))
+    baseN.select(col("id")).join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("jac"), lit(0.0)).as("jac"))
+  }
+
   /** 64-bit SimHash over token xxhash64s: bit j of the result is the
     * majority vote of bit j across token hashes. SQL-level lambdas
     * (column-indexed shifts need expression-level shiftright). */

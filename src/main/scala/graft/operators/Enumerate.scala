@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Deterministic GLOBAL row enumeration at scale (training-order
+  * shuffles, stable example ids, resumable iteration cursors). A bare
+  * `row_number() OVER (ORDER BY …)` window moves EVERY row into one
+  * task — the single worst scale-killer Spark lets you write. The
+  * scale-safe plan is: range-partition on the sort key, sort within
+  * partitions, then add each partition's global offset. RDD
+  * zipWithIndex does the offset pass: one count per partition to the
+  * driver (bounded by partition count, never rows), then a map — two
+  * passes total, all partitions in parallel.
+  */
+object Enumerate {
+
+  /** Append 1-based global positions under the TOTAL order given by
+    * `sortCols`. The order must be total (include a unique tie-break
+    * column): with ties, positions within a tie group would depend on
+    * the physical partitioning. Range boundaries come from Spark's
+    * deterministic reservoir sampling, and with a total order the
+    * positions are identical for ANY boundary placement — so the
+    * result is partitioning-independent by construction. */
+  def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

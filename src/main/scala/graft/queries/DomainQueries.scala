@@ -154,6 +154,22 @@ object DomainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL dedup: every 5th doc plays the arriving batch, the
+    // rest the already-indexed corpus — new docs probe the index's
+    // band buckets (one row per new doc: best index match or −1).
+    // The q40/q72 full-corpus pairing re-signs everything; this is
+    // the steady-state shape where only the batch pays. Same
+    // polynomial hash family ⇒ exact oracle via the shared sig CTE.
+    "q89_incremental_neardup" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      Dedup.minhashIncrementalMatches(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.6,
+          shingleK = 3, hashFn = Dedup.polyHash)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Sign-LSH ANN: hash-derived rational hyperplanes (see
     // Similarity.planes), bucket-equality candidates, exact cosine
     // rank — oracled end-to-end.
@@ -274,9 +290,10 @@ object DomainQueries extends QueryPack {
     * token hash feeds Q.uhashSql directly. The hot-bucket guard
     * (maxBucket=100000) never fires on the driver corpus, so the
     * oracle omits it. */
-  /** The q40 pair derivation as a reusable CTE chain (`mhpairs` =
-    * verified near-dup pairs) — shared by the q72 closure oracle. */
-  private def mhPairsCte(src: String): String = {
+  /** Shingle→polyHash→minhash signature derivation as a CTE chain
+    * (`sg` = (id, toks, sig)) — the shared front of the q40/q72 pair
+    * oracles and the q89 incremental probe. */
+  private def sigCte(src: String): String = {
     val ph = Q.polyHashSql("mht")
     val uh = Q.uhashSql("mhs", "mhh")
     s"""w AS (
@@ -293,7 +310,13 @@ object DomainQueries extends QueryPack {
        |  SELECT id, toks,
        |    list_transform(range(0, 128), mhs ->
        |      list_min(list_transform(th, mhh -> $uh))) AS sig
-       |  FROM hs),
+       |  FROM hs)""".stripMargin
+  }
+
+  /** The q40 pair derivation as a reusable CTE chain (`mhpairs` =
+    * verified near-dup pairs) — shared by the q72 closure oracle. */
+  private def mhPairsCte(src: String): String = {
+    s"""${sigCte(src)},
        |cand AS (
        |  SELECT a.id AS id_a, b.id AS id_b, a.toks AS ta, b.toks AS tb
        |  FROM sg a JOIN sg b ON a.id < b.id
@@ -311,6 +334,38 @@ object DomainQueries extends QueryPack {
 
   private val q40Sql =
     s"WITH ${mhPairsCte("documents")}\nSELECT id_a, id_b, jac FROM mhpairs ORDER BY id_a, id_b"
+
+  /** Mirrors Dedup.minhashIncrementalMatches over the %5 split: new
+    * docs probe index band buckets, best match = (jac desc, iid asc),
+    * clean docs emit (−1, 0.0). */
+  private val q89Sql =
+    s"""WITH ${sigCte("documents")},
+       |idx AS (SELECT * FROM sg WHERE id % 5 <> 0),
+       |nw AS (SELECT * FROM sg WHERE id % 5 = 0),
+       |cand AS (
+       |  SELECT n.id AS nid, i.id AS iid, n.toks AS tn, i.toks AS ti
+       |  FROM nw n JOIN idx i ON
+       |    len(list_filter(range(0, 32),
+       |      mhb -> n.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)]
+       |           = i.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)])) > 0),
+       |ver AS (
+       |  SELECT nid, iid,
+       |    CAST(len(list_intersect(tn, ti)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(tn, ti))) AS DOUBLE) AS jac
+       |  FROM cand
+       |  WHERE CAST(len(list_intersect(tn, ti)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(tn, ti))) AS DOUBLE) >= 0.6),
+       |best AS (
+       |  SELECT nid, iid, jac,
+       |    row_number() OVER (PARTITION BY nid ORDER BY jac DESC, iid) AS rn
+       |  FROM ver)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(b.iid, -1) AS BIGINT) AS dup_of,
+       |  coalesce(b.jac, 0.0) AS jac
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |  ON b.nid = d.doc_id
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Mirrors Components.dedupClusters over the q40 edge set: the
     * transitive closure via a recursive CTE (min reachable id = the
@@ -512,6 +567,7 @@ object DomainQueries extends QueryPack {
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
     "q72_dedup_clusters" -> q72Sql,
+    "q89_incremental_neardup" -> q89Sql,
     "q77_corpus_clean" -> q77Sql,
     "q78_pq_topk" -> q78Sql,
     "q41_simhash_buckets" -> q41Sql,

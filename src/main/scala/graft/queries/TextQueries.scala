@@ -221,6 +221,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic GLOBAL training-order shuffle: permute the corpus
+    // by a universal hash of doc_id (family 9500 — disjoint from
+    // q49/q79) and assign contiguous 1-based positions. The position
+    // assignment is Enumerate.globalRowNumber — range-partitioned
+    // sort + per-partition offsets — NOT a bare row_number window
+    // (which would single-task the corpus). (doc_id unique ⇒ the
+    // (key, doc_id) order is total ⇒ positions are partitioning-
+    // independent.)
+    "q90_global_shuffle" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(9500)
+      val key = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L))
+      graft.operators.Enumerate.globalRowNumber(
+          Tables.table(s, dir, "documents")
+            .select(col("doc_id"), key.cast("long").as("shuffle_key")),
+          "pos", col("shuffle_key"), col("doc_id"))
+        .orderBy(col("pos"))
+    },
+
     // Benchmark DECONTAMINATION (the n-gram eval-leak check run before
     // training): docs from src0/src1 stand in for the benchmark suite;
     // every other doc is scored by how many distinct word-trigrams it
@@ -230,7 +249,12 @@ object TextQueries extends QueryPack {
     // corpus shuffles almost nothing. See TextOps.decontaminate for
     // the 64-bit-hash variant at 100 TB.
     "q83_decontaminate" -> { (s, dir) =>
-      TextOps.decontaminate(Tables.table(s, dir, "documents"),
+      // documents is ONE small file at test SFs → a 1-partition scan
+      // would single-task the 300×-row gram explode; spread it first
+      // (at real scale the scan is already wide — cheap rebalance)
+      TextOps.decontaminate(
+          Tables.table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
           "doc_id", "text", col("source").isin("src0", "src1"), k = 3)
         .orderBy(col("doc_id"))
     },
@@ -417,6 +441,13 @@ object TextQueries extends QueryPack {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |  doc_id, n_hit, dl
         |FROM fin ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q90_global_shuffle" -> {
+      val uh = Q.uhashSql("9500", "(doc_id % 4294967291)")
+      s"""SELECT doc_id, CAST($uh AS BIGINT) AS shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY $uh, doc_id) AS BIGINT) AS pos
+         |FROM documents ORDER BY pos""".stripMargin
+    },
 
     "q79_stratified_sample" -> {
       val uh = Q.uhashSql("9000", "(doc_id % 4294967291)")

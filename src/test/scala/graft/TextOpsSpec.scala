@@ -59,6 +59,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2)._2 === Seq("a b c", "b c d"))
   }
 
+  test("globalRowNumber: matches a bare row_number window and is partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = (1L to 500L).map(i => (i, (i * 7919) % 97)).toDF("id", "key")
+    val want = base
+      .withColumn("pos", row_number().over(Window.orderBy(col("key"), col("id"))).cast("long"))
+      .select("id", "key", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+    for (np <- Seq(1, 7, 32)) {
+      val got = graft.operators.Enumerate
+        .globalRowNumber(base.repartition(np), "pos", col("key"), col("id"))
+        .select("id", "key", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got === want, s"input partitions = $np")
+    }
+  }
+
   test("decontaminate: distinct shared grams counted, clean docs kept at 0") {
     import spark.implicits._
     val docs = Seq(
