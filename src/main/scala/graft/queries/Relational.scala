@@ -145,9 +145,41 @@ object Relational extends QueryPack {
         .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
         .orderBy($"o_orderpriority")
     },
+
+    // EXACT per-group percentiles over integer cents (latency/value
+    // distribution reporting). percentile() sorts each group in
+    // executor memory — the exact baseline, sane while groups fit
+    // (events keyed by type do not grow per-group without bound ONLY
+    // if types stay few; at 100 TB the production variant is
+    // approx_percentile with an accuracy knob — same query shape).
+    // Integer inputs make the linear interpolation bit-identical to
+    // DuckDB's quantile_cont (probed across group sizes: all 15
+    // values matched to the bit).
+    "q91_percentile_stats" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("vc", cents(col("value")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vc")).as("min_c"), max(col("vc")).as("max_c"),
+          expr("percentile(vc, 0.25)").as("p25"),
+          expr("percentile(vc, 0.5)").as("p50"),
+          expr("percentile(vc, 0.9)").as("p90"),
+          expr("percentile(vc, 0.99)").as("p99"))
+        .orderBy(col("event_type"))
+    },
   )
 
   val oracle = Map(
+    "q91_percentile_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+        |  CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_c,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.99) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q01_pricing_summary" ->
       """WITH a AS (
         |  SELECT l_returnflag, l_linestatus,

@@ -240,6 +240,66 @@ object TextQueries extends QueryPack {
         .orderBy(col("pos"))
     },
 
+    // Multi-level corpus accounting in ONE pass: ROLLUP over
+    // (lang, source) — per-(lang, source), per-lang, and grand totals
+    // from a single shuffle (Expand + hash agg; each level partial-
+    // aggregates map-side). grouping() flags disambiguate subtotal
+    // rows exactly as the oracle's GROUPING() does.
+    "q93_rollup_stats" -> { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+    },
+
+    // Per-group top-k selection (keep the k largest docs per
+    // (lang, source) — the per-source quality-cut shape). The
+    // row_number ≤ k filter compiles to WindowGroupLimit: per-
+    // partition heaps BEFORE the shuffle, so only k rows per group
+    // ever exchange — never a full per-group sort of the corpus.
+    "q94_group_topk" -> { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"), col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("source"), col("rank"))
+    },
+
+    // EXACT duplicated-SPAN detection (the exact-substring dedup of
+    // "Deduplicating Training Data Makes Language Models Better":
+    // find every 20-token span that occurs more than once in the
+    // corpus, attribute per doc). Two hash aggregations — span → global
+    // count, then per-doc rollup of duplicated-span occurrences; both
+    // partial-aggregate map-side. Spans join on the raw token string
+    // here (collision-free ⇒ the DuckDB oracle is exact); at 100 TB
+    // you'd shuffle a 128-bit span hash instead — same counts modulo
+    // ~2^-128 collisions, fixed-width exchange rows.
+    "q92_span_dedup" -> { (s, dir) =>
+      // spread the 1-file scan before the span explode (see q83)
+      val docs = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val spans = docs.select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.words(col("text")), 20)).as("span"))
+      val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("n_glob"))
+      val perDoc = spans.join(counts, Seq("span"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_glob") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          when(col("n_spans") === 0, lit(0.0))
+            .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark DECONTAMINATION (the n-gram eval-leak check run before
     // training): docs from src0/src1 stand in for the benchmark suite;
     // every other doc is scored by how many distinct word-trigrams it
@@ -441,6 +501,45 @@ object TextQueries extends QueryPack {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |  doc_id, n_hit, dl
         |FROM fin ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q93_rollup_stats" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+
+    "q94_group_topk" ->
+      """WITH r AS (SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT lang, source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM r WHERE rank <= 3
+        |ORDER BY lang, source, rank""".stripMargin,
+
+    "q92_span_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(wt) >= 20
+        |    THEN list_transform(range(0, len(wt)-19),
+        |      spi -> array_to_string(wt[(CAST(spi AS INT)+1):(CAST(spi AS INT)+20)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS span
+        |  FROM w),
+        |c AS (SELECT span, count(*) AS n_glob FROM g GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN c.n_glob > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM g JOIN c USING (span) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_spans, 0) AS n_spans,
+        |  coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+        |  CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(pd.n_dup_spans, 0) AS DOUBLE) / pd.n_spans
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q90_global_shuffle" -> {
       val uh = Q.uhashSql("9500", "(doc_id % 4294967291)")
