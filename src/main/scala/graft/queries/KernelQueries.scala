@@ -36,6 +36,11 @@ object KernelQueries extends QueryPack {
     // the equivalent batch inner interval join.
     "q76_stream_join" -> { (s, dir) => EventStream.intervalJoinRollup(s, dir) },
 
+    // SLIDING event-time windows (2 h / 1 h): the overlapping-window
+    // streaming shape (rate monitoring, moving sums) — each event in
+    // exactly 2 windows, which the oracle unnests explicitly.
+    "q95_stream_sliding" -> { (s, dir) => EventStream.slidingRollup(s, dir) },
+
     // Audio DSP kernel: synthesize deterministic PCM per supplier,
     // WAV encode→decode roundtrip, MFCC framing (demoTalkNet.py:238
     // defaults: 25 ms / 10 ms @ 16 kHz → frame_len 400, step 160).
@@ -129,6 +134,15 @@ object KernelQueries extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_stream_sliding" ->
+      """WITH s AS (SELECT event_type, value,
+        |    date_trunc('hour', ts) - INTERVAL 1 HOUR * swk AS ws
+        |  FROM events, unnest([0, 1]) AS t(swk))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q76_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

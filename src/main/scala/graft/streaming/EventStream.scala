@@ -137,6 +137,36 @@ object EventStream {
     * interval join's inner-match subset, q73 without zero-view
     * clicks). The ns-precision strict bound rides along as a plain
     * filter so the oracle is integer-exact. */
+  /** SLIDING event-time windows (2 h width, 1 h slide): every event
+    * contributes to width/slide = 2 overlapping windows (Spark aligns
+    * starts to the slide grid, so the member windows of t are
+    * floor_h(t) and floor_h(t) − 1 h — what the oracle unnests). The
+    * tumbling rollup (q30) covers the disjoint case; this is the
+    * moving-average/rate-monitoring shape. State is (window, type)-
+    * keyed and bounded like the tumbling case, ×(width/slide). */
+  def slidingRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_sliding_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
+    val agg = stream
+      .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_c"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   def intervalJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_join_" + math.abs(sfDir.hashCode).toString
