@@ -240,6 +240,34 @@ object TextQueries extends QueryPack {
         .orderBy(col("pos"))
     },
 
+    // CLASSIFIER-based quality filtering (the FineWeb-style learned
+    // gate): a linear model over per-doc features — stopword count
+    // and lexical diversity, both over the shared n_tokens
+    // denominator — scored per row. sigmoid(x) > 0.5 ⟺ x > 0, so the
+    // decision and its margin are computed in EXACT integer
+    // arithmetic (cross-multiplied by the positive denominator):
+    // margin = 10·stop_n + 3·n_distinct − 2·n_tokens. No
+    // transcendentals ever reach the output (cf. the q85/q86 ln
+    // note); weights are the offline-trained artifact, inference is a
+    // per-row dot product after one word-count aggregation.
+    "q96_quality_classifier" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val wc = TextOps.wordCounts(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wn")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+      docs.select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit(STOP_EN), lit(0)))
+            .cast("long").as("stop_n"))
+        .join(wc, Seq("doc_id"))
+        .withColumn("margin",
+          lit(10L) * col("stop_n") + lit(3L) * col("n_distinct")
+            - lit(2L) * col("n_tokens"))
+        .select(col("doc_id"), col("stop_n"), col("n_distinct"), col("n_tokens"),
+          col("margin"),
+          when(col("margin") > 0, 1L).otherwise(0L).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multi-level corpus accounting in ONE pass: ROLLUP over
     // (lang, source) — per-(lang, source), per-lang, and grand totals
     // from a single shuffle (Expand + hash agg; each level partial-
@@ -501,6 +529,21 @@ object TextQueries extends QueryPack {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |  doc_id, n_hit, dl
         |FROM fin ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q96_quality_classifier" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT word) AS BIGINT) AS n_distinct FROM w GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS stop_n
+        |  FROM documents),
+        |m AS (SELECT doc_id, stop_n, n_distinct, n_tokens,
+        |    10*stop_n + 3*n_distinct - 2*n_tokens AS margin
+        |  FROM wc JOIN s USING (doc_id))
+        |SELECT doc_id, stop_n, n_distinct, n_tokens, CAST(margin AS BIGINT) AS margin,
+        |  CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q93_rollup_stats" ->
       """SELECT lang, source, count(*) AS n,

@@ -24,6 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never
   }
 
+  test("incremental matches: new docs probe the index, within-batch dups don't match") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val index = Seq(
+      (0L, base),
+      (1L, (1 to 20).map(i => s"idx$i token$i").mkString(" "))).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base.replace("tonight", "today")),   // near-dup of indexed 0
+      (11L, (1 to 20).map(i => s"new$i fresh$i").mkString(" ")), // clean
+      (12L, (1 to 20).map(i => s"new$i fresh$i").mkString(" "))  // dup of 11 ONLY
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashIncrementalMatches(index, newDocs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, shingleK = 3)
+      .select("id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(got(10L) === 0L)  // matched its indexed twin
+    assert(got(11L) === -1L) // clean vs the index
+    assert(got(12L) === -1L) // within-batch duplicate is NOT an index match
+  }
+
   test("minhash signature is deterministic and length-stable") {
     val sigs = corpus.select(col("doc_id"),
         Dedup.minhashSignature(Dedup.tokenHashes(Dedup.wordShingles(col("text"), 3)), 64).as("sig"))
