@@ -564,6 +564,26 @@ object RefOps extends QueryPack {
         .orderBy(col("event_type"), col("label"))
     },
 
+    // PARTITIONED-layout write + partition-PRUNED read: events land
+    // partitioned by event_type (the Hive-style directory layout that
+    // lets a 100 TB table answer type-scoped queries by never listing,
+    // let alone reading, the other partitions). The read-back filter
+    // prunes at PLANNING time — PartitionPruningSpec asserts the scan's
+    // PartitionFilters carry the predicate and only matching partition
+    // directories are read. Roundtrips through Q.scratchDir like q87.
+    "q97_partition_prune" -> { (s, dir) =>
+      val out = scratchDir(s, "graft_q97_part") + "/events_p"
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), cents(col("value")).as("value_c"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
     // Bucketed-write sink + CO-LOCATED fact-fact join: both sides are
     // written `bucketBy` the join key (the 100 TB technique for joins
     // run repeatedly — pay the shuffle once at write, never at read;
@@ -970,6 +990,15 @@ object RefOps extends QueryPack {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS score_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The partitioned layout is physical; the relational answer is a
+    // filtered aggregate.
+    "q97_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The bucketed write is a physical-layout choice; the relational
     // answer is the plain join.
