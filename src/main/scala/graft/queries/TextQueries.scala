@@ -443,6 +443,65 @@ object TextQueries extends QueryPack {
         .select(col("rank"), col("doc_id"), col("n_hit"), col("dl"))
         .orderBy(col("rank"))
     },
+
+    // DOMAIN MIXING (the corpus-composition step of LLM training prep:
+    // each source gets an epoch weight; weight > 1 upsamples by
+    // repetition, weight < 1 downsamples by a deterministic coin).
+    // Weights in millis — src0 ×2.5, src1 ×1.5, src2–4 ×1.0, long
+    // tail ×0.3. copies = ⌊w⌋ + [coin < frac(w)] with the coin a
+    // universal hash of doc_id, so the SAME docs are picked on every
+    // run, engine, and partitioning. Pure per-row filter + bounded
+    // explode: no shuffle, no RNG, weights are a literal CASE (at
+    // 100 TB: a broadcast dim table). The orderBy is presentation-
+    // only.
+    "q98_domain_mix" -> { (s, dir) =>
+      val base = when(col("source") === "src0", 2L)
+        .when(col("source").isin("src1", "src2", "src3", "src4"), 1L)
+        .otherwise(0L)
+      val fracMillis = when(col("source").isin("src0", "src1"), 500L)
+        .when(col("source").isin("src2", "src3", "src4"), 0L)
+        .otherwise(300L)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("coin", pmod(col("doc_id") * 2654435761L + 40503L, lit(1000L)))
+        .withColumn("n_copies",
+          base + when(col("coin") < fracMillis, 1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+        .select(col("doc_id"), col("source"), col("copy_id"), col("n_copies"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    },
+
+    // INVERTED-INDEX build with TRUNCATED postings (the retrieval
+    // structure behind q86's BM25, in the bounded form a 100 TB corpus
+    // forces: full df counts, but each term's posting list cut to its
+    // 40 smallest doc_ids — the early-termination/impact-ordered index
+    // shape). Phase 1: distinct (word, doc) pairs + per-word df (hash
+    // aggs, map-side partials). Phase 2: the rank ≤ 40 filter compiles
+    // to WindowGroupLimit — per-partition heaps BEFORE the shuffle, so
+    // a stopword's million-doc list never exchanges more than 40 rows
+    // per input partition, and collect_list only ever buffers ≤ 40
+    // ids. Postings emit as a '|'-joined sorted string (output-type
+    // policy: STRING/LONG/DOUBLE only).
+    "q100_inverted_index" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val wd = docs.select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("word"))
+        .distinct()
+      val terms = wd.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val ranked = wd.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("word")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 40)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_posted"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            d => d.cast("string")), "|").as("postings"))
+      terms.join(ranked, Seq("word"))
+        .select(col("word"), col("df"), col("n_posted"), col("postings"))
+        .orderBy(col("word"))
+    },
   )
 
   val oracle = Map(
@@ -720,6 +779,46 @@ object TextQueries extends QueryPack {
         |  round(CAST(inter AS DOUBLE)/uni, 6) AS jac_r
         |FROM p WHERE CAST(inter AS DOUBLE)/uni >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors q100: distinct (word, doc) pairs, full df, postings cut
+    // to the 40 smallest doc_ids (row_number ORDER BY doc_id ≤ 40 ≡
+    // the WindowGroupLimit plan), list ORDER BY doc_id ≡
+    // array_sort(collect_list) on unique ids.
+    "q100_inverted_index" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |w AS (SELECT DISTINCT doc_id, word FROM w0),
+        |t AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+        |r AS (SELECT word, doc_id,
+        |    row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+        |  FROM w),
+        |p AS (SELECT word, count(*) AS n_posted,
+        |    array_to_string(list(doc_id ORDER BY doc_id), '|') AS postings
+        |  FROM r WHERE rn <= 40 GROUP BY 1)
+        |SELECT t.word, t.df, p.n_posted, p.postings
+        |FROM t JOIN p USING (word)
+        |ORDER BY t.word""".stripMargin,
+
+    // Mirrors q98 exactly: same CASE weights, same (doc_id·K + b) %
+    // 1000 coin (all operands nonneg ⇒ DuckDB's % ≡ Spark's pmod),
+    // unnest(range(n)) ≡ explode(sequence(0, n−1)).
+    "q98_domain_mix" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    (CASE WHEN source = 'src0' THEN 2
+        |          WHEN source IN ('src1','src2','src3','src4') THEN 1
+        |          ELSE 0 END)
+        |    + (CASE WHEN (doc_id*2654435761 + 40503) % 1000 <
+        |         (CASE WHEN source IN ('src0','src1') THEN 500
+        |               WHEN source IN ('src2','src3','src4') THEN 0
+        |               ELSE 300 END)
+        |       THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(n_copies)) AS BIGINT) AS copy_id,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM c WHERE n_copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     "q26_json_stats" ->
       """WITH e AS (SELECT event_type,

@@ -152,6 +152,47 @@ object VectorQueries extends QueryPack {
           round(col("score"), 6).as("score_r"))
         .orderBy(col("qid"), col("rank"))
     },
+
+    // One K-MEANS (Lloyd) iteration — the codebook-training step that
+    // feeds the IVF index (q52/q69): the replacement for "collect a
+    // corpus-sized sample to the driver" is exactly this, k-means over
+    // a BOUNDED deterministic sample. Seeds = the k=8 vectors with the
+    // smallest universal hash of vec_id (family 9900 — a fixed-size
+    // sample whatever the corpus size), packed into ONE broadcast row
+    // of struct<cid, se> — no driver collect anywhere in the plan.
+    // Assignment is per-row array algebra (array_min over the seed
+    // array of (dist, cid) structs ≡ argmin with min-cid ties), so the
+    // corpus never shuffles; the update step posexplodes to
+    // (cluster, dim) and hash-aggregates integer-scaled sums (exact,
+    // order-independent longs; ≤ k·dim groups, map-side partials).
+    // Emitted centroids are one double division of exact longs —
+    // bit-identical on every engine. dim is 0-based.
+    "q99_kmeans_iter" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(9900)
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      val seeds = emb
+        .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
+          lit(4294967291L)))
+        .orderBy(col("hk"), col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("vd").as("se"))
+        .agg(collect_list(struct(col("cid"), col("se"))).as("seeds"))
+      val assigned = emb.crossJoin(broadcast(seeds))
+        .withColumn("best", array_min(transform(col("seeds"), sd =>
+          struct(
+            aggregate(zip_with(col("vd"), sd.getField("se"),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("dist"),
+            sd.getField("cid").as("cid")))))
+        .select(col("best.cid").as("cluster_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+      assigned.groupBy(col("cluster_id"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast("double") * 1e6).cast("long")).as("sm"))
+        .select(col("cluster_id"), col("dim").cast("long").as("dim"), col("n"),
+          col("sm"),
+          (col("sm").cast("double") / (col("n").cast("double") * 1e6)).as("cent"))
+        .orderBy(col("cluster_id"), col("dim"))
+    },
   )
 
   /** Oracle-side strict-left-fold dot product over double-cast lists
@@ -247,5 +288,36 @@ object VectorQueries extends QueryPack {
         |  FROM r)
         |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, dot_q, round(score, 6) AS score_r
         |FROM rk WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Mirrors q99: same hash-family seed pick (smallest (uhash, vec_id)
+    // LIMIT 8), same 0.0-seeded j-ascending squared-diff fold,
+    // (dist, cid) argmin ≡ row_number ORDER BY dist, cid, and the
+    // update step's integer-scaled sums with ONE double division —
+    // CAST(sm)/(CAST(n)·1e6) in the identical IEEE order. dim emitted
+    // 0-based (generate_subscripts is 1-based, hence the −1).
+    "q99_kmeans_iter" -> {
+      val uh = Q.uhashSql("9900", "(vec_id % 4294967291)")
+      s"""WITH sd AS (SELECT vec_id AS cid, embedding AS se FROM embeddings
+         |  ORDER BY $uh, vec_id LIMIT 8),
+         |a AS (SELECT e.vec_id, e.embedding, s.cid,
+         |    list_reduce(list_transform(range(1, len(e.embedding)+1), kmi ->
+         |      (CAST(e.embedding[kmi] AS DOUBLE) - CAST(s.se[kmi] AS DOUBLE))
+         |      * (CAST(e.embedding[kmi] AS DOUBLE) - CAST(s.se[kmi] AS DOUBLE))),
+         |      (kmx, kmy) -> kmx + kmy) AS dist
+         |  FROM embeddings e, sd s),
+         |p AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM a),
+         |ex AS (SELECT cid, generate_subscripts(embedding, 1) AS dim1,
+         |    unnest(embedding) AS x
+         |  FROM p WHERE rn = 1)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id,
+         |  CAST(dim1 - 1 AS BIGINT) AS dim,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sm,
+         |  CAST(sum(CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1e6) AS cent
+         |FROM ex GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin
+    },
   )
 }

@@ -16,9 +16,13 @@ class QueriesSmokeSpec extends SparkSpec {
     * lever, not a candidate-pruning one); their pruning scale paths
     * are the bucketed q43/q52/q69/q78. q85/q86 attach a 1-row global
     * aggregate (corpus size / avg doc length) as a broadcast cross
-    * join — the scalar-subquery shape, one broadcast row per task. */
+    * join — the scalar-subquery shape, one broadcast row per task;
+    * q99 does the same with its one-row packed seed array (k=8
+    * codebook candidates), assignment then being per-row array
+    * algebra with no corpus shuffle. */
   private val deliberateNestedLoop =
-    Set("q27_cosine_topk", "q88_quantized_ann", "q85_tfidf_topk", "q86_bm25")
+    Set("q27_cosine_topk", "q88_quantized_ann", "q85_tfidf_topk", "q86_bm25",
+      "q99_kmeans_iter")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
