@@ -41,6 +41,16 @@ object KernelQueries extends QueryPack {
     // exactly 2 windows, which the oracle unnests explicitly.
     "q95_stream_sliding" -> { (s, dir) => EventStream.slidingRollup(s, dir) },
 
+    // Stream-STATIC broadcast enrichment: events stream ⋈ customer dim
+    // (stateless join, dim re-planned per micro-batch) → per-segment
+    // rollup. Oracle = the equivalent batch join.
+    "q101_stream_enrich" -> { (s, dir) => EventStream.enrichRollup(s, dir) },
+
+    // flatMapGroupsWithState sessionization driven to completion:
+    // only CLOSED sessions emit, so the oracle is batch
+    // gaps-and-islands minus each user's last island.
+    "q102_stream_sessions" -> { (s, dir) => EventStream.statefulSessionRollup(s, dir) },
+
     // Audio DSP kernel: synthesize deterministic PCM per supplier,
     // WAV encode→decode roundtrip, MFCC framing (demoTalkNet.py:238
     // defaults: 25 ms / 10 ms @ 16 kHz → frame_len 400, step 160).
@@ -158,6 +168,33 @@ object KernelQueries extends QueryPack {
         |  ON v.user_id = c.user_id
         | AND v.vts > c.cts - 86400000000000 AND v.vts <= c.cts
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q101_stream_enrich" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors q102: same 30-min gap islands as q11 (ties on ts are
+    // aggregate-invariant, so the ORDER BY ts tie-break is free), then
+    // each user's LAST island is dropped — the trailing session the
+    // stateful operator correctly leaves open.
+    "q102_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns,
+        |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+        |      OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns)),
+        |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tns
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m),
+        |s AS (SELECT user_id, isl, min(tns) AS start_ns, max(tns) AS end_ns,
+        |    count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_c
+        |  FROM i GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(isl) AS last_isl FROM s GROUP BY 1)
+        |SELECT s.user_id, s.start_ns, s.end_ns, s.n_events, s.sum_c
+        |FROM s JOIN mx USING (user_id) WHERE s.isl < mx.last_isl
+        |ORDER BY s.user_id, s.start_ns""".stripMargin,
 
     "q45_mfcc_frames" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,

@@ -201,6 +201,76 @@ object EventStream {
       .orderBy(col("click_id"))
   }
 
+  /** Stream-STATIC broadcast enrichment (q101): the streaming side of
+    * the reference's audio-lookup join (dataLoader.py:5–13 — a small
+    * dimension consulted per item). The dimension is a plain BATCH
+    * DataFrame broadcast under the stream — Spark re-plans it per
+    * micro-batch (a changed dim file is picked up on the next batch),
+    * and the join itself is STATELESS: nothing buffers, watermarks are
+    * irrelevant, each arriving row joins and leaves. That makes it the
+    * cheapest streaming join shape and the right one whenever one side
+    * is dimension-sized — the stream-stream machinery (q76) is only
+    * for two unbounded sides. */
+  def enrichRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_enrich_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+      .select(col("user_id"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
+    val dim = graft.sources.Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+    withStatePartitions(spark, 8) {
+      val q = joined.select(col("c_mktsegment"), col("value_c"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The custom stateful sessionizer driven to completion under the
+    * oracle gate (q102): per-user open sessions live in GroupState
+    * across micro-batches; only CLOSED sessions are emitted (a gap >
+    * gapNs closes one), so each user's trailing open session never
+    * appears — exactly what the oracle drops. The whole parquet
+    * arrives as one micro-batch here (single file), so every closure
+    * decision sees totally-ordered per-user data; on a live unbounded
+    * source the same operator runs with batches in arrival order and
+    * an idle-timeout would flush trailing sessions. Ties (equal ts)
+    * are sum/count/min/max-invariant, so the batch-internal sort is
+    * deterministic where it matters. */
+  def statefulSessionRollup(spark: SparkSession, sfDir: String,
+      gapNs: Long = 1800L * 1000000000L): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_sessions_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // µs-truncate the ns timestamps like Tables.events does — DuckDB
+    // reads the TIMESTAMP_NS column at µs precision
+    val events = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+      .select(col("user_id"), expr("(ts DIV 1000) * 1000").as("ts"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
+      .as[(Long, Long, Long)]
+    val sessions = sessionizeStateful(events, gapNs)
+    withStatePartitions(spark, 8) {
+      val q = sessions.toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(col("user_id"), col("start_ns"), col("end_ns"),
+        col("n_events"), col("sum_c"))
+      .orderBy(col("user_id"), col("start_ns"))
+  }
+
   final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
 
