@@ -502,6 +502,29 @@ object TextQueries extends QueryPack {
         .select(col("word"), col("df"), col("n_posted"), col("postings"))
         .orderBy(col("word"))
     },
+
+    // EXACT-SIZE sampling: exactly k=20 docs per language (the
+    // "fixed-budget eval slice per stratum" op; q79 is the Bernoulli
+    // RATE sampler — this is its exact-count dual). A distributed
+    // reservoir done declaratively: each row gets a universal-hash
+    // priority (family 10300 — disjoint from q49/q79/q90/q99) and the
+    // k smallest priorities per stratum win. rank ≤ k compiles to
+    // WindowGroupLimit (per-partition heaps, ≤ k rows per stratum per
+    // partition exchange) — never a per-stratum sort of the corpus,
+    // and deterministic across engines and partitionings.
+    "q103_sample_exact" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(10300)
+      val pri = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), pri.cast("long").as("pri"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("rank"), col("doc_id"), col("pri"))
+        .orderBy(col("lang"), col("rank"))
+    },
   )
 
   val oracle = Map(
@@ -648,6 +671,17 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, CAST($uh AS BIGINT) AS shuffle_key,
          |  CAST(row_number() OVER (ORDER BY $uh, doc_id) AS BIGINT) AS pos
          |FROM documents ORDER BY pos""".stripMargin
+    },
+
+    "q103_sample_exact" -> {
+      val uh = Q.uhashSql("10300", "(doc_id % 4294967291)")
+      s"""WITH p AS (SELECT doc_id, lang, CAST($uh AS BIGINT) AS pri
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY pri, doc_id) AS rank FROM p)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, pri
+         |FROM r WHERE rank <= 20
+         |ORDER BY lang, rank""".stripMargin
     },
 
     "q79_stratified_sample" -> {
