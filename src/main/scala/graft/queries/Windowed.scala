@@ -240,6 +240,46 @@ object Windowed extends QueryPack {
         .orderBy(col("click_id"))
     },
 
+    // NEAREST-event as-of join (q19's bidirectional dual: q19 answers
+    // "last view BEFORE each click", this answers "nearest view within
+    // ±24 h, either side, ties to the earlier one"). Done the
+    // scale-right way: NOT an interval join + argmin (candidate
+    // expansion), but one union-sort-window pass — prev view via the
+    // forward prefix `last`, next view via the REVERSED-order prefix
+    // `last` (q18's trick; Spark's [CURRENT, UNBOUNDED FOLLOWING]
+    // frame is O(n²) per partition). One shuffle on user_id, zero row
+    // blowup, whatever the view:click ratio.
+    "q104_asof_nearest" -> { (s, dir) =>
+      val bound = 86400L * 1000000000L
+      val wPrev = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNextAsPrefix = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tagged = ev(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .withColumn("vt", when(col("event_type") === "view", col("ts_ns")))
+        .withColumn("vid", when(col("event_type") === "view", col("event_id")))
+        .withColumn("pvt", last(col("vt"), ignoreNulls = true).over(wPrev))
+        .withColumn("pvid", last(col("vid"), ignoreNulls = true).over(wPrev))
+        .withColumn("nvt", last(col("vt"), ignoreNulls = true).over(wNextAsPrefix))
+        .withColumn("nvid", last(col("vid"), ignoreNulls = true).over(wNextAsPrefix))
+      tagged.filter(col("event_type") === "click")
+        .withColumn("dprev", col("ts_ns") - col("pvt"))
+        .withColumn("dnext", col("nvt") - col("ts_ns"))
+        .withColumn("valid_p", col("pvt").isNotNull && col("dprev") <= bound)
+        .withColumn("valid_n", col("nvt").isNotNull && col("dnext") <= bound)
+        .withColumn("side",
+          when(col("valid_p") && (!col("valid_n") || col("dprev") <= col("dnext")), "before")
+            .when(col("valid_n"), "after").otherwise("none"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          when(col("side") === "before", col("pvid"))
+            .when(col("side") === "after", col("nvid")).otherwise(-1L).as("view_id"),
+          col("side"),
+          when(col("side") === "before", col("dprev"))
+            .when(col("side") === "after", col("dnext")).otherwise(-1L).as("dt_ns"))
+        .orderBy(col("click_id"))
+    },
+
     // Funnel / conversion attribution: within each 30-min session,
     // the ordered stage chain view → click → purchase, where each
     // stage only counts at-or-after the previous stage's first hit.
@@ -452,6 +492,42 @@ object Windowed extends QueryPack {
          |SELECT event_id AS click_id, user_id, lv_id AS matched_view_id,
          |  ts_ns - lv_ts AS gap_ns
          |FROM t WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+
+    // Mirrors q104: forward prefix last for the prev view, REVERSED
+    // prefix last for the next view (≡ the Spark plan's two window
+    // passes incl. tie-breaks), same CASE order for side/view_id/dt.
+    "q104_asof_nearest" ->
+      s"""WITH $E,
+         |u AS (SELECT user_id, event_id, event_type, ts_ns,
+         |    CASE WHEN event_type = 'view' THEN ts_ns END AS vt,
+         |    CASE WHEN event_type = 'view' THEN event_id END AS vid
+         |  FROM e WHERE event_type IN ('view', 'click')),
+         |t AS (SELECT *,
+         |    last_value(vt IGNORE NULLS) OVER wf AS pvt,
+         |    last_value(vid IGNORE NULLS) OVER wf AS pvid,
+         |    last_value(vt IGNORE NULLS) OVER wr AS nvt,
+         |    last_value(vid IGNORE NULLS) OVER wr AS nvid
+         |  FROM u
+         |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wr AS (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |c AS (SELECT user_id, event_id AS click_id,
+         |    ts_ns - pvt AS dprev, nvt - ts_ns AS dnext, pvid, nvid,
+         |    (pvt IS NOT NULL AND ts_ns - pvt <= 86400000000000) AS valid_p,
+         |    (nvt IS NOT NULL AND nvt - ts_ns <= 86400000000000) AS valid_n
+         |  FROM t WHERE event_type = 'click'),
+         |f AS (SELECT *, CASE
+         |    WHEN valid_p AND (NOT valid_n OR dprev <= dnext) THEN 'before'
+         |    WHEN valid_n THEN 'after' ELSE 'none' END AS side
+         |  FROM c)
+         |SELECT click_id, user_id,
+         |  CASE side WHEN 'before' THEN pvid WHEN 'after' THEN nvid
+         |    ELSE -1 END AS view_id,
+         |  side,
+         |  CASE side WHEN 'before' THEN dprev WHEN 'after' THEN dnext
+         |    ELSE -1 END AS dt_ns
+         |FROM f ORDER BY click_id""".stripMargin,
 
     "q82_funnel" ->
       s"""WITH $E,
