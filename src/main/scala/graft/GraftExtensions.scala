@@ -1,11 +1,12 @@
 package graft
 
-import graft.functions.{DotProduct, Norm2, RollingHash}
+import graft.functions.{DotFold, DotProduct, Norm2, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 /** SparkSessionExtensions entry point — registers the library's native
   * expressions at session build time, so any session created with
@@ -30,6 +31,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
+    ext.injectOptimizerRule(_ => FoldedDotRewrite)
+  }
+}
+
+/** Optimizer rule: the DECLARATIVE dot product
+  *
+  *   aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v)
+  *
+  * → `DotFold(a, b)`. The higher-order form is what a user following
+  * the Spark docs writes; it evaluates interpreted (ArrayAggregate
+  * has no codegen) and re-inlines per referencing column. DotFold is
+  * one primitive loop inside whole-stage codegen with IDENTICAL
+  * results on every input — including the unequal-length and
+  * null-element cases, where zip_with's null padding makes the fold
+  * null (which is why the rewrite target is not the null-blind
+  * `dotp`). Matches commuted operand orders (IEEE double + and × are
+  * commutative), but only the exact-bits +0.0 seed (a -0.0 seed
+  * differs on the empty array) and only deterministic, already-
+  * double-typed children (a coercion cast inside the lambda means the
+  * products were not double multiplies — no rewrite). */
+object FoldedDotRewrite extends Rule[LogicalPlan] {
+  private def isVarPair(p: Expression, q: Expression,
+      v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean = (p, q) match {
+    case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+      (a.exprId == v1.exprId && b.exprId == v2.exprId) ||
+        (a.exprId == v2.exprId && b.exprId == v1.exprId)
+    case _ => false
+  }
+
+  private def isPlusZero(v: Any): Boolean = v match {
+    case d: Double => java.lang.Double.doubleToLongBits(d) == 0L
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(mx, my, _),
+              Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(Add(ax, ay, _),
+            Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
+        if isPlusZero(zero) && a.deterministic && b.deterministic &&
+          isVarPair(mx, my, zx, zy) && isVarPair(ax, ay, acc, el) &&
+          fin.exprId == fv.exprId =>
+      DotFold(a, b)
   }
 }
 
@@ -54,7 +102,9 @@ object GraftExtensions {
     * `spark.sql.extensions` hook only runs at session build, which the
     * driver's harness sessions don't go through). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(SelfDotRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ SelfDotRewrite
+    Seq(SelfDotRewrite, FoldedDotRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
 }

@@ -97,6 +97,64 @@ case class Norm2(child: Expression)
     copy(child = newChild)
 }
 
+/** The DECLARATIVE dot product's exact semantics as one codegen'd
+  * kernel: `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)`
+  * returns NULL when the lengths differ (zip_with pads the shorter
+  * side with nulls → null products → the Add fold absorbs to null)
+  * and when any element is null; otherwise the 0.0-seeded ascending
+  * fold of products. The library's own queries call `dotp`
+  * (min-length, null-blind) directly; DotFold exists so
+  * `GraftExtensions.FoldedDotRewrite` can swap a user-written
+  * higher-order chain — interpreted, re-inlined per referencing
+  * column — for a primitive whole-stage-codegen loop WITHOUT changing
+  * the result on any input, including the degenerate ones. */
+case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_fold"
+
+  // returning null from nullSafeEval yields a null result (the
+  // mismatch/null-element cases); input-null handling is inherited
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotFold =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 

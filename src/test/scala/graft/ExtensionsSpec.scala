@@ -46,6 +46,44 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dotp(v, array(1.0d, 1.0d)) AS d FROM graft_ext_vecs")
       assert(!cross.queryExecution.optimizedPlan.toString.contains("norm2"))
       assert(cross.orderBy("d").head().getDouble(0) === 2.0) // 0+2
+      // FoldedDotRewrite: the docs-idiomatic declarative dot product
+      // compiles to the dot_fold kernel...
+      spark.range(3).selectExpr(
+          "array(CAST(id AS DOUBLE), 2.0d) AS v",
+          "array(CAST(id AS DOUBLE), 3.0d) AS w")
+        .createOrReplaceTempView("graft_ext_pairs")
+      val folded = spark.sql(
+        """SELECT aggregate(zip_with(v, w, (x, y) -> x * y), 0.0d,
+          |  (acc, e) -> acc + e) AS d FROM graft_ext_pairs""".stripMargin)
+      assert(folded.queryExecution.optimizedPlan.toString.contains("dot_fold"),
+        folded.queryExecution.optimizedPlan.toString)
+      assert(folded.orderBy("d").head().getDouble(0) === 6.0) // 0·0 + 2·3
+      // ...with zip_with's exact degenerate semantics preserved:
+      // unequal lengths → null, null element → null (NOT dotp's
+      // min-length / null-blind answers)
+      val degenerate = spark.sql(
+        """SELECT
+          |  aggregate(zip_with(array(1.0d), array(1.0d, 1.0d), (x, y) -> x * y),
+          |    0.0d, (acc, e) -> acc + e) AS len_mismatch,
+          |  aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 1.0d),
+          |    (x, y) -> x * y), 0.0d, (acc, e) -> acc + e) AS null_elem""".stripMargin)
+      // constant-folding evaluates dot_fold's eval path; a projected
+      // column exercises codegen — check both
+      assert(degenerate.head().isNullAt(0) && degenerate.head().isNullAt(1))
+      val rows = spark.sql(
+        """SELECT id, aggregate(zip_with(
+          |    CASE WHEN id % 2 = 0 THEN array(CAST(id AS DOUBLE)) ELSE v END,
+          |    w, (x, y) -> x * y), 0.0d, (acc, e) -> acc + e) AS d
+          |FROM (SELECT id, array(CAST(id AS DOUBLE), 2.0d) AS v,
+          |        array(CAST(id AS DOUBLE), 3.0d) AS w
+          |      FROM range(2))
+          |ORDER BY id""".stripMargin).collect()
+      assert(rows(0).isNullAt(1))                 // id=0: 1-elem vs 2-elem → null
+      assert(rows(1).getDouble(1) === 1.0 + 6.0)  // id=1: 1·1 + 2·3
+      // a -0.0 seed must NOT rewrite (empty-array result differs)
+      val negZero = spark.sql(
+        "SELECT aggregate(zip_with(v, w, (x, y) -> x * y), -0.0d, (acc, e) -> acc + e) AS d FROM graft_ext_pairs")
+      assert(!negZero.queryExecution.optimizedPlan.toString.contains("dot_fold"))
     } finally {
       // do NOT spark.stop(): the SparkContext is shared JVM-wide with
       // the other suites; just restore the session slots
