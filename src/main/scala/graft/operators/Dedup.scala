@@ -162,6 +162,39 @@ object Dedup {
     * (band, bucket) shuffle the join needs, so the guard adds no
     * exchange. Set `spark.conf graft.lsh.logDrops=true` to count and
     * log the skipped buckets (costs one extra action). */
+  /** The banded-LSH candidate step shared by minhashCandidatePairs
+    * and minhashEstimatePairs: band keys are the signature slices
+    * themselves (collision ⟺ slice equality EXACTLY, keeping the
+    * candidate set SQL-derivable; at 100 TB you'd xxhash64 the key
+    * down to 8 bytes before the exchange — same pairs modulo 2^-64
+    * collisions), hot buckets above `maxBucket` skipped, duplicates
+    * across bands collapsed. Returns (id_a, id_b) with id_a < id_b.
+    * Only (id, band, bucket) rows ever shuffle here — never the
+    * shingle or signature arrays. */
+  private def bandedCandidatePairs(base: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int): DataFrame = {
+    val spark = base.sparkSession
+    val bandedAll = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
+        .as(Seq("band", "bucket")))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    if (spark.conf.getOption("graft.lsh.logDrops").exists(_.toBoolean)) {
+      val n = bandedAll.filter(col("bsz") > maxBucket)
+        .select(countDistinct(col("band"), col("bucket"))).first().getLong(0)
+      if (n > 0) println(s"[graft] bandedCandidatePairs: skipped $n band buckets larger than $maxBucket")
+    }
+    val banded = bandedAll.filter(col("bsz") <= maxBucket).drop("bsz")
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.8,
       shingleK: Int = 3, hashFn: String => Long = xxhash64String,
@@ -176,29 +209,7 @@ object Dedup {
     // dominant cost 4×.
     val base = minhashBase(spark, docs, idCol, textCol, numHashes, shingleK, hashFn)
       .localCheckpoint()
-    // band key = the signature slice itself (joined as a string):
-    // collision ⟺ slice equality EXACTLY, which keeps the candidate
-    // set SQL-derivable. At 100 TB you'd xxhash64 this key down to 8
-    // bytes before the exchange — same pairs modulo 2^-64 collisions.
-    val bandedAll = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
-        .as(Seq("band", "bucket")))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-    if (spark.conf.getOption("graft.lsh.logDrops").exists(_.toBoolean)) {
-      val n = bandedAll.filter(col("bsz") > maxBucket)
-        .select(countDistinct(col("band"), col("bucket"))).first().getLong(0)
-      if (n > 0) println(s"[graft] minhashCandidatePairs: skipped $n band buckets larger than $maxBucket")
-    }
-    val banded = bandedAll.filter(col("bsz") <= maxBucket).drop("bsz")
-    val cand = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bandedCandidatePairs(base, bands, rows, maxBucket)
     val toksDf = base.select(col("id"), col("toks"))
     cand
       .join(toksDf.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
@@ -208,6 +219,37 @@ object Dedup {
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Sketch CALIBRATION: for every LSH candidate pair, the
+    * signature-based Jaccard estimate (matching minhash components /
+    * numHashes) next to the exact shingle Jaccard — the measurement
+    * that justifies (numHashes, bands, threshold) choices before a
+    * 100 TB run commits to them. Same candidate generation as
+    * minhashCandidatePairs (shared band bucket, hot-bucket guard), no
+    * threshold filter; n_match is exact integer arithmetic. */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      hashFn: String => Long = xxhash64String,
+      maxBucket: Int = 100000): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    val base = minhashBase(spark, docs, idCol, textCol, numHashes, shingleK, hashFn)
+      .localCheckpoint()
+    val cand = bandedCandidatePairs(base, bands, rows, maxBucket)
+    val sideDf = base.select(col("id"), col("toks"), col("sig"))
+    cand
+      .join(sideDf.toDF("id_a", "toks_a", "sig_a"), "id_a")
+      .join(sideDf.toDF("id_b", "toks_b", "sig_b"), "id_b")
+      .withColumn("n_match",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("inter"), col("uni"),
+        (col("n_match").cast("double") / numHashes.toDouble).as("est"),
+        (col("inter").cast("double") / col("uni")).as("jac"))
   }
 
   /** INCREMENTAL near-dup: match a batch of NEW docs against an

@@ -73,6 +73,19 @@ object DomainQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Sketch calibration: minhash-estimated vs exact Jaccard on every
+    // LSH candidate pair — the accuracy audit run before committing a
+    // (numHashes, bands, threshold) choice to a full-corpus pass.
+    // n_match/inter/uni are exact longs; est/jac/the error are single
+    // divisions/subtractions of exact values.
+    "q105_minhash_estimate" -> { (s, dir) =>
+      Dedup.minhashEstimatePairs(Tables.table(s, dir, "documents"),
+          "doc_id", "text", numHashes = 128, bands = 32,
+          shingleK = 3, hashFn = Dedup.polyHash)
+        .withColumn("err_r", round(col("est") - col("jac"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Dedup CLUSTERING: q40's verified near-dup pairs are only edges;
     // keeping one doc per duplicate group needs their transitive
     // closure. Components.dedupClusters runs iterative min-label
@@ -335,6 +348,31 @@ object DomainQueries extends QueryPack {
   private val q40Sql =
     s"WITH ${mhPairsCte("documents")}\nSELECT id_a, id_b, jac FROM mhpairs ORDER BY id_a, id_b"
 
+  /** Mirrors Dedup.minhashEstimatePairs: same shared-band candidate
+    * filter as q40 (no jac threshold), n_match = equal signature
+    * components, est/jac/err in the identical IEEE expression order. */
+  private val q105Sql =
+    s"""WITH ${sigCte("documents")},
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.toks AS ta, b.toks AS tb,
+       |    a.sig AS sa, b.sig AS sb
+       |  FROM sg a JOIN sg b ON a.id < b.id
+       |  WHERE len(list_filter(range(0, 32),
+       |        mhb -> a.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)]
+       |             = b.sig[(CAST(mhb AS INT)*4+1):(CAST(mhb AS INT)*4+4)])) > 0),
+       |pm AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(0, 128),
+       |      mei -> sa[CAST(mei AS INT)+1] = sb[CAST(mei AS INT)+1])) AS BIGINT) AS n_match,
+       |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+       |    CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS uni
+       |  FROM cand)
+       |SELECT id_a, id_b, n_match, inter, uni,
+       |  CAST(n_match AS DOUBLE)/128.0 AS est,
+       |  CAST(inter AS DOUBLE)/uni AS jac,
+       |  round(CAST(n_match AS DOUBLE)/128.0 - CAST(inter AS DOUBLE)/uni, 6) AS err_r
+       |FROM pm ORDER BY id_a, id_b""".stripMargin
+
   /** Mirrors Dedup.minhashIncrementalMatches over the %5 split: new
     * docs probe index band buckets, best match = (jac desc, iid asc),
     * clean docs emit (−1, 0.0). */
@@ -566,6 +604,7 @@ object DomainQueries extends QueryPack {
 
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
+    "q105_minhash_estimate" -> q105Sql,
     "q72_dedup_clusters" -> q72Sql,
     "q89_incremental_neardup" -> q89Sql,
     "q77_corpus_clean" -> q77Sql,
