@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify mains run ~100 queries (incl. six
+  // streaming ones whose memory sinks and state stores live in the
+  // driver JVM) through one local[32] session; an 8g heap starts GC-
+  // thrashing the allocation-heavy sink kernels near the end of the
+  // run (observed: a 6s query reading 50s). The machine has 125g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

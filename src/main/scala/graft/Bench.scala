@@ -33,9 +33,15 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2fs  ($dir)")
       // queries persist() intermediates consumed by multiple actions;
       // drop them between queries (outside the timed region) so cache
-      // and GC pressure don't accumulate across the 70+ query run and
-      // bleed into later queries' numbers
+      // and GC pressure don't accumulate across the ~100-query run and
+      // bleed into later queries' numbers. The streaming queries'
+      // memory-sink tables (graft_stream_*) are consumed by now too —
+      // clearCache() doesn't cover temp views, so drop them explicitly
+      // (each helper recreates its own on the next run).
       spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       dt
     }
 

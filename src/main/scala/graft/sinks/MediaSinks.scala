@@ -165,20 +165,24 @@ object MediaSinks {
         val container = encoder.encode(224, 224, 25, rows.iterator.map { r =>
           s"CROP $v $sc $t ${r._4} ${r._5} ${r._6} ${r._7}".getBytes("UTF-8")
         })
-        val tmp = dir.resolve(base + "t.avi")
-        java.nio.file.Files.write(tmp, container)
+        // The reference writes `<base>t.avi`, muxes, then os.remove()s
+        // it (demoTalkNet.py:207–213) because ffmpeg needs real files;
+        // the stub encoder's container is already in memory, so the
+        // write+delete would be two filesystem ops per track for
+        // nothing — a REAL encoder seat reintroduces its own temp
+        // files kernel-internally. End state is identical (the spec
+        // asserts `<base>t.avi` does not exist).
         // audio cut: [first·640, (last+1)·640) of the track source PCM
         val first = rows.head._4.toLong; val last = rows.last._4.toLong
         val pcm = Array.tabulate(((last + 1 - first) * 640).toInt)(j =>
           StubCutKernel.sourceSample(v, t, first * 640 + j))
         val wavBytes = Wav.encode(16000, 1, pcm)
         java.nio.file.Files.write(dir.resolve(base + ".wav"), wavBytes)
-        // mux (stub concat; real: ffmpeg -c:v copy -c:a copy), drop temp
+        // mux (stub concat; real: ffmpeg -c:v copy -c:a copy)
         val out = new java.io.ByteArrayOutputStream()
         out.write("MUX1".getBytes("UTF-8")); out.write(container); out.write(wavBytes)
         val fin = dir.resolve(base + ".avi")
         java.nio.file.Files.write(fin, out.toByteArray)
-        java.nio.file.Files.delete(tmp) // :212 os.remove(cropFile+'t.avi')
         (v, sc, t, fin.toString, java.nio.file.Files.size(fin), pcm.length.toLong)
       }
       .toDF("video_id", "scene_id", "track_id", "path", "n_bytes", "wav_samples")
