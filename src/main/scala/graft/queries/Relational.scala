@@ -167,9 +167,51 @@ object Relational extends QueryPack {
           expr("percentile(vc, 0.99)").as("p99"))
         .orderBy(col("event_type"))
     },
+
+    // LATEST-record compaction (the CDC/upsert "current view": one row
+    // per key = the most recent version; here each customer's latest
+    // order by (date, key)). Done as ONE hash aggregation — max_by
+    // over a lexicographic (ms, key) struct with map-side partials —
+    // not a per-key sort: at 100 TB compaction is an aggregation, the
+    // row_number-desc plan would sort every key's full history.
+    // Dates emit as epoch millis (exact longs on both engines).
+    "q106_latest_record" -> { (s, dir) =>
+      // NTZ → TZ cast is identity wall-clock in the UTC session, so
+      // unix_millis matches DuckDB's epoch_ms on the naive timestamp
+      val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(struct(col("o_orderkey"), ms.as("ms"),
+            cents(col("o_totalprice")).as("pc"), col("o_orderstatus")),
+            struct(ms, col("o_orderkey"))).as("latest"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"),
+          col("latest.o_orderkey").as("latest_orderkey"),
+          col("latest.ms").as("latest_order_ms"),
+          col("latest.pc").as("latest_price_c"),
+          col("latest.o_orderstatus").as("latest_status"),
+          col("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
   )
 
   val oracle = Map(
+    // Mirrors q106: max over (epoch_ms, o_orderkey) ≡ the row_number
+    // DESC/DESC pick (o_orderkey unique breaks date ties identically).
+    "q106_latest_record" ->
+      """WITH r AS (SELECT *, CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |n AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT r.o_custkey, r.o_orderkey AS latest_orderkey,
+        |  r.ms AS latest_order_ms,
+        |  CAST(round(r.o_totalprice*100) AS BIGINT) AS latest_price_c,
+        |  r.o_orderstatus AS latest_status, n.n_orders
+        |FROM r JOIN n USING (o_custkey) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
     "q91_percentile_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_c,
