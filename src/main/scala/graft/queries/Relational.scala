@@ -168,6 +168,25 @@ object Relational extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // Fixed-width HISTOGRAM per group (the data-profiling /
+    // distribution-report op): 20 × $20 buckets over value, top bucket
+    // open-ended. Entirely integer arithmetic on cents — bucket id,
+    // bounds, counts and sums are exact longs; ONE hash aggregation
+    // with ≤ types×20 groups, map-side partials. (q91 is the
+    // quantile view of the same distribution; this is the bucketed
+    // one — the form that stays one pass at any scale.)
+    "q107_value_histogram" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("vc", cents(col("value")))
+        .withColumn("bucket",
+          least(floor(col("vc") / 2000L), lit(19L)).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"))
+        .select(col("event_type"), col("bucket"),
+          (col("bucket") * 2000L).as("bucket_lo_c"), col("n"), col("sum_c"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     // LATEST-record compaction (the CDC/upsert "current view": one row
     // per key = the most recent version; here each customer's latest
     // order by (date, key)). Done as ONE hash aggregation — max_by
@@ -197,6 +216,18 @@ object Relational extends QueryPack {
   )
 
   val oracle = Map(
+    // Mirrors q107: integer floor-division bucketing on cents (vc ≥ 0
+    // on this data, so DuckDB's // ≡ Spark's floor(/)).
+    "q107_value_histogram" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT event_type, least(vc // 2000, 19) AS bucket, vc FROM e)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(bucket * 2000 AS BIGINT) AS bucket_lo_c,
+        |  count(*) AS n, CAST(sum(vc) AS BIGINT) AS sum_c
+        |FROM b GROUP BY event_type, b.bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
     // Mirrors q106: max over (epoch_ms, o_orderkey) ≡ the row_number
     // DESC/DESC pick (o_orderkey unique breaks date ties identically).
     "q106_latest_record" ->
