@@ -73,6 +73,41 @@ object DomainQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Near-dup RETENTION POLICY (the step after clustering: per
+    // duplicate cluster keep the BEST doc, not an arbitrary one) —
+    // q72's transitive closure composed with q96's quality margin,
+    // representative = argmax (margin, then min doc_id) via one
+    // max_by hash aggregation over the cluster key. The full
+    // real-world dedup decision expressed end-to-end in one plan:
+    // LSH pairs → connected components → quality-ranked keep flags.
+    "q108_cluster_retention" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val edges = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.6,
+        shingleK = 3, hashFn = Dedup.polyHash)
+      val comp = graft.operators.Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      val wc = graft.operators.TextOps.wordCounts(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wn")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+      val margin = docs.select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit(TextQueries.STOP_EN), lit(0)))
+            .cast("long").as("stop_n"))
+        .join(wc, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(10L) * col("stop_n") + lit(3L) * col("n_distinct")
+            - lit(2L) * col("n_tokens")).as("margin"))
+      val scored = comp.join(margin, col("id") === col("doc_id")).drop("id")
+      val kept = scored.groupBy(col("comp"))
+        .agg(max_by(col("doc_id"), struct(col("margin"), negate(col("doc_id"))))
+          .as("kept_doc"), count(lit(1)).as("cluster_n"))
+      scored.join(kept, Seq("comp"))
+        .select(col("doc_id"), col("comp").as("cluster_id"), col("margin"),
+          when(col("doc_id") === col("kept_doc"), 1L).otherwise(0L).as("kept"),
+          col("cluster_n"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sketch calibration: minhash-estimated vs exact Jaccard on every
     // LSH candidate pair — the accuracy audit run before committing a
     // (numHashes, bands, threshold) choice to a full-corpus pass.
@@ -424,6 +459,40 @@ object DomainQueries extends QueryPack {
        |FROM comp JOIN sizes USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q108: the q72 closure walk + the q96 margin formula,
+    * keep = row_number 1 over (margin DESC, doc_id) per cluster ≡ the
+    * Spark max_by over (margin, −doc_id). */
+  private val q108Sql =
+    s"""WITH RECURSIVE ${mhPairsCte("documents")},
+       |ccn AS (SELECT doc_id AS id FROM documents),
+       |ccs AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mhpairs
+       |        UNION ALL SELECT id_b, id_a FROM mhpairs),
+       |walk AS (
+       |  SELECT id, id AS r FROM ccn
+       |  UNION
+       |  SELECT s.b AS id, w.r FROM walk w JOIN ccs s ON s.a = w.id),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+       |wq AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT word) AS BIGINT) AS n_distinct FROM wq GROUP BY 1),
+       |sn AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS BIGINT) AS stop_n
+       |  FROM documents),
+       |m AS (SELECT wc.doc_id,
+       |    10*sn.stop_n + 3*wc.n_distinct - 2*wc.n_tokens AS margin
+       |  FROM wc JOIN sn USING (doc_id)),
+       |r AS (SELECT comp.id AS doc_id, comp.cluster_id,
+       |    CAST(m.margin AS BIGINT) AS margin,
+       |    row_number() OVER (PARTITION BY comp.cluster_id
+       |      ORDER BY m.margin DESC, comp.id) AS rn,
+       |    count(*) OVER (PARTITION BY comp.cluster_id) AS cluster_n
+       |  FROM comp JOIN m ON m.doc_id = comp.id)
+       |SELECT doc_id, cluster_id, margin,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  CAST(cluster_n AS BIGINT) AS cluster_n
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Mirrors Dedup.simhashBucketsPoly (family 200..263): per-token
     * 1-bit hashes, majority vote per bit, signed-64 reassembly (bit 63
     * via the explicit Long.MinValue term), bucket = top 16 bits. */
@@ -605,6 +674,7 @@ object DomainQueries extends QueryPack {
   val oracle = Map(
     "q40_minhash_pairs" -> q40Sql,
     "q105_minhash_estimate" -> q105Sql,
+    "q108_cluster_retention" -> q108Sql,
     "q72_dedup_clusters" -> q72Sql,
     "q89_incremental_neardup" -> q89Sql,
     "q77_corpus_clean" -> q77Sql,

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object TextQueries extends QueryPack {
   import Q._
 
-  private val STOP_EN = "\\b(the|and|of|to|in|is|a)\\b"
+  private[queries] val STOP_EN = "\\b(the|and|of|to|in|is|a)\\b"
   private val STOP_ES = "\\b(el|la|de|que|los|una)\\b"
   private val STOP_DE = "\\b(der|die|und|das|ein|nicht)\\b"
   private val STOP_FR = "\\b(le|les|des|une|est|dans)\\b"
