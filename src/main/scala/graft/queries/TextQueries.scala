@@ -282,6 +282,19 @@ object TextQueries extends QueryPack {
         .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
     },
 
+    // CUBE over (lang, source): all four grouping sets — per-pair,
+    // per-lang, per-source, grand total — from ONE shuffle (Expand +
+    // hash agg, same machinery as q93's ROLLUP which omits the
+    // per-source set). grouping() flags disambiguate subtotal rows.
+    "q109_cube_stats" -> { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+    },
+
     // Per-group top-k selection (keep the k largest docs per
     // (lang, source) — the per-source quality-cut shape). The
     // row_number ≤ k filter compiles to WindowGroupLimit: per-
@@ -626,6 +639,15 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, stop_n, n_distinct, n_tokens, CAST(margin AS BIGINT) AS margin,
         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q109_cube_stats" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
 
     "q93_rollup_stats" ->
       """SELECT lang, source, count(*) AS n,
