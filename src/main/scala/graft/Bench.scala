@@ -62,14 +62,24 @@ object Bench {
     // measure, and min-of-2 cannot flatter a genuinely slow plan.
     // Up to 3 re-measure rounds: a stall window can outlive a single
     // immediate retry (observed spanning ~2 min of queries), so later
-    // rounds re-take only what is still slow, minutes apart.
+    // rounds re-take only what is still slow, minutes apart. A query
+    // whose re-measurement AGREES with its previous sample (within
+    // 1.3x) is confirmed genuine and never re-taken again — otherwise
+    // every legitimately-slow query (file sinks, streaming) would be
+    // re-run in all 3 rounds and get min-of-4 reporting while fast
+    // queries get a single sample, a selective-minimum bias.
     val best = scala.collection.mutable.LinkedHashMap(firstPass: _*)
+    val confirmed = scala.collection.mutable.Set[String]()
     var round = 0
-    while (round < 3 && best.values.exists(_ > 8.0)) {
-      for (n <- names if best(n) > 8.0) {
+    while (round < 3 && names.exists(n => best(n) > 8.0 && !confirmed(n))) {
+      for (n <- names if best(n) > 8.0 && !confirmed(n)) {
         System.err.println(s"[bench] $n: ${best(n)} s looks stall-contaminated; re-measuring")
         val t2 = exec(n, sfDir)
-        if (t2 >= 0 && t2 < best(n)) best(n) = t2
+        if (t2 >= 0) {
+          val lo = math.min(t2, best(n))
+          if (math.max(t2, best(n)) <= lo * 1.3) confirmed += n
+          best(n) = lo
+        }
       }
       round += 1
     }

@@ -50,7 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * commutative), but only the exact-bits +0.0 seed (a -0.0 seed
   * differs on the empty array) and only deterministic, already-
   * double-typed children (a coercion cast inside the lambda means the
-  * products were not double multiplies — no rewrite). */
+  * products were not double multiplies — no rewrite). Uses the
+  * WithSubqueries transform so a dot product written inside a
+  * scalar/IN/EXISTS subquery is rewritten too (plain
+  * transformAllExpressions does not descend into subquery plans). */
 object FoldedDotRewrite extends Rule[LogicalPlan] {
   private def isVarPair(p: Expression, q: Expression,
       v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean = (p, q) match {
@@ -65,7 +68,8 @@ object FoldedDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
     case ArrayAggregate(
           ZipWith(a, b,
             LambdaFunction(Multiply(mx, my, _),
@@ -92,7 +96,7 @@ object FoldedDotRewrite extends Rule[LogicalPlan] {
   * arithmetic is identical (see Norm2), so results are bit-equal. */
 object SelfDotRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    plan.transformAllExpressionsWithSubqueries {
       case DotProduct(a, b) if a.deterministic && a.semanticEquals(b) => Norm2(a)
     }
 }

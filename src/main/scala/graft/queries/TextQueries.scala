@@ -476,7 +476,12 @@ object TextQueries extends QueryPack {
         .otherwise(300L)
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"))
-        .withColumn("coin", pmod(col("doc_id") * 2654435761L + 40503L, lit(1000L)))
+        // doc_id is reduced mod the prime 2^31-1 BEFORE the multiply:
+        // 2654435761·(2^31-2) ≈ 5.7e18 < Long.Max, so the product can
+        // never wrap (an unreduced doc_id ≳ 3.47e9 would silently wrap
+        // in Spark while DuckDB raises a BIGINT overflow).
+        .withColumn("coin", pmod(
+          pmod(col("doc_id"), lit(2147483647L)) * 2654435761L + 40503L, lit(1000L)))
         .withColumn("n_copies",
           base + when(col("coin") < fracMillis, 1L).otherwise(0L))
         .filter(col("n_copies") > 0)
@@ -856,15 +861,16 @@ object TextQueries extends QueryPack {
         |FROM t JOIN p USING (word)
         |ORDER BY t.word""".stripMargin,
 
-    // Mirrors q98 exactly: same CASE weights, same (doc_id·K + b) %
-    // 1000 coin (all operands nonneg ⇒ DuckDB's % ≡ Spark's pmod),
-    // unnest(range(n)) ≡ explode(sequence(0, n−1)).
+    // Mirrors q98 exactly: same CASE weights, same ((doc_id mod
+    // 2^31-1)·K + b) % 1000 coin (all operands nonneg ⇒ DuckDB's % ≡
+    // Spark's pmod; the mod-prime reduction keeps K·x below Long.Max
+    // on both engines), unnest(range(n)) ≡ explode(sequence(0, n−1)).
     "q98_domain_mix" ->
       """WITH c AS (SELECT doc_id, source,
         |    (CASE WHEN source = 'src0' THEN 2
         |          WHEN source IN ('src1','src2','src3','src4') THEN 1
         |          ELSE 0 END)
-        |    + (CASE WHEN (doc_id*2654435761 + 40503) % 1000 <
+        |    + (CASE WHEN ((doc_id % 2147483647)*2654435761 + 40503) % 1000 <
         |         (CASE WHEN source IN ('src0','src1') THEN 500
         |               WHEN source IN ('src2','src3','src4') THEN 0
         |               ELSE 300 END)
