@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *    every step is plain integer/IEEE arithmetic, so each has an
   *    exact DuckDB oracle (the xxhash64-based variants remain as the
   *    production surface, spec-pinned);
-  *  - q42/q44 (rows-only): the greedy IoU tracker and the e2e
-  *    pipeline are order-dependent sequential kernels with no SQL
-  *    equivalent — TrackerSpec/PipelineSpec pin their semantics and
-  *    GoldenSpec pins committed sf0.01 output checksums.
+  *  - q42/q44: the greedy IoU tracker and the e2e pipeline are
+  *    order-dependent sequential kernels; on ARBITRARY input they have
+  *    no SQL equivalent (TrackerSpec/PipelineSpec pin those quirks,
+  *    GoldenSpec pins sf0.01 checksums), but on the CONSTRUCTED
+  *    single-face-per-frame inputs used here the greedy pass provably
+  *    reduces to gaps-and-islands, so both run under the full DuckDB
+  *    oracle gate (reduction proofs on the query comments).
   */
 object DomainQueries extends QueryPack {
   import Q._
@@ -231,23 +234,46 @@ object DomainQueries extends QueryPack {
     // bounded per-partition heaps — ADC top-10 per query, every
     // distance the same 0-seeded fold the oracle walks.
     "q78_pq_topk" -> { (s, dir) =>
-      Similarity.pqTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
+      Similarity.pqTopK(s, Tables.table(s, dir, "embeddings"), k = 10,
+          m = q78M, ksub = q78Ksub)
         .orderBy(col("qid"), col("rank"))
     },
 
-    // ——— rows-only (no SQL oracle) ———
+    // Greedy IoU tracker under the ORACLE gate via a CONSTRUCTED
+    // input on which the greedy pass provably equals a relational
+    // association. One face per frame; frames partition into
+    // "segments" of per-video length L = 8 + vid%13 (8..20); within a
+    // segment boxes drift 0.5/frame (consecutive IoU ≈ 0.89 > 0.5),
+    // across segments the x base jumps 1000 (IoU = 0 exactly). With
+    // ≤1 face/frame the CPython iterator quirk never fires and each
+    // greedy pass consumes exactly one segment (cross-segment faces
+    // are skipped, not consumed, and the pass breaks at gap > 10), so
+    // kept tracks = segments with > 11 faces that pass the face-size
+    // gate — gaps-and-islands. Every 5th segment is a 0.5×0.5 static
+    // "tiny" chain: consumed whole but dropped by the size gate,
+    // pinning the consumed-but-discarded branch under the oracle too.
+    // Dense frames ⇒ interpolation is the identity, and every output
+    // coordinate is a dyadic rational (k·1000 + j·0.5), so doubles
+    // are bit-identical across engines. The ADVERSARIAL inputs (multi
+    // face frames, holes, rejoin-after-skip) stay pinned by
+    // TrackerSpec + RefGoldenSpec reference-produced goldens.
     "q42_greedy_tracks" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       val dets = Tables.events(s, dir)
         .withColumn("frame", (row_number().over(w) - 1).cast("int"))
-        // slow drift + small jitter so consecutive-frame IoU can exceed
-        // 0.5 (box 20×15, jitter ≤ 5/3) — a trackable synthetic scene
-        .select(col("user_id").as("video_id"), lit(0L).as("scene_id"),
-          col("frame"), lit(0).as("det_idx"),
-          ((col("frame") % 200) / 10.0 + col("value") % 5).as("x1"),
-          ((col("event_id") % 3).cast("double") + (col("frame") % 100) / 20.0).as("y1"))
-        .withColumn("x2", col("x1") + 20.0)
-        .withColumn("y2", col("y1") + 15.0)
+        .select(col("user_id").as("video_id"), col("frame"))
+        .withColumn("len", (col("video_id") % 13 + 8).cast("int"))
+        .withColumn("seg", expr("frame div len"))
+        .withColumn("fin", expr("frame % len"))
+        .withColumn("tiny", col("seg") % 5 === 2)
+        .select(col("video_id"), lit(0L).as("scene_id"), col("frame"),
+          lit(0).as("det_idx"), col("tiny"),
+          (col("seg") * 1000.0 +
+            when(col("tiny"), 0.0).otherwise(col("fin") * 0.5)).as("x1"),
+          when(col("tiny"), 0.0).otherwise(col("fin") * 0.5).as("y1"))
+        .withColumn("x2", col("x1") + when(col("tiny"), 0.5).otherwise(20.0))
+        .withColumn("y2", col("y1") + when(col("tiny"), 0.5).otherwise(15.0))
+        .drop("tiny")
       Tracker.trackAll(s, dets).toDF()
         .orderBy(col("video_id"), col("track_id"), col("frame"))
     },
@@ -255,6 +281,20 @@ object DomainQueries extends QueryPack {
     // The WHOLE reference pipeline as one DAG (scenes → faces → tracks
     // → geometry → ensemble scores → segments), stub kernels, driven by
     // an events-derived synthetic frame table; returns the segments.
+    // Under the ORACLE gate: on this input every pipeline stage has a
+    // relational closed form — scene cuts land exactly at frame%100==0
+    // (content jumps 80 > threshold 27, scene len 100 ≥ minSceneLen),
+    // the stub detector emits ≤1 face per frame (absent iff
+    // (31·vid+frame)%10==0, the conf==0.90 gate), within a scene the
+    // drift x=(frame%200)/10 never wraps (scenes are 100-aligned) so
+    // consecutive present faces always chain (IoU ≥ 0.98 > 0.5) and
+    // each scene yields ONE track over [first..last] present frame —
+    // gaps-and-islands, same argument as q42. Scoring uses the
+    // HashBatchScorer (the oracle-parity model q65 mirrors) on
+    // track-LOCAL indices with nAudio=4·nVideo (no truncation), and
+    // segments are q32's lag/sum windows. The sin-based StubScorer
+    // path (not SQL-mirrorable: libm sin differs across engines) stays
+    // pinned by PipelineSpec.
     "q44_pipeline_e2e" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       val frames = Tables.events(s, dir)
@@ -262,7 +302,8 @@ object DomainQueries extends QueryPack {
         .select(col("user_id").as("video_id"), col("frame"),
           // a content cut every 100 frames → multi-scene videos
           (floor(col("frame") / 100) * 80.0 + 10.0).as("content"))
-      graft.pipeline.BatchPipeline.run(s, frames).segments
+      graft.pipeline.BatchPipeline.run(s, frames,
+          scorer = graft.operators.DurationEnsemble.HashBatchScorer).segments
         .orderBy(col("video_id"), col("track_id"), col("seg_id"))
     },
 
@@ -548,6 +589,86 @@ object DomainQueries extends QueryPack {
        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Mirrors q42's constructed-input greedy tracker (the reduction
+    * proof lives on the query): kept tracks = non-tiny segments with
+    * > 11 faces, track_id = rank among kept segments by start; dense
+    * frames make interpolation the identity, so rows are rebuilt from
+    * the same dyadic coordinate forms (bit-identical doubles). */
+  private val q42Sql =
+    """WITH e AS (SELECT user_id AS video_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS INT) AS frame
+      |  FROM events),
+      |d AS (SELECT video_id, frame,
+      |    frame // CAST(video_id % 13 + 8 AS INT) AS seg,
+      |    frame % CAST(video_id % 13 + 8 AS INT) AS fin
+      |  FROM e),
+      |k AS (SELECT video_id, seg,
+      |    row_number() OVER (PARTITION BY video_id ORDER BY seg) - 1 AS track_id
+      |  FROM (SELECT video_id, seg FROM d WHERE seg % 5 <> 2
+      |        GROUP BY 1, 2 HAVING count(*) > 11))
+      |SELECT d.video_id, CAST(0 AS BIGINT) AS scene_id,
+      |  CAST(k.track_id AS BIGINT) AS track_id, d.frame,
+      |  d.seg*1000.0 + d.fin*0.5 AS x1, d.fin*0.5 AS y1,
+      |  d.seg*1000.0 + d.fin*0.5 + 20.0 AS x2, d.fin*0.5 + 15.0 AS y2
+      |FROM d JOIN k USING (video_id, seg)
+      |ORDER BY video_id, track_id, frame""".stripMargin
+
+  /** Mirrors q44's pipeline on the constructed input (closed forms on
+    * the query): scenes = frame//100 gated ≥ 11; detections absent iff
+    * (31·vid+frame)%10==0; one track per scene over [first..last]
+    * present frame gated > 11 faces; HashBatchScorer ensemble on
+    * track-local j (nAudio = 4·nVideo ⇒ no truncation — q65's nv2 CTE
+    * degenerates away); q32's run extraction over the per-video merge
+    * (track_id is 0 for every scene, and runs are row-consecutive, so
+    * scene-boundary gaps do not split — same on both engines). */
+  private val q44Sql = {
+    def sc(d: Int) = {
+      val uh = Q.uhashSql("888", "video_id*1000000+j")
+      s"(($uh) % 2000 - 1000)/1000.0 + ($d - 3.5)*0.01 + ((j // (25*$d)) * 37 % 10) * 0.001"
+    }
+    val mean = (1 to 6).map(d => s"(${sc(d)})").mkString("(", " + ", ")/6")
+    val rint1 = "(CASE WHEN mean*10 - floor(mean*10) = 0.5 THEN " +
+      "(CASE WHEN CAST(floor(mean*10) AS BIGINT) % 2 = 0 THEN floor(mean*10) ELSE floor(mean*10)+1 END) " +
+      "ELSE round(mean*10) END / 10)"
+    s"""WITH e AS (SELECT user_id AS video_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS BIGINT) AS frame
+       |  FROM events),
+       |n AS (SELECT video_id, count(*) AS nfr FROM e GROUP BY 1),
+       |det AS (SELECT video_id, frame, frame // 100 AS scene_id FROM e
+       |  WHERE (video_id*31 + frame) % 10 <> 0),
+       |dk AS (SELECT det.* FROM det JOIN n USING (video_id)
+       |  WHERE least(100, n.nfr - 100*det.scene_id) >= 11),
+       |t AS (SELECT video_id, scene_id, min(frame) AS f0, max(frame) AS f1
+       |  FROM dk GROUP BY 1, 2 HAVING count(*) > 11),
+       |tf AS (SELECT video_id, f0, unnest(generate_series(f0, f1)) AS frame FROM t),
+       |sj AS (SELECT video_id, frame, frame - f0 AS j FROM tf),
+       |s0 AS (SELECT video_id, frame, $mean AS mean FROM sj),
+       |s1 AS (SELECT video_id, frame, $rint1 AS score FROM s0),
+       |f AS (SELECT video_id, frame,
+       |    CASE WHEN score > 0.0 THEN 1 ELSE 0 END AS speaking FROM s1),
+       |c AS (SELECT *,
+       |  CASE WHEN lag(speaking) OVER w IS NULL OR lag(speaking) OVER w <> speaking
+       |       THEN 1 ELSE 0 END AS changed
+       |  FROM f WINDOW w AS (PARTITION BY video_id ORDER BY frame)),
+       |g AS (SELECT *,
+       |  CAST(sum(changed) OVER (PARTITION BY video_id ORDER BY frame
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+       |  FROM c),
+       |runs AS (SELECT video_id, grp,
+       |    CAST(min(frame) AS INT) AS start_frame,
+       |    CAST(max(frame) + 1 AS BIGINT) AS end_frame,
+       |    count(*) AS n_frames
+       |  FROM g WHERE speaking = 1 GROUP BY 1, 2
+       |  HAVING max(frame) + 1 - min(frame) >= 5)
+       |SELECT video_id, CAST(0 AS BIGINT) AS track_id,
+       |  CAST(row_number() OVER (PARTITION BY video_id ORDER BY start_frame) AS BIGINT) AS seg_id,
+       |  start_frame, end_frame, n_frames,
+       |  CAST(start_frame AS DOUBLE)/25 AS start_s,
+       |  CAST(end_frame AS DOUBLE)/25 AS end_s,
+       |  CAST(end_frame - start_frame AS DOUBLE)/25 AS duration_s
+       |FROM runs ORDER BY video_id, track_id, seg_id""".stripMargin
+  }
+
   /** Mirrors DurationEnsemble.ensemble(HashBatchScorer) per frame via
     * the closed form: frame f's batch under duration d is f div 25d,
     * so score(f) = rint1(Σ_{d∈1..6} stub(d, f div 25d)/6) with the
@@ -634,23 +755,27 @@ object DomainQueries extends QueryPack {
     * ascending loops. The subspace width is len(embedding)//8 — read
     * from the data like the kernel's dim/m — so a re-generated fixture
     * with a different width changes both sides in lockstep instead of
-    * silently truncating only the oracle. */
+    * silently truncating only the oracle. The m/ksub constants are
+    * likewise shared with the Spark call (q78M/q78Ksub interpolated
+    * below AND passed to pqTopK) so the two sides cannot drift. */
+  private val q78M = 8
+  private val q78Ksub = 16
   private val q78Sql = {
     val uh = Q.uhashSql("6000", "(vec_id % 4294967291)")
     s"""WITH cb AS (
        |  SELECT cent_k, embedding FROM (
        |    SELECT embedding,
        |      row_number() OVER (ORDER BY $uh, vec_id) - 1 AS cent_k
-       |    FROM embeddings) WHERE cent_k < 16),
+       |    FROM embeddings) WHERE cent_k < $q78Ksub),
        |sd AS (
        |  SELECT e.vec_id, pqm.m, cb.cent_k,
-       |    list_reduce(list_transform(range(1, len(e.embedding)//8 + 1), pqj ->
-       |      (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE)
-       |         - CAST(cb.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE))
-       |      * (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE)
-       |         - CAST(cb.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE))),
+       |    list_reduce(list_transform(range(1, len(e.embedding)//$q78M + 1), pqj ->
+       |      (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//$q78M) + pqj AS INT)] AS DOUBLE)
+       |         - CAST(cb.embedding[CAST(pqm.m*(len(e.embedding)//$q78M) + pqj AS INT)] AS DOUBLE))
+       |      * (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//$q78M) + pqj AS INT)] AS DOUBLE)
+       |         - CAST(cb.embedding[CAST(pqm.m*(len(e.embedding)//$q78M) + pqj AS INT)] AS DOUBLE))),
        |      (pqx, pqy) -> pqx + pqy) AS dist
-       |  FROM embeddings e, range(0, 8) pqm(m), cb),
+       |  FROM embeddings e, range(0, $q78M) pqm(m), cb),
        |codes AS MATERIALIZED (
        |  SELECT vec_id AS cid, list(cent_k ORDER BY m) AS code FROM (
        |    SELECT vec_id, m, cent_k,
@@ -661,8 +786,8 @@ object DomainQueries extends QueryPack {
        |  FROM sd WHERE vec_id % 50 = 0 GROUP BY vec_id),
        |adc AS (
        |  SELECT l.qid, c.cid,
-       |    list_reduce(list_transform(range(0, 8), pqm ->
-       |      lut[CAST(pqm*16 AS INT) + code[CAST(pqm AS INT) + 1] + 1]),
+       |    list_reduce(list_transform(range(0, $q78M), pqm ->
+       |      lut[CAST(pqm*$q78Ksub AS INT) + code[CAST(pqm AS INT) + 1] + 1]),
        |      (pqx, pqy) -> pqx + pqy) AS adc
        |  FROM luts l, codes c WHERE c.cid <> l.qid),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
@@ -682,6 +807,8 @@ object DomainQueries extends QueryPack {
     "q41_simhash_buckets" -> q41Sql,
     "q43_ann_topk" -> q43Sql,
     "q65_duration_ensemble" -> q65Sql,
+    "q42_greedy_tracks" -> q42Sql,
+    "q44_pipeline_e2e" -> q44Sql,
 
     // q32's runs CTE + the sink byte formulas: 2 files per segment,
     // avi 64+128·nf, wav 44+1280·nf → Σ bytes = Σ(108 + 1408·nf).

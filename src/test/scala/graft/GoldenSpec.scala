@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** Regression gate for the two permanently rows-only queries (q42
-  * greedy tracker, q44 e2e pipeline): their outputs are sequential-
-  * kernel results with no SQL oracle, so we pin committed MD5
-  * fingerprints of the full sf0.01 output instead. Any semantic drift
-  * in the tracker/pipeline kernels fails here even though the DuckDB
-  * gate can't see it. TrackerSpec/PipelineSpec pin the semantics on
-  * hand fixtures; this pins the at-scale output verbatim.
+/** Regression gate for the two sequential-kernel queries (q42 greedy
+  * tracker, q44 e2e pipeline). Since round 6 both ALSO run under the
+  * DuckDB oracle gate on constructed single-face-per-frame inputs
+  * (the greedy pass provably reduces to gaps-and-islands there — see
+  * DomainQueries); this spec keeps pinning the full sf0.01 output
+  * verbatim as a second, engine-independent fingerprint, and
+  * TrackerSpec/PipelineSpec pin the adversarial-input quirks the
+  * constructed inputs cannot reach.
   *
   * If a change is INTENTIONAL, re-derive the fingerprint (the failure
   * message prints it) and update the constant in the same commit that
@@ -43,14 +44,15 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("q42_greedy_tracks sf0.01 output matches committed golden") {
-    check("q42_greedy_tracks", "5419c778d0b22a12c88c167f7ac3034d")
+    // Re-derived for the round-6 constructed segment input (the
+    // INTENTIONAL drift that gave q42 a DuckDB oracle).
+    check("q42_greedy_tracks", "ca8f9163c178062ce45cedbe11039a07")
   }
 
   test("q44_pipeline_e2e sf0.01 output matches committed golden") {
-    // Re-derived when scoring moved to the batched DurationEnsemble
-    // kernel (track-local frame indexing + per-batch stub term): the
-    // INTENTIONAL drift from the old per-row-sum scorer. Segment
-    // boundaries shift where scores cross the threshold differently.
-    check("q44_pipeline_e2e", "09dbfa1c7af16085cc61be8ce1afcbdc")
+    // Re-derived when q44 switched to the oracle-parity
+    // HashBatchScorer (the INTENTIONAL drift that gave q44 a DuckDB
+    // oracle); the sin-based StubScorer stays pinned by PipelineSpec.
+    check("q44_pipeline_e2e", "330c41aa2006707abe2432c66ddc81fd")
   }
 }
