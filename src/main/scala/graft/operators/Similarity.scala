@@ -30,6 +30,27 @@ object Similarity {
 
   private val P32 = 4294967291L
 
+  /** Hard ceiling on the QUERY side of every ANN entry point. The
+    * corpus side streams unshuffled at any scale, but queries are
+    * broadcast (and, for PQ, their LUTs plus one per-partition heap
+    * slot each), so an unbounded query set is the one structure here
+    * that could grow with the corpus — at the default the LUT
+    * broadcast stays ≈ 16 MB. Callers with a genuinely larger query
+    * load should batch queries through the *For entry points. */
+  val DefaultMaxQueries = 16384
+
+  /** Enforces the query-side bound WITHOUT counting the full set: a
+    * `limit(max+1)` count stops scanning as soon as the bound is
+    * provably exceeded, so the guard's cost is O(maxQueries) rows
+    * regardless of corpus size. Returns `queries` unchanged. */
+  def boundedQueries(queries: DataFrame, maxQueries: Int, who: String): DataFrame = {
+    val n = queries.limit(maxQueries + 1).count()
+    require(n <= maxQueries,
+      s"$who: query set exceeds maxQueries=$maxQueries (got > $maxQueries rows); " +
+        "pass a bounded queries DataFrame or raise maxQueries explicitly")
+    queries
+  }
+
   /** Deterministic hash-derived hyperplanes: `bits` planes × `dim`. */
   def planes(bits: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (j, d) =>
@@ -83,12 +104,29 @@ object Similarity {
       }.toDF("vec_id", "vd", "n2", "bucket")
   }
 
-  /** Shared tail: broadcast the query rows, candidate-join within
-    * bucket, exact-cosine rank, top-k. */
-  private def topKWithin(withB: DataFrame, k: Int, queryEvery: Int): DataFrame = {
-    val qs = withB.filter(col("vec_id") % queryEvery === 0)
-      .select(col("vec_id").as("qid"), col("vd").as("qv"),
-        col("n2").as("qn2"), col("bucket").as("qbucket"))
+  /** Same per-vector kernel as corpusPass but for the (bounded) QUERY
+    * side: (qid, qv, qn2, qbucket). No repartition — the set is small
+    * by contract. The arithmetic is the identical loop, so a vector
+    * appearing on both sides gets bit-identical vd/n2/bucket. */
+  private def queryPass(spark: SparkSession, queries: DataFrame)(
+      f: Array[Float] => Long): DataFrame = {
+    import spark.implicits._
+    queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var n2 = 0.0
+          var d = 0
+          while (d < v.length) { vd(d) = v(d).toDouble; n2 += vd(d) * vd(d); d += 1 }
+          (id, vd, n2, f(v))
+        }
+      }.toDF("qid", "qv", "qn2", "qbucket")
+  }
+
+  /** Shared tail: broadcast the (bounded) query rows, candidate-join
+    * within bucket, exact-cosine rank, top-k. */
+  private def topKWithin(withB: DataFrame, qs: DataFrame, k: Int): DataFrame = {
     val corpus = withB.select(col("vec_id").as("cid"), col("vd").as("cv"),
       col("n2").as("cn2"), col("bucket"))
     corpus.join(broadcast(qs), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
@@ -103,11 +141,23 @@ object Similarity {
   /** ANN top-k: candidates share an LSH bucket; exact cosine ranks
     * them. Queries = vec_id % `queryEvery` == 0 (as q27). */
   def annTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
-      bits: Int = 12, queryEvery: Int = 50): DataFrame = {
+      bits: Int = 12, queryEvery: Int = 50,
+      maxQueries: Int = DefaultMaxQueries): DataFrame =
+    annTopKFor(spark, emb, emb.filter(col("vec_id") % queryEvery === 0),
+      k, bits, maxQueries)
+
+  /** annTopK against an EXPLICIT query DataFrame(vec_id, embedding) —
+    * the production entry: the query set is an external bounded input,
+    * never corpus-derived. Enforced by `boundedQueries`. */
+  def annTopKFor(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, bits: Int = 12,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val pl = planes(bits, dim)
     val withB = corpusPass(spark, emb)(v => bucketOf(v, pl))
-    topKWithin(withB, k, queryEvery)
+    val qs = queryPass(spark,
+      boundedQueries(queries, maxQueries, "annTopK"))(v => bucketOf(v, pl))
+    topKWithin(withB, qs, k)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
   }
 
@@ -146,7 +196,20 @@ object Similarity {
     * SQL oracle. Every distance is the same 0-seeded ascending fold on
     * both engines — bit-exact doubles. */
   def pqTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
-      m: Int = 8, ksub: Int = 16, queryEvery: Int = 50): DataFrame = {
+      m: Int = 8, ksub: Int = 16, queryEvery: Int = 50,
+      maxQueries: Int = DefaultMaxQueries): DataFrame =
+    pqTopKFor(spark, emb, emb.filter(col("vec_id") % queryEvery === 0),
+      k, m, ksub, maxQueries)
+
+  /** pqTopK against an EXPLICIT query DataFrame(vec_id, embedding).
+    * The m×ksub distance LUTs are built DISTRIBUTIVELY — a kernel over
+    * the broadcast codebook on the query partitions — and only the
+    * compact LUT rows (≤ maxQueries × m·ksub doubles, enforced by a
+    * bounded take) ever reach the driver; the raw query vectors never
+    * do. Per-partition heap arrays are likewise ≤ maxQueries slots. */
+  def pqTopKFor(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, m: Int = 8, ksub: Int = 16,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -192,22 +255,31 @@ object Similarity {
           (id, code)
         }
       }.toDF("cid", "code")
-    // query LUTs: lut(mm·ksub + kk) = ‖q_mm − c_kk,mm‖²; O(queries·m·ksub)
-    val luts: Array[(Long, Array[Double])] = emb
-      .filter(col("vec_id") % queryEvery === 0)
+    // query LUTs: lut(mm·ksub + kk) = ‖q_mm − c_kk,mm‖² — computed on
+    // the EXECUTORS against the broadcast codebook; the driver takes
+    // at most maxQueries+1 compact LUT rows (the +1 proves overflow),
+    // so no driver structure scales with the corpus.
+    val lutRows: Array[(Long, Array[Double])] = queries
       .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
-      .sortBy(_._1)
-      .map { case (qid, qv) =>
-        val lut = new Array[Double](m * ksub)
-        var mm = 0
-        while (mm < m) {
-          var kk = 0
-          while (kk < ksub) { lut(mm * ksub + kk) = subDist(qv, bcC.value(kk), mm); kk += 1 }
-          mm += 1
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (qid, qv) =>
+          val lut = new Array[Double](m * ksub)
+          var mm = 0
+          while (mm < m) {
+            var kk = 0
+            while (kk < ksub) { lut(mm * ksub + kk) = subDist(qv, cs(kk), mm); kk += 1 }
+            mm += 1
+          }
+          (qid, lut)
         }
-        (qid, lut)
       }
+      .take(maxQueries + 1)
+    require(lutRows.length <= maxQueries,
+      s"pqTopK: query set exceeds maxQueries=$maxQueries; " +
+        "pass a bounded queries DataFrame or raise maxQueries explicitly")
+    val luts = lutRows.sortBy(_._1)
     val bcL = spark.sparkContext.broadcast(luts)
     val kk = k
     val cand = codes.as[(Long, Array[Int])]
@@ -262,7 +334,16 @@ object Similarity {
     * linear in the corpus.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
-      codebookSize: Int = 64, queryEvery: Int = 50, nprobe: Int = 1): DataFrame = {
+      codebookSize: Int = 64, queryEvery: Int = 50, nprobe: Int = 1,
+      maxQueries: Int = DefaultMaxQueries): DataFrame =
+    ivfTopKFor(spark, emb, emb.filter(col("vec_id") % queryEvery === 0),
+      k, codebookSize, nprobe, maxQueries)
+
+  /** ivfTopK against an EXPLICIT query DataFrame(vec_id, embedding) —
+    * query side bounded by `boundedQueries`, corpus side unchanged. */
+  def ivfTopKFor(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, codebookSize: Int = 64, nprobe: Int = 1,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
     import spark.implicits._
     val (ha, hb) = Dedup.affine(5000)
     // uhash(5000, vec_id mod P32): id reduced into the ring first so
@@ -284,18 +365,29 @@ object Similarity {
       while (d < v.length) { vd(d) = v(d).toDouble; d += 1 }
       probeCells(vd, bc.value, 1)(0)
     }
+    val bounded = boundedQueries(queries, maxQueries, "ivfTopK")
     if (nprobe <= 1) {
-      topKWithin(withC, k, queryEvery)
+      val qs = queryPass(spark, bounded) { v =>
+        val vd = new Array[Double](v.length)
+        var d = 0
+        while (d < v.length) { vd(d) = v(d).toDouble; d += 1 }
+        probeCells(vd, bc.value, 1)(0)
+      }
+      topKWithin(withC, qs, k)
         .select(col("qid"), col("bucket").cast("long").as("cell"), col("rank"),
           col("cid"), round(col("cos"), 6).as("cos_r"))
     } else {
       // query side explodes to its nprobe best cells; the broadcast
       // stays O(queries·nprobe) and the corpus side is untouched
-      val qs = withC.filter(col("vec_id") % queryEvery === 0)
-        .select(col("vec_id"), col("vd"), col("n2"))
-        .as[(Long, Array[Double], Double)]
+      val qs = bounded
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
         .mapPartitions { it =>
-          it.flatMap { case (id, vd, n2) =>
+          it.flatMap { case (id, v) =>
+            val vd = new Array[Double](v.length)
+            var n2 = 0.0
+            var d = 0
+            while (d < v.length) { vd(d) = v(d).toDouble; n2 += vd(d) * vd(d); d += 1 }
             probeCells(vd, bc.value, nprobe).map(cell => (id, vd, n2, cell))
           }
         }

@@ -32,7 +32,9 @@ object VectorQueries extends QueryPack {
     // baseline; corpus-side scan, broadcast queries).
     "q27_cosine_topk" -> { (s, dir) =>
       val emb = withNorm(Tables.table(s, dir, "embeddings"))
-      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val qs = graft.operators.Similarity.boundedQueries(
+          emb.filter(col("vec_id") % 50 === 0),
+          graft.operators.Similarity.DefaultMaxQueries, "q27")
         .select(col("vec_id").as("qid"), col("vd").as("qv"), col("n2").as("qn2"))
       val corpus = emb.select(col("vec_id").as("cid"), col("vd").as("cv"), col("n2").as("cn2"))
       corpus.join(broadcast(qs), col("cid") =!= col("qid"))
@@ -136,7 +138,9 @@ object VectorQueries extends QueryPack {
           when(col("mx") === 0.0, lit(0L))
             .otherwise(round(x * 127.0 / col("mx")).cast("long"))))
         .withColumn("scale", col("mx") / 127.0)
-      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val qs = graft.operators.Similarity.boundedQueries(
+          emb.filter(col("vec_id") % 50 === 0),
+          graft.operators.Similarity.DefaultMaxQueries, "q88")
         .select(col("vec_id").as("qid"), col("qarr").as("qv"), col("scale").as("qscale"))
       val corpus = emb.select(col("vec_id").as("cid"), col("qarr").as("cv"),
         col("scale").as("cscale"))
