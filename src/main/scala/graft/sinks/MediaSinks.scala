@@ -25,11 +25,85 @@ import org.apache.spark.sql.functions._
   */
 object MediaSinks {
 
+  /** Output layout of the file sinks.
+    *
+    *  - [[PerFile]] (default): one filesystem file per entry — the
+    *    reference's exact on-disk contract
+    *    (extractSpeakingSegments.py:118–139 naming).
+    *  - [[Archive]]: one zip per Spark PARTITION, entry names
+    *    preserving the per-file relative layout inside the archive.
+    *    At 100 TB the per-file mode is a small-files storm (an object
+    *    store pays a request per file; this VM's throttle pays a
+    *    budget token per create) — archive mode turns ~N tiny writes
+    *    into numPartitions sequential streams. Manifest rows are
+    *    IDENTICAL in both modes (n_bytes = logical payload bytes;
+    *    path gains a `<zip>!<entry>` suffix form), so the oracle
+    *    byte formulas hold unchanged. */
+  sealed trait SinkMode extends Serializable
+  case object PerFile extends SinkMode
+  case object Archive extends SinkMode
+
+  /** One partition's zip, created lazily on the first entry so empty
+    * partitions leave no file. Entries are framed DEFLATED but at
+    * NO_COMPRESSION — media payloads are already codec-compressed
+    * (and the stub PCM is hash noise), so a real deflate pass burns
+    * CPU for ~0% ratio; level 0 makes the archive a sequential
+    * memcpy-speed stream. Manifest sizes report the logical payload
+    * (= per-file mode bytes) either way. */
+  private final class PartitionZip(outDir: String) {
+    private var zos: java.util.zip.ZipOutputStream = null
+    private var zipPath: String = null
+    def path: String = zipPath
+    def add(relPath: String, payload: Array[Byte]): String = {
+      if (zos == null) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val dir = java.nio.file.Paths.get(outDir)
+        java.nio.file.Files.createDirectories(dir)
+        zipPath = dir.resolve(f"part-$pid%05d.zip").toString
+        zos = new java.util.zip.ZipOutputStream(
+          new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(zipPath), 1 << 16))
+        zos.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
+      }
+      zos.putNextEntry(new java.util.zip.ZipEntry(relPath))
+      zos.write(payload)
+      zos.closeEntry()
+      s"$zipPath!$relPath"
+    }
+    def close(): Unit = if (zos != null) zos.close()
+  }
+
+  /** Per-partition entry writer dispatching on [[SinkMode]]: PerFile
+    * lays entries out as real files under `outDir`; Archive streams
+    * them into the partition's zip. Both return the manifest path. */
+  private final class EntrySink(mode: SinkMode, outDir: String) {
+    private val zip: PartitionZip =
+      if (mode == Archive) new PartitionZip(outDir) else null
+    def put(rel: String, payload: Array[Byte]): String = mode match {
+      case PerFile =>
+        val p = java.nio.file.Paths.get(outDir, rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, payload)
+        p.toString
+      case Archive => zip.add(rel, payload)
+    }
+    def close(): Unit = if (zip != null) zip.close()
+  }
+
   /** The ffmpeg -ss/-t cut seat (extractSpeakingSegments.py:127–139).
     * Returns (path, bytesWritten) per file produced. */
   trait SegmentCutKernel extends Serializable {
     def cut(videoId: Long, trackId: Long, segIdx: Long,
         startFrame: Long, endFrame: Long, outDir: String): Seq[(String, Long)]
+
+    /** The kernel's entries as (relative path, payload) WITHOUT
+      * touching the filesystem — the seat archive mode consumes.
+      * Default: not supported (a real ffmpeg kernel shells out and
+      * must override or stay per-file). */
+    def render(videoId: Long, trackId: Long, segIdx: Long,
+        startFrame: Long, endFrame: Long): Seq[(String, Array[Byte])] =
+      throw new UnsupportedOperationException(
+        s"${getClass.getName}: archive mode needs render()")
   }
 
   /** Stub cutter: the AVI is a deterministic placeholder container
@@ -45,39 +119,57 @@ object MediaSinks {
     def sourceSample(videoId: Long, trackId: Long, i: Long): Short =
       (((videoId * 31L + trackId * 17L + i * 2654435761L) % 16384L) - 8192L).toShort
 
-    override def cut(videoId: Long, trackId: Long, segIdx: Long,
-        startFrame: Long, endFrame: Long, outDir: String): Seq[(String, Long)] = {
+    override def render(videoId: Long, trackId: Long, segIdx: Long,
+        startFrame: Long, endFrame: Long): Seq[(String, Array[Byte])] = {
       val base = f"track_$trackId%05d_segment_$segIdx%03d" // :120–121 naming
-      val dir = java.nio.file.Paths.get(outDir, f"v$videoId%05d")
-      java.nio.file.Files.createDirectories(dir)
-      val avi = dir.resolve(base + ".avi")
+      val rel = f"v$videoId%05d/$base"
       val nFrames = endFrame - startFrame
       val aviBytes = new Array[Byte]((64 + 128 * nFrames).toInt)
       java.util.Arrays.fill(aviBytes, 'A'.toByte)
-      java.nio.file.Files.write(avi, aviBytes)
       val pcm = Array.tabulate((nFrames * 640).toInt)(j =>
         sourceSample(videoId, trackId, startFrame * 640 + j))
       val wavBytes = Wav.encode(16000, 1, pcm)
-      val wav = dir.resolve(base + ".wav")
-      java.nio.file.Files.write(wav, wavBytes)
-      Seq(avi.toString -> aviBytes.length.toLong, wav.toString -> wavBytes.length.toLong)
+      Seq(s"$rel.avi" -> aviBytes, s"$rel.wav" -> wavBytes)
     }
+
+    override def cut(videoId: Long, trackId: Long, segIdx: Long,
+        startFrame: Long, endFrame: Long, outDir: String): Seq[(String, Long)] =
+      render(videoId, trackId, segIdx, startFrame, endFrame).map {
+        case (rel, payload) =>
+          val p = java.nio.file.Paths.get(outDir, rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, payload)
+          p.toString -> payload.length.toLong
+      }
   }
 
   /** Segment sink: one kernel call per segment row, executed on the
     * executors (mapPartitions), manifest back. Expects columns
     * video_id, track_id, seg_id, start_frame, end_frame. */
   def cutSegments(spark: SparkSession, segments: DataFrame, outDir: String,
-      kernel: SegmentCutKernel = StubCutKernel): DataFrame = {
+      kernel: SegmentCutKernel = StubCutKernel,
+      mode: SinkMode = PerFile): DataFrame = {
     import spark.implicits._
-    segments.select(col("video_id").cast("long"), col("track_id").cast("long"),
+    val in = segments.select(col("video_id").cast("long"), col("track_id").cast("long"),
         col("seg_id").cast("long"), col("start_frame").cast("long"),
         col("end_frame").cast("long"))
       .as[(Long, Long, Long, Long, Long)]
-      .mapPartitions(_.flatMap { case (v, t, s, sf, ef) =>
+    val out = mode match {
+      case PerFile => in.mapPartitions(_.flatMap { case (v, t, s, sf, ef) =>
         kernel.cut(v, t, s, sf, ef, outDir).map { case (p, b) => (v, t, s, p, b) }
       })
-      .toDF("video_id", "track_id", "seg_id", "path", "n_bytes")
+      case Archive => in.mapPartitions { it =>
+        val zip = new PartitionZip(outDir)
+        val rows = it.flatMap { case (v, t, s, sf, ef) =>
+          kernel.render(v, t, s, sf, ef).map { case (rel, payload) =>
+            (v, t, s, zip.add(rel, payload), payload.length.toLong)
+          }
+        }.toVector // drain before closing the zip
+        zip.close()
+        rows.iterator
+      }
+    }
+    out.toDF("video_id", "track_id", "seg_id", "path", "n_bytes")
   }
 
   /** Face-crop image sink (utils/tools.py:163–186): per row a stub
@@ -87,24 +179,26 @@ object MediaSinks {
     * box (x1·w, y1·h, x2·w, y2·h ints, tools.py:180–184) so the
     * geometry contract survives the stub. */
   def writeFaceCrops(spark: SparkSession, rows: DataFrame, outDir: String,
-      frameW: Int = 640, frameH: Int = 360): DataFrame = {
+      frameW: Int = 640, frameH: Int = 360, mode: SinkMode = PerFile): DataFrame = {
     import spark.implicits._
     rows.select(col("video_key").cast("string"), col("entity_id").cast("string"),
         col("frame_timestamp").cast("double"),
         col("x1").cast("double"), col("y1").cast("double"),
         col("x2").cast("double"), col("y2").cast("double"))
       .as[(String, String, Double, Double, Double, Double, Double)]
-      .mapPartitions(_.map { case (vk, ent, ts, x1, y1, x2, y2) =>
-        val dir = java.nio.file.Paths.get(outDir, vk, ent)
-        java.nio.file.Files.createDirectories(dir)
-        val name = f"$ts%.2f.jpg" // tools.py:175 naming
-        val px = Seq((x1 * frameW).toInt, (y1 * frameH).toInt,
-          (x2 * frameW).toInt, (y2 * frameH).toInt) // :180–184 int() casts
-        val payload = s"STUBJPG ${px.mkString(",")}".getBytes("UTF-8")
-        val p = dir.resolve(name)
-        java.nio.file.Files.write(p, payload)
-        (vk, ent, ts, p.toString, payload.length.toLong)
-      })
+      .mapPartitions { it =>
+        val sink = new EntrySink(mode, outDir)
+        val out = it.map { case (vk, ent, ts, x1, y1, x2, y2) =>
+          val name = f"$ts%.2f.jpg" // tools.py:175 naming
+          val px = Seq((x1 * frameW).toInt, (y1 * frameH).toInt,
+            (x2 * frameW).toInt, (y2 * frameH).toInt) // :180–184 int() casts
+          val payload = s"STUBJPG ${px.mkString(",")}".getBytes("UTF-8")
+          val p = sink.put(s"$vk/$ent/$name", payload)
+          (vk, ent, ts, p, payload.length.toLong)
+        }.toVector // drain before closing the zip
+        sink.close()
+        out.iterator
+      }
       .toDF("video_key", "entity_id", "frame_timestamp", "path", "n_bytes")
   }
 
@@ -148,9 +242,12 @@ object MediaSinks {
     * global track ordinal, which would need a global sort. Expects
     * procTracks columns (video_id, scene_id, track_id, frame, x, y, s). */
   def writeTrackCrops(spark: SparkSession, procTracks: DataFrame, outDir: String,
-      encoder: VideoEncoder = StubVideoEncoder): DataFrame = {
+      encoder: VideoEncoder = StubVideoEncoder,
+      mode: SinkMode = PerFile): DataFrame = {
     import spark.implicits._
-    procTracks.select(col("video_id").cast("long"), col("scene_id").cast("long"),
+    // Stage 1 (per track, in-memory): render the container, cut the
+    // audio, mux — no filesystem contact, so both layouts share it.
+    val rendered = procTracks.select(col("video_id").cast("long"), col("scene_id").cast("long"),
         col("track_id").cast("long"), col("frame").cast("int"),
         col("x").cast("double"), col("y").cast("double"), col("s").cast("double"))
       .as[(Long, Long, Long, Int, Double, Double, Double)]
@@ -158,8 +255,6 @@ object MediaSinks {
       .mapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Long, Int, Double, Double, Double)]) =>
         val (v, sc, t) = key
         val rows = it.toArray.sortBy(_._4)
-        val dir = java.nio.file.Paths.get(outDir, f"v$v%05d", "pycrop")
-        java.nio.file.Files.createDirectories(dir)
         val base = f"s$sc%03d_t$t%05d"
         // stub "rendered" 224×224 frame: the crop geometry as bytes
         val container = encoder.encode(224, 224, 25, rows.iterator.map { r =>
@@ -177,15 +272,36 @@ object MediaSinks {
         val pcm = Array.tabulate(((last + 1 - first) * 640).toInt)(j =>
           StubCutKernel.sourceSample(v, t, first * 640 + j))
         val wavBytes = Wav.encode(16000, 1, pcm)
-        java.nio.file.Files.write(dir.resolve(base + ".wav"), wavBytes)
         // mux (stub concat; real: ffmpeg -c:v copy -c:a copy)
         val out = new java.io.ByteArrayOutputStream()
         out.write("MUX1".getBytes("UTF-8")); out.write(container); out.write(wavBytes)
-        val fin = dir.resolve(base + ".avi")
-        java.nio.file.Files.write(fin, out.toByteArray)
-        (v, sc, t, fin.toString, java.nio.file.Files.size(fin), pcm.length.toLong)
+        (v, sc, t, f"v$v%05d/pycrop/$base", out.toByteArray, wavBytes, pcm.length.toLong)
       }
-      .toDF("video_id", "scene_id", "track_id", "path", "n_bytes", "wav_samples")
+    // Stage 2 (same stage, pipelined — no shuffle between the group
+    // kernel and the writer): lay the rendered entries out per `mode`.
+    val written = mode match {
+      case PerFile => rendered.mapPartitions(_.map {
+        case (v, sc, t, relBase, aviPayload, wavPayload, samples) =>
+          val p = java.nio.file.Paths.get(outDir, relBase + ".avi")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(
+            p.resolveSibling(p.getFileName.toString.stripSuffix(".avi") + ".wav"),
+            wavPayload)
+          java.nio.file.Files.write(p, aviPayload)
+          (v, sc, t, p.toString, aviPayload.length.toLong, samples)
+      })
+      case Archive => rendered.mapPartitions { it =>
+        val zip = new PartitionZip(outDir)
+        val rows = it.map { case (v, sc, t, relBase, aviPayload, wavPayload, samples) =>
+          zip.add(relBase + ".wav", wavPayload)
+          val p = zip.add(relBase + ".avi", aviPayload)
+          (v, sc, t, p, aviPayload.length.toLong, samples)
+        }.toVector // drain before closing the zip
+        zip.close()
+        rows.iterator
+      }
+    }
+    written.toDF("video_id", "scene_id", "track_id", "path", "n_bytes", "wav_samples")
   }
 
   /** Visualization sink (demoTalkNet.py:342–370): one overlay video
@@ -234,17 +350,22 @@ object MediaSinks {
 
   /** Frame dump sink (demoTalkNet.py:506): `%06d.jpg` per frame under
     * the video's dir — the `-f image2` naming contract. */
-  def dumpFrames(spark: SparkSession, frames: DataFrame, outDir: String): DataFrame = {
+  def dumpFrames(spark: SparkSession, frames: DataFrame, outDir: String,
+      mode: SinkMode = PerFile): DataFrame = {
     import spark.implicits._
     frames.select(col("video_id").cast("long"), col("frame").cast("long"))
       .as[(Long, Long)]
-      .mapPartitions(_.map { case (v, f) =>
-        val dir = java.nio.file.Paths.get(outDir, f"v$v%05d", "pyframes")
-        java.nio.file.Files.createDirectories(dir)
-        val p = dir.resolve(f"${f + 1}%06d.jpg") // image2 numbering is 1-based
-        java.nio.file.Files.write(p, s"STUBFRAME $v $f".getBytes("UTF-8"))
-        (v, f, p.toString)
-      })
+      .mapPartitions { it =>
+        val sink = new EntrySink(mode, outDir)
+        val out = it.map { case (v, f) =>
+          // image2 numbering is 1-based
+          val p = sink.put(f"v$v%05d/pyframes/${f + 1}%06d.jpg",
+            s"STUBFRAME $v $f".getBytes("UTF-8"))
+          (v, f, p)
+        }.toVector // drain before closing the zip
+        sink.close()
+        out.iterator
+      }
       .toDF("video_id", "frame", "path")
   }
 }

@@ -96,6 +96,94 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  /** Read every entry of every part-*.zip under `dir` as
+    * relPath -> bytes. */
+  private def zipEntries(dir: String): Map[String, Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.matches("part-\\d+\\.zip")).flatMap { p =>
+        val zf = new java.util.zip.ZipFile(p.toFile)
+        val es = zf.entries().asScala.map { e =>
+          e.getName -> zf.getInputStream(e).readAllBytes()
+        }.toVector
+        zf.close()
+        es
+      }.toMap
+  }
+
+  test("archive-mode segment sink: per-partition zips, per-file payloads and manifest preserved") {
+    import spark.implicits._
+    val outA = Files.createTempDirectory("graft_segzip").toString
+    val outF = Files.createTempDirectory("graft_segfile").toString
+    val segments = Seq((7L, 3L, 1L, 10L, 20L), (7L, 3L, 2L, 40L, 45L), (8L, 0L, 1L, 0L, 3L))
+      .toDF("video_id", "track_id", "seg_id", "start_frame", "end_frame")
+    val mA = MediaSinks.cutSegments(spark, segments, outA, mode = MediaSinks.Archive)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val mF = MediaSinks.cutSegments(spark, segments, outF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // manifests identical modulo path form; archive paths are <zip>!<entry>
+    assert(mA.map(r => (r._1, r._2, r._3, r._5)).sorted.toSeq ===
+      mF.map(r => (r._1, r._2, r._3, r._5)).sorted.toSeq)
+    assert(mA.forall(_._4.contains(".zip!")))
+    val entries = zipEntries(outA)
+    assert(entries.size === 6) // avi + wav per segment
+    // entry names preserve the reference layout; payloads match the
+    // per-file mode files byte for byte
+    mF.foreach { r =>
+      val rel = Paths.get(outF).relativize(Paths.get(r._4)).toString
+      assert(entries.contains(rel), rel)
+      assert(entries(rel).toSeq === Files.readAllBytes(Paths.get(r._4)).toSeq, rel)
+    }
+    // and far fewer filesystem objects than entries
+    assert(Files.list(Paths.get(outA)).count() <= spark.sparkContext.defaultParallelism)
+  }
+
+  test("archive-mode crop sink: zip entries equal per-file outputs, manifest bytes unchanged") {
+    import spark.implicits._
+    val outA = Files.createTempDirectory("graft_cropzip").toString
+    val outF = Files.createTempDirectory("graft_cropfile").toString
+    val proc = ((10 until 30).map(f => (5L, 1L, 2L, f, 100.0, 50.0, 20.0)) ++
+        (0 until 15).map(f => (6L, 0L, 0L, f, 10.0, 10.0, 5.0)))
+      .toDF("video_id", "scene_id", "track_id", "frame", "x", "y", "s")
+    val mA = MediaSinks.writeTrackCrops(spark, proc, outA, mode = MediaSinks.Archive)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+    val mF = MediaSinks.writeTrackCrops(spark, proc, outF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(mA.map(r => (r._1, r._2, r._3, r._5, r._6)).sorted.toSeq ===
+      mF.map(r => (r._1, r._2, r._3, r._5, r._6)).sorted.toSeq)
+    val entries = zipEntries(outA)
+    assert(entries.size === 4) // avi + wav per track
+    mF.foreach { r =>
+      val relAvi = Paths.get(outF).relativize(Paths.get(r._4)).toString
+      val relWav = relAvi.stripSuffix(".avi") + ".wav"
+      assert(entries(relAvi).toSeq === Files.readAllBytes(Paths.get(r._4)).toSeq)
+      assert(entries(relWav).toSeq ===
+        Files.readAllBytes(Paths.get(r._4.stripSuffix(".avi") + ".wav")).toSeq)
+    }
+  }
+
+  test("archive-mode face-crop and frame-dump sinks preserve entry layout and payloads") {
+    import spark.implicits._
+    val outA = Files.createTempDirectory("graft_facezip").toString
+    val rows = Seq(("vidA", "vidA_ent1", 2.0 / 25 * 45, 0.25, 0.5, 0.75, 1.0),
+        ("vidA", "vidA_ent2", 0.04, 0.0, 0.0, 0.5, 0.5))
+      .toDF("video_key", "entity_id", "frame_timestamp", "x1", "y1", "x2", "y2")
+    val m = MediaSinks.writeFaceCrops(spark, rows, outA, mode = MediaSinks.Archive)
+      .collect()
+    assert(m.length === 2 && m.forall(_.getString(3).contains(".zip!")))
+    val entries = zipEntries(outA)
+    assert(new String(entries("vidA/vidA_ent1/3.60.jpg"), "UTF-8") === "STUBJPG 160,180,480,360")
+    assert(new String(entries("vidA/vidA_ent2/0.04.jpg"), "UTF-8") === "STUBJPG 0,0,320,180")
+
+    val outF = Files.createTempDirectory("graft_framezip").toString
+    val frames = Seq((3L, 0L), (3L, 1L), (4L, 10L)).toDF("video_id", "frame")
+    val mf = MediaSinks.dumpFrames(spark, frames, outF, mode = MediaSinks.Archive).collect()
+    assert(mf.length === 3)
+    val fe = zipEntries(outF)
+    assert(new String(fe("v00003/pyframes/000001.jpg"), "UTF-8") === "STUBFRAME 3 0")
+    assert(new String(fe("v00004/pyframes/000011.jpg"), "UTF-8") === "STUBFRAME 4 10")
+  }
+
   test("frame dump uses the image2 %06d.jpg 1-based numbering") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_framesink").toString
