@@ -27,23 +27,72 @@ object ModelWeights {
     java.nio.file.Files.readAllBytes(p)
   }
 
+  def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
+  /** HTTP(S) fetcher — the real shape of the reference's gdown call
+    * (demoTalkNet.py:58–61: download the artifact by URL when the
+    * local copy is missing). Follows redirects (Drive-style download
+    * URLs 302 to the payload host), bounded timeouts, and fails
+    * loudly on any non-200 terminal status. Checksum enforcement
+    * lives in [[fetchIfMissing]] so every fetcher gets it. */
+  def httpFetcher(connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 120000): Fetcher = { uri =>
+    var url = java.net.URI.create(uri).toURL
+    var redirects = 0
+    var result: Array[Byte] = null
+    while (result == null) {
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setInstanceFollowRedirects(true) // same-protocol redirects
+      try {
+        val code = conn.getResponseCode
+        if (code >= 300 && code < 400) {
+          // cross-protocol (http→https) redirects the JDK won't follow
+          val loc = conn.getHeaderField("Location")
+          require(loc != null && redirects < 5, s"GET $uri: bad redirect chain")
+          redirects += 1
+          url = java.net.URI.create(loc).toURL
+        } else {
+          require(code == 200, s"GET $uri -> HTTP $code")
+          val in = conn.getInputStream
+          try result = in.readAllBytes() finally in.close()
+        }
+      } finally conn.disconnect()
+    }
+    result
+  }
+
   /** Fetch `uri` into `cacheDir/<name>` unless already cached
-    * (the gdown-if-missing contract), returning the cached path. */
+    * (the gdown-if-missing contract), returning the cached path.
+    * With `sha256` pinned: a cached file that fails the checksum is
+    * re-fetched (torn/poisoned cache recovery), and fetched bytes
+    * that fail it abort before touching the cache. */
   def fetchIfMissing(uri: String, name: String, cacheDir: String,
-      fetcher: Fetcher = fileFetcher): java.nio.file.Path = {
+      fetcher: Fetcher = fileFetcher,
+      sha256: Option[String] = None): java.nio.file.Path = {
     val dir = java.nio.file.Paths.get(cacheDir)
     java.nio.file.Files.createDirectories(dir)
     val target = dir.resolve(name)
-    if (!java.nio.file.Files.exists(target)) {
+    val cachedOk = java.nio.file.Files.exists(target) &&
+      sha256.forall(w =>
+        sha256Hex(java.nio.file.Files.readAllBytes(target)).equalsIgnoreCase(w))
+    if (!cachedOk) {
       val bytes = fetcher(uri)
-      // write-then-move so a concurrent reader never sees a torn file
+      sha256.foreach { w =>
+        val got = sha256Hex(bytes)
+        require(got.equalsIgnoreCase(w),
+          s"ModelWeights: checksum mismatch for $uri: expected $w got $got")
+      }
+      // write-then-move so a concurrent reader never sees a torn file;
+      // REPLACE_EXISTING so a checksum-failed cache entry heals
       val tmp = java.nio.file.Files.createTempFile(dir, name, ".part")
       java.nio.file.Files.write(tmp, bytes)
-      try java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => // racer won
-        java.nio.file.Files.deleteIfExists(tmp)
-      }
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     target
   }
@@ -52,8 +101,9 @@ object ModelWeights {
     * `.value` inside mapPartitions init — one deserialize per
     * executor, zero artifact-store reads per task. */
   def load(spark: SparkSession, uri: String, name: String, cacheDir: String,
-      fetcher: Fetcher = fileFetcher): Broadcast[Array[Byte]] = {
-    val cached = fetchIfMissing(uri, name, cacheDir, fetcher)
+      fetcher: Fetcher = fileFetcher,
+      sha256: Option[String] = None): Broadcast[Array[Byte]] = {
+    val cached = fetchIfMissing(uri, name, cacheDir, fetcher, sha256)
     spark.sparkContext.broadcast(java.nio.file.Files.readAllBytes(cached))
   }
 }
