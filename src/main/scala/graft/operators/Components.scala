@@ -74,7 +74,22 @@ object Components {
       labels = next.select(col("id"), col("comp2").as("comp"))
       round += 1
     }
-    require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
+    if (changed != 0) {
+      // diameter > maxIter — a chain-like graph propagation was never
+      // meant for. Switch to the O(log² n) star contraction instead of
+      // failing; `sym` is already checkpointed, so the handoff reads
+      // integers, not the upstream LSH pipeline.
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
+      val starL = starLabels(
+        sym.filter(col("a") < col("b")).select(col("b").as("u"), col("a").as("v")))
+      val out = nodes.select(col("id"))
+        .join(starL, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        .localCheckpoint()
+      checkpointRdd(starL).foreach(_.unpersist(blocking = false))
+      checkpointRdd(sym).foreach(_.unpersist(blocking = false))
+      return out
+    }
     val out = nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
@@ -83,6 +98,77 @@ object Components {
     // reused symmetric edge list — release both
     checkpointRdd(labels).foreach(_.unpersist(blocking = false))
     checkpointRdd(sym).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Large-star round (Kiveris et al. §3): every node attaches its
+    * LARGER neighbors to the minimum of its closed neighborhood.
+    * Edges arrive and leave canonically oriented (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    sym.filter(col("b") > col("a")).join(mins, "a")
+      .select(col("b").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Small-star round: every node bundles its SMALLER neighbors (and
+    * itself) onto their minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .select(explode(array(
+        struct(col("u").as("x"), col("m").as("y")),
+        struct(col("v").as("x"), col("m").as("y")))).as("p"))
+      .select(col("p.x").as("u"), col("p.y").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Alternating large-star/small-star contraction to the star
+    * fixpoint: every edge-connected node ends up pointing directly at
+    * its component minimum in O(log² n) rounds regardless of diameter
+    * (vs diameter rounds for propagation). Input: canonical (u > v)
+    * edge pairs. Returns (id, comp) for every edge-connected node. */
+  private def starLabels(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var e = pairs.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // set-equality fixpoint check: two cheap anti-joins on integer
+      // pairs (the first count is also what materializes `next`)
+      stable = next.exceptAll(e).count() == 0 && e.exceptAll(next).count() == 0
+      checkpointRdd(e).foreach(_.unpersist(blocking = false))
+      e = next
+      round += 1
+    }
+    require(stable, s"starLabels: no fixpoint after $maxRounds rounds")
+    // at the fixpoint the edge set IS the labeling: (u → component
+    // min) stars, centers labeling themselves
+    val out = e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      .localCheckpoint()
+    checkpointRdd(e).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Standalone star-contraction components — same contract as
+    * [[connectedComponents]], for callers that KNOW the graph is
+    * chain-like (diameter ≫ log n). */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val pairs = edges
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+    val starL = starLabels(pairs, maxRounds)
+    val out = nodes.select(col("id"))
+      .join(starL, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint()
+    checkpointRdd(starL).foreach(_.unpersist(blocking = false))
     out
   }
 

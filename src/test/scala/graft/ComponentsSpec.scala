@@ -40,6 +40,44 @@ class ComponentsSpec extends SparkSpec {
       (3L, 1L, 3L, 0), (4L, 1L, 3L, 0)))
   }
 
+  test("maxIter exhaustion on a long chain falls back to star contraction (no failure)") {
+    import spark.implicits._
+    // a 300-node chain has diameter 299 ≫ maxIter=8 — propagation
+    // cannot finish; the star fallback must close it to comp=0 anyway
+    val n = 300
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val comp = Components.connectedComponents(
+        (0L until n.toLong).toDF("id"), edges.toDF("id_a", "id_b"), maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction converges in O(log² n) rounds on the adversarial chain") {
+    import spark.implicits._
+    // direct star path with a tight round budget: 300-node chain,
+    // diameter 299, must converge well within 20 alternating rounds
+    // (propagation would need 299) — the budget IS the assertion
+    val n = 300
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val comp = Components.connectedComponentsStar(
+        (0L until n.toLong).toDF("id"), edges.toDF("id_a", "id_b"), maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction matches propagation on a mixed random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 150
+    val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val viaProp = run(0L until n map (_.toLong), edges)
+    val viaStar = Components.connectedComponentsStar(
+        (0L until n.toLong).toDF("id"), edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaProp)
+  }
+
   test("propagation matches a driver-side union-find on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 200
