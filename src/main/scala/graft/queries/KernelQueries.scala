@@ -121,6 +121,35 @@ object KernelQueries extends QueryPack {
         .orderBy(col("video_id"), col("scene_id"))
     },
 
+    // S3FD's REAL post-processing chain under the oracle gate
+    // (model/faceDetector/s3fd/box_utils.py decode/nms + __init__.py
+    // detect_faces): a CONSTRUCTED logits seat on which the greedy
+    // NMS provably reduces to per-cluster argmax — each prior row's 4
+    // boxes decode onto one cluster (every loser overlaps its winner
+    // with IoU ≥ 0.538 > 0.3), clusters touch edge-to-edge (IoU = 0,
+    // never suppressed), row 2 fails the 0.05 conf gate by a wide
+    // margin, and scores are strictly monotone in integer logit gaps
+    // so softmax never decides a tie. Coordinates mirror the decode
+    // expression tree term-for-term (exp(0) = 1 exactly, so the box
+    // size path is exact); the ADVERSARIAL shapes (suppression
+    // chains, le-boundary, top-k) stay pinned by S3fdPostSpec.
+    "q112_s3fd_detect" -> { (s, dir) =>
+      import s.implicits._
+      val det = new graft.operators.S3fdPost.S3fdDetector(Q112Seat,
+        imh = 64, imw = 64, featureMaps = Seq((4, 4)),
+        minSizes = Seq(16), steps = Seq(16), confTh = 0.8)
+      graft.sources.Tables.table(s, dir, "customer")
+        .select(col("c_custkey").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.flatMap { v =>
+          det.detect(v, 0, 0.0).map { case (x1, y1, x2, y2, _) =>
+            (v, (y1 / 16).toLong, x1, y1, x2, y2) // y1 = 16·row exactly
+          }
+        })
+        .toDF("video_id", "cluster", "x1", "y1", "x2", "y2")
+        .orderBy(col("video_id"), col("cluster"))
+    },
+
     // The StatsManager side of scene detection (demoTalkNet.py:95):
     // the per-frame metric rows the detector consumes, as a table of
     // EXACT integer channel |Δ| sums — pins the full fixed-point HSV
@@ -162,6 +191,51 @@ object KernelQueries extends QueryPack {
        |SELECT doc_id, CAST(sum(q4) AS BIGINT) AS crop_q_sum
        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q112's network seat: 16 priors of the (4,4)/stride-16 grid on a
+    * 64² image. Row boxes converge on cx = 0.5 + 0.025j (lx = 15−9j:
+    * 15−10j recenters prior column j onto 0.5, +j spreads the cluster
+    * so boxes stay distinct); sizes untouched (lw = lh = 0 ⇒ exp(0),
+    * exact). Row 2's face logit is −4 (p ≈ .018 — masked); elsewhere
+    * c1 = 2 + ((7v+5i+3j) mod 8)/8, distinct within a row (3j mod 8
+    * hits {0,3,6,1}) and ≥ 2 ⇒ p ≥ .88 — clears both conf gates with
+    * margin. */
+  private object Q112Seat extends graft.operators.S3fdPost.LogitsSeat {
+    def logits(videoId: Long, frame: Int, content: Double,
+        n: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+      val loc = Array.tabulate(n) { p =>
+        Array((15 - 9 * (p % 4)).toDouble, 0.0, 0.0, 0.0)
+      }
+      val conf = Array.tabulate(n) { p =>
+        val i = p / 4; val j = p % 4
+        val c1 = if (i == 2) -4.0
+          else 2.0 + ((videoId * 7 + i * 5 + j * 3) % 8).toDouble * 0.125
+        Array(0.0, c1)
+      }
+      (loc, conf)
+    }
+  }
+
+  /** Mirrors q112: winner per (video, row) = max logit key (softmax
+    * is strictly monotone in the gap, so argmax transfers); the box
+    * algebra repeats decode's exact expression order — (j+0.5)/4 +
+    * (15−9j)·0.1·0.25 left-associated, −0.125 (= w/2 with exp(0) = 1
+    * exact), +0.25, ×64. */
+  private val q112Sql =
+    """WITH g AS (
+      |  SELECT c_custkey AS video_id, r1.i AS i, r2.j AS j,
+      |    (c_custkey*7 + r1.i*5 + r2.j*3) % 8 AS m
+      |  FROM customer, range(0,4) r1(i), range(0,4) r2(j)
+      |  WHERE r1.i <> 2),
+      |w AS (SELECT video_id, i, j,
+      |    row_number() OVER (PARTITION BY video_id, i ORDER BY m DESC, j) AS rn
+      |  FROM g)
+      |SELECT CAST(video_id AS BIGINT) AS video_id, CAST(i AS BIGINT) AS cluster,
+      |  ((j+0.5)/4 + (15-9*j)*0.1*0.25 - 0.125)*64 AS x1,
+      |  ((i+0.5)/4 + 0.0*0.1*0.25 - 0.125)*64 AS y1,
+      |  ((j+0.5)/4 + (15-9*j)*0.1*0.25 - 0.125 + 0.25)*64 AS x2,
+      |  ((i+0.5)/4 + 0.0*0.1*0.25 - 0.125 + 0.25)*64 AS y2
+      |FROM w WHERE rn = 1 ORDER BY video_id, cluster""".stripMargin
 
   /** Per-channel Σ|Δ| between a frame's HSV list and its lag. */
   private def chanSum(f: String) =
@@ -262,6 +336,7 @@ object KernelQueries extends QueryPack {
     "q66_visual_preprocess" -> q66Sql,
     "q110_scene_content" -> q110Sql,
     "q111_scene_stats" -> q111Sql,
+    "q112_s3fd_detect" -> q112Sql,
 
     // documents text is ASCII (driver-generated), so byte == codepoint.
     "q29_payload_features" ->
