@@ -32,4 +32,44 @@ object Enumerate {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Distributed PREFIX SUM: append the inclusive global running sum
+    * of long column `valueCol` under the total order `sortCols` —
+    * `sum(v) OVER (ORDER BY …)` without the one-task global window.
+    * Plan: range-partition + sort (as above), ONE job summing each
+    * partition (partition-count longs to the driver, never rows),
+    * broadcast the exclusive per-partition offsets, then a map adds
+    * offset + local prefix. Same partitioning-independence argument
+    * as globalRowNumber: a total order makes the result identical
+    * for any range-boundary placement. */
+  def globalRunningSum(df: DataFrame, valueCol: String, out: String,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd = sorted.rdd
+    rdd.cache() // two passes (partition totals, then the scan) — one sort
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // exclusive offsets: partition p starts at Σ sums(0until p)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    val res = spark.createDataFrame(outRdd, schema).localCheckpoint()
+    rdd.unpersist(blocking = false)
+    res
+  }
 }

@@ -240,6 +240,29 @@ object TextQueries extends QueryPack {
         .orderBy(col("pos"))
     },
 
+    // TOKEN-BUDGET corpus cut ("give me exactly ≤ B training tokens"):
+    // docs in a deterministic hash order (family 11300, disjoint from
+    // q49/q79/q90/q103), keep the maximal prefix whose running token
+    // total stays ≤ B. The running total is Enumerate.globalRunningSum
+    // — a distributed prefix sum (range-partitioned sort, one
+    // partition-totals job, broadcast offsets) — NOT a bare
+    // sum() OVER (ORDER BY) window, which would single-task the
+    // corpus. Total order (key, doc_id) ⇒ partitioning-independent.
+    "q113_token_budget" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(11300)
+      val key = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L))
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          key.cast("long").as("order_key"))
+      graft.operators.Enumerate.globalRunningSum(docs, "n_tokens", "cum_tokens",
+          col("order_key"), col("doc_id"))
+        .filter(col("cum_tokens") <= 25000L)
+        .select(col("doc_id"), col("order_key"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("cum_tokens"))
+    },
+
     // CLASSIFIER-based quality filtering (the FineWeb-style learned
     // gate): a linear model over per-doc features — stopword count
     // and lexical diversity, both over the shared n_tokens
@@ -698,6 +721,21 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, CAST($uh AS BIGINT) AS shuffle_key,
          |  CAST(row_number() OVER (ORDER BY $uh, doc_id) AS BIGINT) AS pos
          |FROM documents ORDER BY pos""".stripMargin
+    },
+
+    // The physical plan is the distributed prefix sum; the relational
+    // answer is the plain running-total window.
+    "q113_token_budget" -> {
+      val uh113 = Q.uhashSql("11300", "(doc_id % 4294967291)")
+      s"""WITH t AS (SELECT doc_id, CAST($uh113 AS BIGINT) AS order_key,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, order_key, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY order_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, order_key, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 25000 ORDER BY cum_tokens""".stripMargin
     },
 
     "q103_sample_exact" -> {

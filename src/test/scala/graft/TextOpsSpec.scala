@@ -74,6 +74,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum: matches a bare cumsum window and is partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = (1L to 500L).map(i => (i, (i * 7919) % 97, (i * 31) % 11 + 1))
+      .toDF("id", "key", "v")
+    val want = base
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(col("key"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "key", "v", "cum").as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    for (np <- Seq(1, 7, 32)) {
+      val got = graft.operators.Enumerate
+        .globalRunningSum(base.repartition(np), "v", "cum", col("key"), col("id"))
+        .select("id", "key", "v", "cum").as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got === want, s"input partitions = $np")
+    }
+  }
+
   test("decontaminate: distinct shared grams counted, clean docs kept at 0") {
     import spark.implicits._
     val docs = Seq(
