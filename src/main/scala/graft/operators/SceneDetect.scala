@@ -110,7 +110,9 @@ object SceneDetect {
     var prev: Array[Int] = null
     var i = 0
     while (i < rows.length) {
-      val px = graft.operators.Visual.decodeBgrStub(rows(i)._2, h, w)
+      // unified seat: REAL ImageIO decode for image payloads, the
+      // deterministic stub raster for synthetic ones
+      val px = graft.operators.ImageCodec.decodeBgrAuto(rows(i)._2, h, w)
       val hsv = new Array[Int](npix * 3)
       var p = 0
       while (p < npix) {

@@ -93,9 +93,11 @@ object Visual {
   }
 
   /** The full chain: decode h×w BGR → gray → resize S×S → center half
-    * crop (returns (S/2)² values, row-major). */
+    * crop (returns (S/2)² values, row-major). Decode goes through the
+    * unified seat (ImageCodec.decodeBgrAuto): REAL ImageIO decode for
+    * image payloads, the stub raster for synthetic ones. */
   def preprocess(payload: Array[Byte], h: Int, w: Int, resizeTo: Int): Array[Double] =
     centerCropHalf(
-      resizeBilinear(bgr2gray(decodeBgrStub(payload, h, w), h, w), h, w, resizeTo, resizeTo),
+      resizeBilinear(bgr2gray(ImageCodec.decodeBgrAuto(payload, h, w), h, w), h, w, resizeTo, resizeTo),
       resizeTo)
 }

@@ -150,6 +150,38 @@ object KernelQueries extends QueryPack {
         .orderBy(col("video_id"), col("cluster"))
     },
 
+    // REAL image codec under the oracle gate: per doc a deterministic
+    // 16×16 BGR raster (byte k = (31·doc_id + 5k + 17) mod 256) is
+    // PNG-encoded and decoded back through the JDK's ImageIO inside
+    // the kernel — a real lossless codec, not a stub — and the
+    // features (exact OpenCV gray + HSV integer sums) come from the
+    // DECODED pixels. The oracle recomputes them from the raster
+    // formula alone, so the hash matches iff the codec roundtrip is
+    // pixel-perfect. This is the cv2.imread seat (demoTalkNet.py:
+    // 115–120) made real for images.
+    "q114_png_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { d =>
+          val raster = Array.tabulate(768)(k => ((d * 31 + k * 5 + 17) % 256).toInt)
+          val png = graft.operators.ImageCodec.encodePng(raster, 16, 16)
+          val px = graft.operators.ImageCodec.decodeBgrAuto(png, 16, 16)
+          var graySum = 0L; var hSum = 0L; var sSum = 0L; var vSum = 0L
+          var p = 0
+          while (p < 256) {
+            graySum += graft.operators.Visual.grayFixedPoint(px(3 * p), px(3 * p + 1), px(3 * p + 2))
+            val (hh, ss, vv) = graft.operators.SceneDetect.bgr2hsv(px(3 * p), px(3 * p + 1), px(3 * p + 2))
+            hSum += hh; sSum += ss; vSum += vv
+            p += 1
+          }
+          (d, graySum, hSum, sSum, vSum)
+        })
+        .toDF("doc_id", "gray_sum", "h_sum", "s_sum", "v_sum")
+        .orderBy(col("doc_id"))
+    },
+
     // The StatsManager side of scene detection (demoTalkNet.py:95):
     // the per-frame metric rows the detector consumes, as a table of
     // EXACT integer channel |Δ| sums — pins the full fixed-point HSV
@@ -332,11 +364,44 @@ object KernelQueries extends QueryPack {
        |FROM lg WHERE prv IS NOT NULL
        |ORDER BY video_id, frame""".stripMargin
 
+  /** Mirrors q114 from the raster FORMULA (the codec's losslessness
+    * is exactly what's under test on the Spark side): same fixed
+    * point as q110's HSV and q66's gray, row-per-pixel instead of
+    * lists. */
+  private val q114Sql = {
+    val sdiv = graft.operators.SceneDetect.sdivTable.mkString("[", ", ", "]")
+    val hdiv = graft.operators.SceneDetect.hdivTable.mkString("[", ", ", "]")
+    s"""WITH tabs AS (SELECT $sdiv AS sdiv, $hdiv AS hdiv),
+       |px AS (SELECT doc_id, p,
+       |    CAST((doc_id*31 + (3*p+0)*5 + 17) % 256 AS INT) AS b,
+       |    CAST((doc_id*31 + (3*p+1)*5 + 17) % 256 AS INT) AS g,
+       |    CAST((doc_id*31 + (3*p+2)*5 + 17) % 256 AS INT) AS r
+       |  FROM documents, range(0, 256) rp(p)),
+       |vm AS (SELECT doc_id, b, g, r,
+       |    greatest(b, g, r) AS v,
+       |    greatest(b, g, r) - least(b, g, r) AS df
+       |  FROM px),
+       |hs AS (SELECT doc_id, v,
+       |    CAST(floor((CASE WHEN v = r THEN g - b
+       |        WHEN v = g THEN b - r + 2*df
+       |        ELSE r - g + 4*df END * hdiv[df + 1] + 2048) / 4096.0) AS INT) AS h0,
+       |    CAST(floor((df * sdiv[v + 1] + 2048) / 4096.0) AS INT) AS s,
+       |    (r*4899 + g*9617 + b*1868 + 8192) // 16384 AS gray
+       |  FROM vm, tabs)
+       |SELECT doc_id,
+       |  CAST(sum(gray) AS BIGINT) AS gray_sum,
+       |  CAST(sum(CASE WHEN h0 < 0 THEN h0 + 180 ELSE h0 END) AS BIGINT) AS h_sum,
+       |  CAST(sum(s) AS BIGINT) AS s_sum,
+       |  CAST(sum(v) AS BIGINT) AS v_sum
+       |FROM hs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle = Map(
     "q66_visual_preprocess" -> q66Sql,
     "q110_scene_content" -> q110Sql,
     "q111_scene_stats" -> q111Sql,
     "q112_s3fd_detect" -> q112Sql,
+    "q114_png_roundtrip" -> q114Sql,
 
     // documents text is ASCII (driver-generated), so byte == codepoint.
     "q29_payload_features" ->
