@@ -54,7 +54,7 @@ object Enumerate {
     val partSums = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
+        it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
         Iterator((pid, s))
       }
       .collect().sortBy(_._1).map(_._2)
@@ -64,7 +64,9 @@ object Enumerate {
     val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
       it.map { r =>
-        acc += r.getLong(vIdx)
+        // null contributes 0 — matches SQL sum(), which skips NULLs,
+        // so the running total (declared non-nullable) stays defined
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
         Row.fromSeq(r.toSeq :+ acc)
       }
     }

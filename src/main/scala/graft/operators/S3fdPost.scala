@@ -22,8 +22,9 @@ package graft.operators
   *  - Detect.forward (box_utils.py): conf > 0.05 mask → NMS(0.3,
   *    5000) → top 750 rows (score, box) in keep order;
   *  - detect_faces (__init__.py:32–62): scale boxes back to pixel
-  *    coordinates and consume the score-descending prefix with
-  *    score > conf_th.
+  *    coordinates, consume the score-descending prefix with
+  *    score > conf_th, then the final `nms_(bboxes, 0.1)` pass over
+  *    the pixel-scaled survivors (__init__.py:62).
   */
 object S3fdPost {
 
@@ -132,11 +133,47 @@ object S3fdPost {
     val boxes = ids.map(i => decode(loc(i), priorBoxes(i)))
     val keep = nms(boxes, scores, nmsThresh, nmsTopK).take(topK)
     // detect_faces: pt = detections · (w, h, w, h), consume while
-    // score > conf_th (keep order IS score-descending)
-    keep.iterator.map { k =>
+    // score > conf_th (keep order IS score-descending) …
+    val prefix = keep.iterator.map { k =>
       (boxes(k)(0) * imw, boxes(k)(1) * imh,
         boxes(k)(2) * imw, boxes(k)(3) * imh, scores(k))
-    }.takeWhile(_._5 > confTh).toSeq
+    }.takeWhile(_._5 > confTh).toArray
+    // … then the SECOND pass: nms_(bboxes, 0.1) over the pixel-scaled,
+    // conf_th-filtered rows (__init__.py:62) — boxes that cleared
+    // Detect.forward's NMS(0.3) but overlap in (0.1, 0.3] die here
+    val pixBoxes = prefix.map(d => Array(d._1, d._2, d._3, d._4))
+    nmsRef(pixBoxes, prefix.map(_._5), secondNms).map(prefix).toSeq
+  }
+
+  /** Default threshold of detect_faces' final `nms_(bboxes, 0.1)` pass. */
+  val secondNms: Double = 0.1
+
+  /** Greedy NMS, py_cpu `nms_` parity (box_utils.py:7–38): no top-k
+    * cap, and IoU accumulated as `areas[i] + areas[j] − inter` (the
+    * torch-nms pass associates it `(areas[j] − inter) + areas[i]`) —
+    * kept bit-identical to each source. Tie orientation matches
+    * argsort()[::-1]: larger index first. */
+  def nmsRef(boxes: Array[Array[Double]], scores: Array[Double],
+      thresh: Double): Array[Int] = {
+    val n = scores.length
+    if (n == 0) return Array.empty
+    val areas = boxes.map(b => (b(2) - b(0)) * (b(3) - b(1)))
+    var order = (0 until n).sortBy(i => (-scores(i), -i)).toArray
+    val keep = Array.newBuilder[Int]
+    while (order.nonEmpty) {
+      val i = order.head
+      keep += i
+      order = order.tail.filter { j =>
+        val xx1 = math.max(boxes(i)(0), boxes(j)(0))
+        val yy1 = math.max(boxes(i)(1), boxes(j)(1))
+        val xx2 = math.min(boxes(i)(2), boxes(j)(2))
+        val yy2 = math.min(boxes(i)(3), boxes(j)(3))
+        val inter = math.max(0.0, xx2 - xx1) * math.max(0.0, yy2 - yy1)
+        val ovr = inter / (areas(i) + areas(j) - inter)
+        ovr <= thresh
+      }
+    }
+    keep.result()
   }
 
   /** The network-forward seat: per frame, (loc n×4, conf-logits n×2)

@@ -54,7 +54,7 @@ object ModelWeights {
           val loc = conn.getHeaderField("Location")
           require(loc != null && redirects < 5, s"GET $uri: bad redirect chain")
           redirects += 1
-          url = java.net.URI.create(loc).toURL
+          url = resolveRedirect(url, loc)
         } else {
           require(code == 200, s"GET $uri -> HTTP $code")
           val in = conn.getInputStream
@@ -64,6 +64,12 @@ object ModelWeights {
     }
     result
   }
+
+  /** Resolve a redirect `Location` header against the URL that issued
+    * it: the header may be RELATIVE (RFC 7231 §7.1.2 — common from
+    * real servers), which `URI.create(loc).toURL` alone rejects. */
+  def resolveRedirect(current: java.net.URL, loc: String): java.net.URL =
+    current.toURI.resolve(loc).toURL
 
   /** Fetch `uri` into `cacheDir/<name>` unless already cached
     * (the gdown-if-missing contract), returning the cached path.

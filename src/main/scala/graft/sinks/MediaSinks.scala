@@ -52,7 +52,8 @@ object MediaSinks {
     * (= per-file mode bytes) either way. */
   private final class PartitionZip(outDir: String) {
     private var zos: java.util.zip.ZipOutputStream = null
-    private var zipPath: String = null
+    private var zipPath: String = null   // final (manifest-visible) path
+    private var tmpPath: java.nio.file.Path = null // attempt-unique staging
     def path: String = zipPath
     def add(relPath: String, payload: Array[Byte]): String = {
       if (zos == null) {
@@ -60,9 +61,17 @@ object MediaSinks {
         val dir = java.nio.file.Paths.get(outDir)
         java.nio.file.Files.createDirectories(dir)
         zipPath = dir.resolve(f"part-$pid%05d.zip").toString
+        // stream to an ATTEMPT-UNIQUE temp and rename on close: a
+        // speculative duplicate or retried attempt writing the final
+        // name directly would interleave bytes into one corrupt zip;
+        // with staging each attempt renames a COMPLETE file (last
+        // rename wins — both carry identical content)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId).getOrElse(Thread.currentThread().getId)
+        tmpPath = dir.resolve(f".part-$pid%05d-attempt-$attempt.zip.tmp")
         zos = new java.util.zip.ZipOutputStream(
           new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(zipPath), 1 << 16))
+            java.nio.file.Files.newOutputStream(tmpPath), 1 << 16))
         zos.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
       }
       zos.putNextEntry(new java.util.zip.ZipEntry(relPath))
@@ -70,7 +79,12 @@ object MediaSinks {
       zos.closeEntry()
       s"$zipPath!$relPath"
     }
-    def close(): Unit = if (zos != null) zos.close()
+    def close(): Unit = if (zos != null) {
+      zos.close()
+      java.nio.file.Files.move(tmpPath, java.nio.file.Paths.get(zipPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Per-partition entry writer dispatching on [[SinkMode]]: PerFile

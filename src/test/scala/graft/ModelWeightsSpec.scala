@@ -63,6 +63,16 @@ class ModelWeightsSpec extends SparkSpec {
     }
   }
 
+  test("resolveRedirect: relative and absolute Location values both resolve") {
+    val at = java.net.URI.create("http://host:8080/a/b/weights").toURL
+    assert(ModelWeights.resolveRedirect(at, "/drive/v2/payload").toString ===
+      "http://host:8080/drive/v2/payload")
+    assert(ModelWeights.resolveRedirect(at, "payload2").toString ===
+      "http://host:8080/a/b/payload2")
+    assert(ModelWeights.resolveRedirect(at, "https://cdn.example/w.model").toString ===
+      "https://cdn.example/w.model")
+  }
+
   test("checksum pinning: mismatch aborts, poisoned cache entry heals") {
     val weights = Array.tabulate[Byte](2048)(i => ((i * 37) % 256).toByte)
     val good = ModelWeights.sha256Hex(weights)

@@ -114,6 +114,38 @@ class S3fdPostSpec extends AnyFunSuite {
     assert((dets(1)._1, dets(1)._2, dets(1)._3, dets(1)._4) === ((40.0, 40.0, 56.0, 56.0)))
   }
 
+  test("detectFrame: second nms_(0.1) pass kills IoU in (0.1, 0.3]") {
+    // two 16-px priors on a 1×2 map; shift prior 1 left so the decoded
+    // boxes overlap at IoU = (a−d)/(a+d) = 0.2 — past Detect.forward's
+    // NMS(0.3) gate, inside detect_faces' final nms_(0.1) kill zone
+    val pri = S3fdPost.priors(64, 64, Seq((1, 2)), minSizes = Seq(16), steps = Seq(32))
+    // prior 1: cx 0.75 → 0.25 + (2/3)·0.25; lx = Δcx / (v0 · pw)
+    val lx = ((0.25 + 2.0 / 3 * 0.25) - 0.75) / (0.1 * 0.25)
+    val loc = Array(Array(0.0, 0.0, 0.0, 0.0), Array(lx, 0.0, 0.0, 0.0))
+    val conf = Array(Array(0.0, 3.0), Array(0.0, 2.5))
+    val dets = S3fdPost.detectFrame(loc, conf, pri, 64, 64)
+    assert(dets.length === 1) // survived NMS(0.3), suppressed by nms_(0.1)
+    assert(dets.head._5 === S3fdPost.softmaxFace(0.0, 3.0))
+    // control: at IoU exactly 0 both survive (the q112 oracle regime)
+    val loc0 = Array.fill(2)(Array(0.0, 0.0, 0.0, 0.0))
+    assert(S3fdPost.detectFrame(loc0, conf, pri, 64, 64).length === 2)
+  }
+
+  test("nmsRef: py_cpu nms_ parity — keep order, tie orientation, threshold edge") {
+    val boxes = Array(
+      Array(0.0, 0.0, 10.0, 10.0),   // 0: area 100
+      Array(5.0, 0.0, 15.0, 10.0),   // 1: IoU with 0 = 50/150 ≈ 0.333
+      Array(20.0, 0.0, 30.0, 10.0),  // 2: disjoint
+      Array(0.0, 0.0, 10.0, 10.0))   // 3: duplicate of 0, same score
+    val scores = Array(0.9, 0.8, 0.7, 0.9)
+    // ties: argsort()[::-1] pops the LARGER index first → 3 before 0
+    assert(S3fdPost.nmsRef(boxes, scores, 0.5).toSeq === Seq(3, 1, 2))
+    // ovr <= thresh keeps (inclusive boundary): IoU(0,1) = 1/3
+    assert(S3fdPost.nmsRef(boxes.take(3), scores.take(3), 1.0 / 3).toSeq === Seq(0, 1, 2))
+    assert(S3fdPost.nmsRef(boxes.take(3), scores.take(3), 0.3).toSeq === Seq(0, 2))
+    assert(S3fdPost.nmsRef(Array.empty, Array.empty, 0.1).toSeq === Seq.empty)
+  }
+
   test("S3fdDetector plugs the chain into the FaceDetector seat") {
     val seat = new S3fdPost.LogitsSeat {
       def logits(videoId: Long, frame: Int, content: Double, n: Int) = {

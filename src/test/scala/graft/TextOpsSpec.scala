@@ -91,6 +91,16 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum: NULL values contribute 0, matching SQL sum()") {
+    import spark.implicits._
+    val base = Seq[(Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, 7L), (4L, null), (5L, 1L))
+      .toDF("id", "v")
+    val got = graft.operators.Enumerate
+      .globalRunningSum(base.repartition(3), "v", "cum", col("id"))
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 5L), (2L, 5L), (3L, 12L), (4L, 12L), (5L, 13L)))
+  }
+
   test("decontaminate: distinct shared grams counted, clean docs kept at 0") {
     import spark.implicits._
     val docs = Seq(
