@@ -28,6 +28,15 @@ object TextOps {
         i => array_join(slice(w, i + lit(1), lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Adjacent token pairs `"w[i] w[i+1]"` (the BPE-training merge
+    * candidates); `[]` when fewer than 2 words. Array-local per row —
+    * no join, no window, whole-stage codegen. */
+  def adjacentPairs(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
   /** Sliding-window chunking with overlap (LLM context packing:
     * window tokens per chunk, advancing by stride < window). Emits one
     * row per chunk: (id, chunk_id, start, n_chunk_tokens, chunk_fp).
@@ -86,6 +95,52 @@ object TextOps {
     val benchVocab = grams.filter(col("is_bench")).select(col("g")).distinct()
     val shared = grams.filter(!col("is_bench"))
       .join(broadcast(benchVocab), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_shared"))
+    docs.filter(!isBenchmark).select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  /** [[decontaminate]] with a BLOOM-FILTER pre-filter on the corpus
+    * side — the shape that survives 100 TB. The exact plan above
+    * shuffles every corpus gram that exists in the benchmark vocab;
+    * this one first builds a bloom sketch of the benchmark grams
+    * (`df.stat.bloomFilter`: per-partition sketches OR-merged on the
+    * driver — O(bits), never O(rows)), broadcasts it, and drops
+    * ~(1−fpp) of clean corpus grams BEFORE the exact join. The bloom
+    * has NO false negatives, so the exact join over the survivors
+    * returns byte-identical results to [[decontaminate]] — same
+    * oracle. False positives only cost join work (they fail the exact
+    * match), so `fpp` tunes memory vs wasted join rows, never
+    * correctness. The mightContain probe is the one non-codegen seam
+    * (a broadcast-sketch lookup), placed AFTER the codegen'd
+    * gram explode and BEFORE the shuffle — the hot path it guards is
+    * exactly the shuffle it shrinks.
+    *
+    * `expectedItems` sizes the sketch for the benchmark vocabulary
+    * (eval suites — thousands to millions of grams, not the corpus);
+    * if the vocab outgrows a single broadcast, the exact stage
+    * degrades gracefully to a shuffle join whose corpus side is
+    * already bloom-pruned. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, k: Int, expectedItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val grams = docs
+      .withColumn("is_bench", isBenchmark)
+      .select(col(idCol), col("is_bench"),
+        explode(ngrams(words(col(textCol)), k)).as("g"))
+    val benchGrams = grams.filter(col("is_bench")).select(col("g"))
+    val bloom = benchGrams.stat.bloomFilter("g", expectedItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    val candidates = grams.filter(!col("is_bench"))
+      .filter(mightContain(col("g")))
+    val shared = candidates
+      .join(broadcast(benchGrams.distinct()), Seq("g"))
       .groupBy(col(idCol))
       .agg(count_distinct(col("g")).as("n_shared"))
     docs.filter(!isBenchmark).select(col(idCol))

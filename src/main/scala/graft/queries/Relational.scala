@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, filters, joins, aggregations, set ops,
@@ -213,9 +214,118 @@ object Relational extends QueryPack {
           col("n_orders"))
         .orderBy(col("o_custkey"))
     },
+
+    // Z-ORDER layout audit: Morton-interleave two 8-bit quantized
+    // dims and measure, per contiguous key range (z >> 6 → 64-z-value
+    // buckets), the min/max spread of BOTH dims. A z-sorted layout
+    // bounds both coordinates inside every contiguous range — the
+    // property that lets file-level min/max stats prune on two
+    // columns at once (sort by (x, y) and the y bounds are the whole
+    // domain in every x run). Pure integer bit math + one hash agg;
+    // the write-side sibling is Layout.zorderBy (repartitionByRange
+    // on z = the 100 TB layout step, LayoutSpec pins the bounds).
+    "q118_zorder_stats" -> { (s, dir) =>
+      import graft.operators.Layout
+      Tables.table(s, dir, "lineitem")
+        .select((col("l_partkey") % 256L).as("zx"),
+          (col("l_suppkey") % 256L).as("zy"))
+        .withColumn("z", Layout.zValue(col("zx"), col("zy"), bits = 8))
+        .withColumn("bucket", shiftright(col("z"), 6))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zx")).as("x_min"), max(col("zx")).as("x_max"),
+          min(col("zy")).as("y_min"), max(col("zy")).as("y_max"))
+        .orderBy(col("bucket"))
+    },
+
+    // Feature CORRELATION matrix in ONE pass (feature-selection /
+    // drift profiling): Pearson r for all six pairs of the four
+    // lineitem measures from a single aggregation of exact sufficient
+    // statistics. Sums run over integer cents in DECIMAL(38,0) —
+    // exact and associative, so partial aggregation commutes and the
+    // result is partition-count-independent (r is scale-invariant, so
+    // cents give the same r as raw units). The only doubles are the
+    // FINAL casts: r = num / (sqrt(vx)·sqrt(vy)) on identical
+    // expression trees both engines. Magnitudes: n·Σx² < 1e33 at
+    // SF-1000 — decimal38 headroom, where a raw-double sum would long
+    // have gone nondeterministic under reordering.
+    "q120_corr_matrix" -> { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+        .select(cents(col("l_quantity")).as("q"),
+          cents(col("l_extendedprice")).as("p"),
+          cents(col("l_discount")).as("d"),
+          cents(col("l_tax")).as("t"))
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+      val agg = li.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        dsum(col("q")).as("sq"), dsum(col("p")).as("sp"),
+        dsum(col("d")).as("sd"), dsum(col("t")).as("st"),
+        dsum(col("q") * col("q")).as("sqq"), dsum(col("p") * col("p")).as("spp"),
+        dsum(col("d") * col("d")).as("sdd"), dsum(col("t") * col("t")).as("stt"),
+        dsum(col("q") * col("p")).as("sqp"), dsum(col("q") * col("d")).as("sqd"),
+        dsum(col("q") * col("t")).as("sqt"), dsum(col("p") * col("d")).as("spd"),
+        dsum(col("p") * col("t")).as("spt"), dsum(col("d") * col("t")).as("sdt"))
+      def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
+        (col("n") * sxy - sx * sy).cast("double") /
+          (sqrt((col("n") * sxx - sx * sx).cast("double")) *
+            sqrt((col("n") * syy - sy * sy).cast("double")))
+      agg
+        .withColumn("r_qp", r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")))
+        .withColumn("r_qd", r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")))
+        .withColumn("r_qt", r(col("sqt"), col("sq"), col("st"), col("sqq"), col("stt")))
+        .withColumn("r_pd", r(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")))
+        .withColumn("r_pt", r(col("spt"), col("sp"), col("st"), col("spp"), col("stt")))
+        .withColumn("r_dt", r(col("sdt"), col("sd"), col("st"), col("sdd"), col("stt")))
+        .selectExpr("""stack(6,
+          'disc_tax', r_dt, 'price_disc', r_pd, 'price_tax', r_pt,
+          'qty_disc', r_qd, 'qty_price', r_qp, 'qty_tax', r_qt) AS (pair, r)""")
+        .orderBy(col("pair"))
+    },
   )
 
   val oracle = Map(
+    // Mirrors q118: the same bit-interleave arithmetic, generated from
+    // one source (Layout.zValueSql); all inputs nonneg so % ≡ pmod.
+    "q118_zorder_stats" -> {
+      val z = graft.operators.Layout.zValueSql("zx", "zy", 8)
+      s"""WITH d AS (SELECT l_partkey % 256 AS zx, l_suppkey % 256 AS zy
+         |  FROM lineitem),
+         |z AS (SELECT zx, zy, $z AS z FROM d)
+         |SELECT CAST(z >> 6 AS BIGINT) AS bucket, count(*) AS n,
+         |  CAST(min(zx) AS BIGINT) AS x_min, CAST(max(zx) AS BIGINT) AS x_max,
+         |  CAST(min(zy) AS BIGINT) AS y_min, CAST(max(zy) AS BIGINT) AS y_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    // Mirrors q120: exact integer sufficient statistics (HUGEINT here,
+    // DECIMAL(38,0) in Spark — both exact), identical final double
+    // trees: CAST(num) / (sqrt(CAST(vx)) * sqrt(CAST(vy))).
+    "q120_corr_matrix" -> {
+      def r(name: String, sxy: String, sx: String, sy: String,
+          sxx: String, syy: String) =
+        s"SELECT '$name' AS pair, CAST(n*$sxy - $sx*$sy AS DOUBLE) / " +
+          s"(sqrt(CAST(n*$sxx - $sx*$sx AS DOUBLE)) * " +
+          s"sqrt(CAST(n*$syy - $sy*$sy AS DOUBLE))) AS r FROM s"
+      s"""WITH c AS (SELECT
+         |    CAST(round(l_quantity*100) AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+         |    CAST(round(l_discount*100) AS BIGINT) AS d,
+         |    CAST(round(l_tax*100) AS BIGINT) AS t FROM lineitem),
+         |s AS (SELECT count(*) AS n,
+         |    sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+         |    sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd, sum(t*t) AS stt,
+         |    sum(q*p) AS sqp, sum(q*d) AS sqd, sum(q*t) AS sqt,
+         |    sum(p*d) AS spd, sum(p*t) AS spt, sum(d*t) AS sdt FROM c)
+         |SELECT pair, r FROM (
+         |  ${r("qty_price", "sqp", "sq", "sp", "sqq", "spp")}
+         |  UNION ALL ${r("qty_disc", "sqd", "sq", "sd", "sqq", "sdd")}
+         |  UNION ALL ${r("qty_tax", "sqt", "sq", "st", "sqq", "stt")}
+         |  UNION ALL ${r("price_disc", "spd", "sp", "sd", "spp", "sdd")}
+         |  UNION ALL ${r("price_tax", "spt", "sp", "st", "spp", "stt")}
+         |  UNION ALL ${r("disc_tax", "sdt", "sd", "st", "sdd", "stt")}
+         |) ORDER BY pair""".stripMargin
+    },
+
     // Mirrors q107: integer floor-division bucketing on cents (vc ≥ 0
     // on this data, so DuckDB's // ≡ Spark's floor(/)).
     "q107_value_histogram" ->

@@ -383,6 +383,81 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // WEIGHTED sampling without replacement (corpus composition by
+    // importance weight): priority = uhash(doc_id) / weight — a larger
+    // weight shrinks a doc's priority, raising its odds of making the
+    // global k-smallest cut, with a deterministic hash as the uniform
+    // draw (the same documented stand-in as q49's split). One IEEE
+    // division per row (bit-identical on both engines), then a global
+    // top-k = per-partition k-heaps + driver merge of k·P candidates
+    // (TakeOrderedAndProject) — never a full sort, never a shuffle of
+    // the corpus. Weight here = n_chars (longer docs preferred).
+    "q117_weighted_sample" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(11700)
+      val h = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (h.cast("double") / col("n_chars").cast("double")).as("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(50)
+    },
+
+    // ROBUST outlier gate (quality filtering that survives heavy
+    // tails): per-language median and MAD of doc length, keep
+    // |len − med| ≤ 3·MAD. Exact percentiles interpolate over
+    // INTEGER lengths (and half-integer deviations), so every med/mad
+    // is a binary-exact double on both engines (the q91 parity
+    // argument). Scale shape: two passes over the corpus with the
+    // per-lang stats broadcast back — the exact-percentile buffer is
+    // bounded by DISTINCT lengths per lang (a count-map, not the
+    // rows), so groups of any row count fit executor memory.
+    "q119_mad_outlier" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val med = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val stats = docs.join(broadcast(med), Seq("lang"))
+        .groupBy(col("lang"), col("med"))
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      docs.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("med"), col("mad"),
+          when(abs(col("n_chars") - col("med")) <= lit(3.0) * col("mad"), 1L)
+            .otherwise(0L).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BLOOM-PREFILTERED decontamination: same contract as q83, but the
+    // corpus grams pass a broadcast bloom sketch of the benchmark
+    // vocabulary before the exact join — at 100 TB the clean ~99% of
+    // corpus grams die in the codegen'd scan stage instead of reaching
+    // the shuffle. No false negatives ⇒ the oracle is the EXACT
+    // decontamination SQL; the sketch changes the plan, never the rows.
+    "q115_bloom_decontaminate" -> { (s, dir) =>
+      TextOps.decontaminateBloom(
+          Tables.table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", col("source").isin("src2"), k = 3,
+          expectedItems = 1L << 17, fpp = 0.03)
+        .orderBy(col("doc_id"))
+    },
+
+    // BPE-TRAINING inner loop: adjacent token-pair frequencies over
+    // the corpus. Pair extraction is ARRAY-LOCAL per row (transform
+    // over an index sequence — whole-stage codegen, no self-join, no
+    // window), so the only shuffle is the final count's partial hash
+    // agg, and map-side combine absorbs within-partition repetition.
+    // Top 30 with deterministic (n desc, pair) tie order — the merge
+    // candidates one BPE iteration would consider.
+    "q116_bpe_pairs" -> { (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(explode(TextOps.adjacentPairs(
+          TextOps.words(col("text")))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+    },
+
     // Sliding-window CHUNKING with overlap (LLM context packing:
     // 40-token windows advancing by 30). Pure per-row explode — chunk
     // rows scale with token volume, not doc count; no shuffle at all
@@ -587,6 +662,58 @@ object TextQueries extends QueryPack {
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
         |WHERE d.source NOT IN ('src0','src1')
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q117_weighted_sample" -> {
+      val uh = Q.uhashSql("11700", "(doc_id % 4294967291)")
+      s"""SELECT doc_id, n_chars,
+         |  CAST($uh AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri
+         |FROM documents
+         |ORDER BY pri, doc_id LIMIT 50""".stripMargin
+    },
+
+    "q119_mad_outlier" ->
+      """WITH st AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |md AS (SELECT d.lang, quantile_cont(abs(d.n_chars - st.med), 0.5) AS mad
+        |  FROM documents d JOIN st USING (lang) GROUP BY d.lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, st.med, md.mad,
+        |  CAST(CASE WHEN abs(d.n_chars - st.med) <= 3.0 * md.mad
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d JOIN st USING (lang) JOIN md ON d.lang = md.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the bloom sketch is plan-only (no false negatives): the oracle
+    // is the exact decontamination SQL, bench set = src2.
+    "q115_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |gr AS (SELECT doc_id, source, unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      bgi -> array_to_string(wt[(CAST(bgi AS INT)+1):(CAST(bgi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM w),
+        |bv AS (SELECT DISTINCT ngram FROM gr WHERE source = 'src2'),
+        |sh AS (SELECT t.doc_id, count(DISTINCT t.ngram) AS n_shared
+        |  FROM gr t JOIN bv USING (ngram)
+        |  WHERE t.source <> 'src2' GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN coalesce(sh.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.source <> 'src2'
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q116_bpe_pairs" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |p AS (SELECT unnest(CASE WHEN len(wt) >= 2
+        |    THEN list_transform(range(0, len(wt)-1),
+        |      bpi -> wt[CAST(bpi AS INT)+1] || ' ' || wt[CAST(bpi AS INT)+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS pair
+        |  FROM w)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     // chunk count = 1 for n<=window else ceil((n-window)/stride)+1 —
     // emission stops at the first chunk reaching the doc end (see

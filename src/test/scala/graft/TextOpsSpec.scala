@@ -114,4 +114,37 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got === Array((2L, 1L, 1L), (3L, 2L, 1L), (4L, 0L, 0L)))
   }
+
+  test("decontaminateBloom equals the exact plan (no false negatives)") {
+    import spark.implicits._
+    // seeded corpus over a small vocabulary → plenty of shared grams
+    def text(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${(seed * (i + 3) + i * i) % 17}").mkString(" ")
+    val docs = (1L to 60L).map(id =>
+        (id, text(id.toInt, 20 + (id % 7).toInt), if (id <= 10) "bench" else "tr"))
+      .toDF("doc_id", "text", "kind")
+    val exact = TextOps.decontaminate(docs, "doc_id", "text",
+        col("kind") === "bench", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // a contaminated doc must exist or the test proves nothing
+    assert(exact.exists(_._3 == 1L))
+    for (fpp <- Seq(0.5, 0.03)) { // high fpp = many bloom survivors; same rows
+      val bloomed = TextOps.decontaminateBloom(docs, "doc_id", "text",
+          col("kind") === "bench", k = 3, expectedItems = 1024, fpp = fpp)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(bloomed === exact, s"fpp=$fpp")
+    }
+  }
+
+  test("adjacentPairs: order kept, duplicates kept, underflow to []") {
+    import spark.implicits._
+    val got = Seq((1L, "a b b a"), (2L, "one"), (3L, ""), (4L, "x y"))
+      .toDF("id", "t")
+      .select(col("id"), TextOps.adjacentPairs(TextOps.words(col("t"))).as("p"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(got(0)._2 === Seq("a b", "b b", "b a"))
+    assert(got(1)._2 === Seq.empty)
+    assert(got(2)._2 === Seq.empty)
+    assert(got(3)._2 === Seq("x y"))
+  }
 }
