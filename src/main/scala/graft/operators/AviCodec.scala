@@ -1,0 +1,177 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL RIFF/AVI container codec in pure JVM — the video-container
+  * half of the cv2.VideoWriter seat (demoTalkNet.py:184–206, 356–366)
+  * made real. The reference writes XVID; a codec-free container can't
+  * do inter-frame compression, so this writer speaks the two
+  * intra-frame codecs whose payloads the JDK itself produces:
+  * `MJPG` (JPEG frames — cv2's classic fallback) and `PNG `
+  * (ffmpeg's lossless PNG-in-AVI tag). The CONTAINER is fully real:
+  * RIFF/hdrl(avih, strl(strh, strf))/movi/idx1 with little-endian
+  * sizes, even-padded chunks, and an AVIIF_KEYFRAME idx1 entry per
+  * frame — players and ffprobe read the output. Framing is lossless,
+  * so PNG frames roundtrip byte-exact (what q121 pins under the
+  * DuckDB oracle, the q114 argument one container level up).
+  */
+object AviCodec {
+
+  final case class Avi(width: Int, height: Int, fps: Int,
+      fourcc: String, frames: Vector[Array[Byte]])
+
+  private def le(i: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(id.getBytes("US-ASCII"))
+    out.write(le(body.length))
+    out.write(body)
+    if (body.length % 2 == 1) out.write(0) // RIFF chunks pad to even
+    out.toByteArray
+  }
+
+  private def list(kind: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(le(body.length + 4))
+    out.write(kind.getBytes("US-ASCII"))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Encode pre-compressed frame payloads (JPEG for `MJPG`, PNG for
+    * `PNG `) into a complete single-stream AVI. */
+  def encode(width: Int, height: Int, fps: Int, fourcc: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
+    require(fps > 0, s"fps must be positive: $fps")
+    val n = frames.length
+    val maxBuf = if (n == 0) 0 else frames.map(_.length).max
+
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / fps) // dwMicroSecPerFrame
+      b.putInt(maxBuf * fps)  // dwMaxBytesPerSec
+      b.putInt(0)             // dwPaddingGranularity
+      b.putInt(0x10)          // dwFlags = AVIF_HASINDEX
+      b.putInt(n)             // dwTotalFrames
+      b.putInt(0)             // dwInitialFrames
+      b.putInt(1)             // dwStreams
+      b.putInt(maxBuf)        // dwSuggestedBufferSize
+      b.putInt(width)
+      b.putInt(height)
+      // dwReserved[4] stays zero
+      b.array()
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII"))
+      b.put(fourcc.getBytes("US-ASCII"))
+      b.putInt(0); b.putShort(0); b.putShort(0) // flags, priority, language
+      b.putInt(0)   // dwInitialFrames
+      b.putInt(1)   // dwScale
+      b.putInt(fps) // dwRate → fps = rate/scale
+      b.putInt(0)   // dwStart
+      b.putInt(n)   // dwLength (frames)
+      b.putInt(maxBuf) // dwSuggestedBufferSize
+      b.putInt(-1)  // dwQuality (default)
+      b.putInt(0)   // dwSampleSize (0 = variable)
+      b.putShort(0); b.putShort(0)
+      b.putShort(width.toShort); b.putShort(height.toShort) // rcFrame
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40)
+      b.putInt(width)
+      b.putInt(height)
+      b.putShort(1)  // biPlanes
+      b.putShort(24) // biBitCount
+      b.put(fourcc.getBytes("US-ASCII")) // biCompression
+      b.putInt(width * height * 3) // biSizeImage (nominal)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+
+    // movi body + idx1 offsets (relative to the 'movi' fourcc; the
+    // first chunk header starts at offset 4)
+    val moviBody = new ByteArrayOutputStream()
+    val idx = new ByteArrayOutputStream()
+    frames.foreach { f =>
+      val off = 4 + moviBody.size()
+      moviBody.write(chunk("00dc", f))
+      idx.write("00dc".getBytes("US-ASCII"))
+      idx.write(le(0x10)) // AVIIF_KEYFRAME (intra codecs: all frames)
+      idx.write(le(off))
+      idx.write(le(f.length))
+    }
+    val movi = list("movi", moviBody.toByteArray)
+
+    val riffBody = new ByteArrayOutputStream()
+    riffBody.write("AVI ".getBytes("US-ASCII"))
+    riffBody.write(hdrl)
+    riffBody.write(movi)
+    riffBody.write(chunk("idx1", idx.toByteArray))
+    val body = riffBody.toByteArray
+
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def fourccAt(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private def leAt(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+
+  /** Parse an AVI produced by [[encode]] (or any single-video-stream
+    * writer using the same chunk ids): recovers dimensions, fps,
+    * fourcc and the exact `00dc` frame payloads. Walks the chunk
+    * graph by declared sizes — no offsets are assumed beyond the RIFF
+    * grammar itself. */
+  def decode(avi: Array[Byte]): Avi = {
+    require(avi.length >= 12 && fourccAt(avi, 0) == "RIFF" &&
+      fourccAt(avi, 8) == "AVI ", "not a RIFF/AVI payload")
+    var width = 0; var height = 0; var fps = 0; var fourcc = "????"
+    val frames = Vector.newBuilder[Array[Byte]]
+
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fourccAt(avi, p)
+        val sz = leAt(avi, p + 4)
+        val body = p + 8
+        id match {
+          case "LIST" =>
+            val kind = fourccAt(avi, body)
+            // descend into hdrl/strl/movi; kind occupies body[0,4)
+            if (kind == "hdrl" || kind == "strl" || kind == "movi")
+              walk(body + 4, body + sz)
+          case "avih" =>
+            width = leAt(avi, body + 32)
+            height = leAt(avi, body + 36)
+          case "strh" if fourccAt(avi, body) == "vids" =>
+            fourcc = fourccAt(avi, body + 4)
+            val scale = leAt(avi, body + 20)
+            val rate = leAt(avi, body + 24)
+            if (scale > 0) fps = rate / scale
+          case "00dc" =>
+            frames += java.util.Arrays.copyOfRange(avi, body, body + sz)
+          case _ => // strf, idx1, JUNK: skip
+        }
+        p = body + sz + (sz % 2) // chunks are even-padded
+      }
+    }
+    walk(12, 8 + leAt(avi, 4))
+    Avi(width, height, fps, fourcc, frames.result())
+  }
+}

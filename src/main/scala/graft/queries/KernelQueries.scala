@@ -182,6 +182,46 @@ object KernelQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // REAL AVI CONTAINER roundtrip under the oracle: 4 deterministic
+    // 16×16 rasters per doc → PNG (ImageIO) → a complete RIFF/AVI
+    // (AviCodec: hdrl/movi/idx1) → parse back → decode pixels →
+    // exact gray/value sums. The oracle recomputes the sums from the
+    // raster FORMULA plus the container constants (n/w/h/fps read
+    // from the parsed headers), so the hash matches iff the container
+    // framing AND the codec are lossless — the q114 argument one
+    // container level up, closing the cv2.VideoWriter seat
+    // (demoTalkNet.py:184–206) for real.
+    "q121_avi_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { d =>
+          import graft.operators.{AviCodec, ImageCodec, Visual}
+          val pngs = (0 until 4).map { f =>
+            val raster = Array.tabulate(768)(k => ((d * 31 + f * 7 + k * 5 + 17) % 256).toInt)
+            ImageCodec.encodePng(raster, 16, 16)
+          }
+          val avi = AviCodec.encode(16, 16, 25, "PNG ", pngs)
+          val back = AviCodec.decode(avi)
+          var graySum = 0L; var vSum = 0L
+          back.frames.foreach { png =>
+            val px = ImageCodec.decodeBgrAuto(png, 16, 16)
+            var p = 0
+            while (p < 256) {
+              val b = px(3 * p); val g = px(3 * p + 1); val r = px(3 * p + 2)
+              graySum += Visual.grayFixedPoint(b, g, r)
+              vSum += math.max(b, math.max(g, r))
+              p += 1
+            }
+          }
+          (d, back.frames.length.toLong, back.width.toLong, back.height.toLong,
+            back.fps.toLong, graySum, vSum)
+        })
+        .toDF("doc_id", "n_frames", "w", "h", "fps", "gray_sum", "v_sum")
+        .orderBy(col("doc_id"))
+    },
+
     // The StatsManager side of scene detection (demoTalkNet.py:95):
     // the per-frame metric rows the detector consumes, as a table of
     // EXACT integer channel |Δ| sums — pins the full fixed-point HSV
@@ -396,8 +436,26 @@ object KernelQueries extends QueryPack {
        |FROM hs GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Mirrors q121 from the raster formula + container constants: the
+    * Spark side's n/w/h/fps come from PARSED AVI headers and its sums
+    * from decoded PNG frames, so matching this recomputation proves
+    * the container+codec roundtrip lossless. */
+  private val q121Sql =
+    """WITH px AS (SELECT doc_id, f, p,
+      |    CAST((doc_id*31 + f*7 + (3*p+0)*5 + 17) % 256 AS INT) AS b,
+      |    CAST((doc_id*31 + f*7 + (3*p+1)*5 + 17) % 256 AS INT) AS g,
+      |    CAST((doc_id*31 + f*7 + (3*p+2)*5 + 17) % 256 AS INT) AS r
+      |  FROM documents, range(0, 4) rf(f), range(0, 256) rp(p))
+      |SELECT doc_id,
+      |  CAST(4 AS BIGINT) AS n_frames, CAST(16 AS BIGINT) AS w,
+      |  CAST(16 AS BIGINT) AS h, CAST(25 AS BIGINT) AS fps,
+      |  CAST(sum((r*4899 + g*9617 + b*1868 + 8192) // 16384) AS BIGINT) AS gray_sum,
+      |  CAST(sum(greatest(b, g, r)) AS BIGINT) AS v_sum
+      |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle = Map(
     "q66_visual_preprocess" -> q66Sql,
+    "q121_avi_roundtrip" -> q121Sql,
     "q110_scene_content" -> q110Sql,
     "q111_scene_stats" -> q111Sql,
     "q112_s3fd_detect" -> q112Sql,

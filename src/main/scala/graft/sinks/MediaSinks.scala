@@ -245,6 +245,35 @@ object MediaSinks {
     }
   }
 
+  /** REAL VideoEncoder seat: a spec-correct RIFF/AVI container
+    * (operators/AviCodec — hdrl/movi/idx1, even-padded chunks) around
+    * intra-frame payloads. JPEG frames pass through as `MJPG` (cv2's
+    * classic codec-free fallback for the :184 VideoWriter); anything
+    * else is wrapped losslessly as `PNG ` (ffmpeg's PNG-in-AVI tag) —
+    * real images via ImageIO, non-image fixture payloads rendered to
+    * a deterministic byte-cycle raster first. One seat for fixtures
+    * and real media, the ImageCodec pattern one container level up;
+    * drop-in for writeTrackCrops/writeVisualization (q68's stub
+    * default stays, its oracle pins the stub byte formula). */
+  object AviVideoEncoder extends VideoEncoder {
+    import graft.operators.{AviCodec, ImageCodec}
+    override def encode(width: Int, height: Int, fps: Int,
+        frames: Iterator[Array[Byte]]): Array[Byte] = {
+      val fs = frames.toVector
+      val allJpeg = fs.nonEmpty && fs.forall(ImageCodec.isJpeg)
+      if (allJpeg) AviCodec.encode(width, height, fps, "MJPG", fs)
+      else AviCodec.encode(width, height, fps, "PNG ", fs.map { f =>
+        if (ImageCodec.isPng(f)) f
+        else {
+          val n = math.max(f.length, 1)
+          val raster = Array.tabulate(height * width * 3)(k =>
+            if (f.isEmpty) 0 else f(k % n) & 0xff)
+          ImageCodec.encodePng(raster, height, width)
+        }
+      })
+    }
+  }
+
   /** Crop-video sink (demoTalkNet.py:180–213 crop_video): per track —
     * render the 224×224 crop frames into a temp `<base>t.avi`
     * container, cut the track's audio [first/25, (last+1)/25) as a
