@@ -127,6 +127,41 @@ object AviCodec {
     out.toByteArray
   }
 
+  /** Range decode via the idx1 index — the in-container analog of
+    * ffmpeg `-ss/-to` seeking (demoTalkNet.py:491–493): locate `movi`
+    * and `idx1` by walking TOP-LEVEL chunks only, then jump straight
+    * to the byte offsets of frames [lo, hi] (inclusive, clamped).
+    * Frames outside the range are never touched, let alone copied —
+    * the contract the FrameSource pushdown requires. On a remote
+    * store the same walk turns into three ranged reads (header, idx1,
+    * frame span) instead of a whole-file fetch. */
+  def decodeRange(avi: Array[Byte], lo: Long, hi: Long): Vector[Array[Byte]] = {
+    require(avi.length >= 12 && fourccAt(avi, 0) == "RIFF" &&
+      fourccAt(avi, 8) == "AVI ", "not a RIFF/AVI payload")
+    var moviAt = -1; var idxAt = -1; var idxLen = 0
+    var p = 12
+    val end = 8 + leAt(avi, 4)
+    while (p + 8 <= end && (moviAt < 0 || idxAt < 0)) {
+      val id = fourccAt(avi, p)
+      val sz = leAt(avi, p + 4)
+      if (id == "LIST" && fourccAt(avi, p + 8) == "movi") moviAt = p + 8
+      else if (id == "idx1") { idxAt = p + 8; idxLen = sz }
+      p = p + 8 + sz + (sz % 2)
+    }
+    require(moviAt >= 0, "AVI has no movi list")
+    require(idxAt >= 0, "AVI has no idx1 index (seek needs one)")
+    val n = idxLen / 16
+    val from = math.max(lo, 0L).toInt
+    val to = math.min(hi, n - 1L).toInt
+    (from to to).iterator.map { i =>
+      val e = idxAt + 16 * i
+      require(fourccAt(avi, e) == "00dc", s"idx1 entry $i is not a frame")
+      val off = leAt(avi, e + 8)
+      val size = leAt(avi, e + 12)
+      java.util.Arrays.copyOfRange(avi, moviAt + off + 8, moviAt + off + 8 + size)
+    }.toVector
+  }
+
   private def fourccAt(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 

@@ -51,6 +51,55 @@ object Media {
     (a * (key * 100000L + frame) + b) % P32
   }
 
+  /** Decoder-seat resolution for FrameSource's `decoder` option:
+    * "stub" (default) or "avi:<root>" for [[AviFileFrameDecoder]]. */
+  def resolveDecoder(spec: String): FrameDecoder = spec match {
+    case null | "" | "stub" => StubFrameDecoder
+    case s if s.startsWith("avi:") => new AviFileFrameDecoder(s.substring(4))
+    case other => throw new IllegalArgumentException(
+      s"unknown frame decoder '$other' (want 'stub' or 'avi:<root>')")
+  }
+
+  /** Byte-payload checksum for REAL decoded frames: the same 31-base
+    * poly fold as Dedup.polyHash, over bytes — what a real decoder
+    * reports where the stub reports its uhash. */
+  def payloadChecksum(payload: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = (h * 31 + (payload(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  /** REAL frame decoder over MJPG/PNG AVI files (operators/AviCodec):
+    * resolves `root/<name>`, then uses the container's idx1 index to
+    * SEEK to the requested frame range — out-of-range frames are
+    * never copied (AviCodec.decodeRange), honoring the -ss/-to
+    * pushdown contract like the stub does. The full file is read once
+    * per task here (local filesystem); on an object store the same
+    * index walk becomes three ranged GETs. Frames outside the
+    * container's count clamp exactly as the stub clamps to
+    * durationSec·fps. Payload = the frame's compressed bytes (JPEG /
+    * PNG — ImageCodec decodes them downstream); checksum =
+    * payloadChecksum. */
+  final class AviFileFrameDecoder(root: String) extends FrameDecoder {
+    override def decode(video: VideoMeta, fps: Int,
+        range: Option[DecodeRange]): Iterator[Frame] = {
+      val bare = java.nio.file.Paths.get(root, video.name)
+      val path = if (java.nio.file.Files.exists(bare)) bare
+        else java.nio.file.Paths.get(root, video.name + ".avi")
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      val lo = range.map(_.startFrame).getOrElse(0L)
+      val hi = range.map(_.endFrame).getOrElse(Long.MaxValue - 1)
+      graft.operators.AviCodec.decodeRange(bytes, lo, hi)
+        .iterator.zipWithIndex.map { case (payload, i) =>
+          Frame(lo + i, payload, payloadChecksum(payload))
+        }
+    }
+  }
+
   /** Deterministic stand-in for the ffmpeg decode: `durationSec * fps`
     * frames (floor), 16 payload bytes derived from the checksum. With
     * a range, generates ONLY [start, min(end, n-1)] — the seek

@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * independent decode tasks, the same fan-out BatchPipeline uses.
   *
   * Options:
-  *   videos  semicolon list of `key:durationSec` (name = v%05d of key)
-  *   fps     normalized frame rate, default 25
+  *   videos   semicolon list of `key:durationSec` (name = v%05d of key)
+  *   fps      normalized frame rate, default 25
+  *   decoder  "stub" (default) or "avi:<root>" — the REAL MJPG/PNG AVI
+  *            decoder (Media.AviFileFrameDecoder), which honors the
+  *            same range pushdown via the container's idx1 index
   */
 class FrameSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -35,7 +38,8 @@ class FrameSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new FrameTable(properties.get("videos"),
-      Option(properties.get("fps")).map(_.toInt).getOrElse(25))
+      Option(properties.get("fps")).map(_.toInt).getOrElse(25),
+      Option(properties.get("decoder")).getOrElse("stub"))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -54,17 +58,18 @@ object FrameSource {
     }
 }
 
-class FrameTable(videosSpec: String, fps: Int) extends Table with SupportsRead {
+class FrameTable(videosSpec: String, fps: Int, decoderSpec: String)
+    extends Table with SupportsRead {
   require(videosSpec != null, "FrameSource requires .option(\"videos\", \"key:durationSec;...\")")
   override def name(): String = s"frames(${videosSpec.take(40)})"
   override def schema(): StructType = FrameSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FrameScanBuilder(videosSpec, fps)
+    new FrameScanBuilder(videosSpec, fps, decoderSpec)
 }
 
-class FrameScanBuilder(videosSpec: String, fps: Int)
+class FrameScanBuilder(videosSpec: String, fps: Int, decoderSpec: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = FrameSource.schema
   private var lo = 0L
@@ -100,12 +105,13 @@ class FrameScanBuilder(videosSpec: String, fps: Int)
     val empty = hi < lo // contradictory range → no scan at all
     val range = if (empty || (lo == 0L && hi == Long.MaxValue)) None
       else Some(Media.DecodeRange(lo, hi))
-    new FrameScan(videosSpec, fps, required, range, empty)
+    new FrameScan(videosSpec, fps, decoderSpec, required, range, empty)
   }
 }
 
-class FrameScan(videosSpec: String, fps: Int, required: StructType,
-    range: Option[Media.DecodeRange], empty: Boolean) extends Scan with Batch {
+class FrameScan(videosSpec: String, fps: Int, decoderSpec: String,
+    required: StructType, range: Option[Media.DecodeRange], empty: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -115,21 +121,25 @@ class FrameScan(videosSpec: String, fps: Int, required: StructType,
     if (empty) Array.empty
     else FrameSource.parseVideos(videosSpec).map(VideoPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameReaderFactory(fps, required, range)
+    new FrameReaderFactory(fps, decoderSpec, required, range)
 }
 
 case class VideoPartition(video: Media.VideoMeta) extends InputPartition
 
-class FrameReaderFactory(fps: Int, required: StructType, range: Option[Media.DecodeRange])
-    extends PartitionReaderFactory {
+class FrameReaderFactory(fps: Int, decoderSpec: String, required: StructType,
+    range: Option[Media.DecodeRange]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FrameReader(partition.asInstanceOf[VideoPartition].video, fps, required, range)
+    new FrameReader(partition.asInstanceOf[VideoPartition].video, fps,
+      decoderSpec, required, range)
 }
 
-class FrameReader(video: Media.VideoMeta, fps: Int, required: StructType,
-    range: Option[Media.DecodeRange]) extends PartitionReader[InternalRow] {
-  // the kernel seat: swap StubFrameDecoder for a real codec here
-  private val it = Media.StubFrameDecoder.decode(video, fps, range)
+class FrameReader(video: Media.VideoMeta, fps: Int, decoderSpec: String,
+    required: StructType, range: Option[Media.DecodeRange])
+    extends PartitionReader[InternalRow] {
+  // the kernel seat, resolved per the `decoder` option: the stub, or
+  // the REAL AVI demux (Media.AviFileFrameDecoder) — both honor the
+  // pushed range (the real one via the container's idx1 seek)
+  private val it = Media.resolveDecoder(decoderSpec).decode(video, fps, range)
   private var cur: Media.Frame = _
 
   override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }

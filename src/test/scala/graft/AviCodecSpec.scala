@@ -66,6 +66,19 @@ class AviCodecSpec extends AnyFunSuite {
       AviCodec.encode(1, 1, 25, "TOOLONG", Seq.empty))
   }
 
+  test("decodeRange: idx1 seek returns exactly [lo, hi], clamped") {
+    val fs = frames(40, 41, 42, 43, 44)
+    val avi = AviCodec.encode(16, 16, 25, "MJPG", fs)
+    val mid = AviCodec.decodeRange(avi, 1, 3)
+    assert(mid.length === 3)
+    mid.zip(fs.slice(1, 4)).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+    assert(AviCodec.decodeRange(avi, 0, 100).length === 5) // clamps to n-1
+    assert(AviCodec.decodeRange(avi, 3, 2).isEmpty)        // empty range
+    assert(AviCodec.decodeRange(avi, 5, 9).isEmpty)        // past the end
+  }
+
   test("AviVideoEncoder: PNG passthrough stays pixel-lossless") {
     val rasters = (0 until 3).map(f =>
       Array.tabulate(768)(k => (f * 37 + k * 5 + 11) % 256))

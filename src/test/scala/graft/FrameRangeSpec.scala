@@ -60,6 +60,37 @@ class FrameRangeSpec extends SparkSpec {
     assert(rows(7).getAs[Double]("t_sec") === 0.7)
   }
 
+  test("decoder=avi: real AVI demux honors the same pushdown via idx1 seek") {
+    import graft.operators.AviCodec
+    // two real AVI files, 6 and 4 frames, distinct payloads per frame
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi_src")
+    def mk(key: Long, n: Int): Unit = {
+      val fs = (0 until n).map(f =>
+        Array.tabulate[Byte](32 + f)(k => ((key * 17 + f * 31 + k) % 251).toByte))
+      java.nio.file.Files.write(dir.resolve(f"v$key%05d.avi"),
+        AviCodec.encode(16, 16, 25, "MJPG", fs))
+    }
+    mk(7, 6); mk(8, 4)
+    val df = spark.read.format(fmt)
+      // durations oversize the real frame counts: the container wins
+      .option("videos", "7:2.0;8:2.0").option("fps", "25")
+      .option("decoder", s"avi:$dir").load()
+    assert(df.count() === 10)
+    val ranged = df.filter(col("frame") >= 2 && col("frame") <= 4)
+      .select("video_name", "frame", "payload", "checksum")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Array[Byte]](2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(ranged.map(r => (r._1, r._2)).toSeq ===
+      Seq(("v00007", 2L), ("v00007", 3L), ("v00007", 4L), ("v00008", 2L), ("v00008", 3L)))
+    ranged.foreach { case (name, f, payload, cs) =>
+      val key = name.drop(1).toLong
+      val want = Array.tabulate[Byte](32 + f.toInt)(k => ((key * 17 + f * 31 + k) % 251).toByte)
+      assert(payload.toSeq === want.toSeq, s"$name frame $f")
+      assert(cs === Media.payloadChecksum(payload))
+    }
+  }
+
   test("column pruning reaches the reader; checksum matches the hash family") {
     val cs = frames.filter(col("frame") === 5).select("video_name", "checksum").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
