@@ -215,6 +215,28 @@ object Relational extends QueryPack {
         .orderBy(col("o_custkey"))
     },
 
+    // ANALYZE-style COLUMN PROFILE in one statement: row count,
+    // non-null counts, min/max, and EXACT ndv for four columns at
+    // once. Spark plans the multi-distinct via Expand (one row
+    // per distinct-column per input row) + two-level hash agg — one
+    // shuffle, no per-column passes. At 100 TB swap the exact ndv for
+    // approx_count_distinct (same single-statement shape, sketch
+    // merge instead of Expand); the exact form here is what the
+    // oracle can mirror. Dates profile as epoch millis (exact longs).
+    "q122_column_profile" -> { (s, dir) =>
+      val ms = unix_millis(col("l_shipdate").cast("timestamp"))
+      Tables.table(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("l_partkey")).as("partkey_ndv"),
+        min(col("l_partkey")).as("partkey_min"),
+        max(col("l_partkey")).as("partkey_max"),
+        count_distinct(col("l_suppkey")).as("suppkey_ndv"),
+        count_distinct(col("l_returnflag")).as("returnflag_ndv"),
+        count_distinct(col("l_linestatus")).as("linestatus_ndv"),
+        min(ms).as("shipdate_min_ms"),
+        max(ms).as("shipdate_max_ms"))
+    },
+
     // Z-ORDER layout audit: Morton-interleave two 8-bit quantized
     // dims and measure, per contiguous key range (z >> 6 → 64-z-value
     // buckets), the min/max spread of BOTH dims. A z-sorted layout
@@ -284,6 +306,20 @@ object Relational extends QueryPack {
   )
 
   val oracle = Map(
+    // Mirrors q122: NTZ shipdate → epoch_ms matches Spark's UTC-session
+    // unix_millis (the q106 argument).
+    "q122_column_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS partkey_ndv,
+        |  CAST(min(l_partkey) AS BIGINT) AS partkey_min,
+        |  CAST(max(l_partkey) AS BIGINT) AS partkey_max,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS suppkey_ndv,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS returnflag_ndv,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS linestatus_ndv,
+        |  CAST(min(epoch_ms(l_shipdate)) AS BIGINT) AS shipdate_min_ms,
+        |  CAST(max(epoch_ms(l_shipdate)) AS BIGINT) AS shipdate_max_ms
+        |FROM lineitem""".stripMargin,
+
     // Mirrors q118: the same bit-interleave arithmetic, generated from
     // one source (Layout.zValueSql); all inputs nonneg so % ≡ pmod.
     "q118_zorder_stats" -> {

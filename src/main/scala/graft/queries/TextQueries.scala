@@ -383,6 +383,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // QUANTILE NORMALIZATION across domains: each doc's length mapped
+    // to its within-language percentile rank — the cross-domain-
+    // comparable quality score (a raw length threshold means different
+    // things in different languages; the 0.37 quantile means the same
+    // thing everywhere). percent_rank = (rank−1)/(n−1), one integer
+    // division per row on both engines; the (n_chars, doc_id) order
+    // makes ranks unique, so ties never reach the division. One
+    // shuffle on lang + per-partition sort — the standard per-group
+    // window shape, partition count = languages × AQE splits.
+    "q123_percent_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          percent_rank().over(w).as("qnorm"))
+        .orderBy(col("doc_id"))
+    },
+
     // WEIGHTED sampling without replacement (corpus composition by
     // importance weight): priority = uhash(doc_id) / weight — a larger
     // weight shrinks a doc's priority, raising its odds of making the
@@ -662,6 +681,12 @@ object TextQueries extends QueryPack {
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
         |WHERE d.source NOT IN ('src0','src1')
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q123_percent_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS qnorm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q117_weighted_sample" -> {
       val uh = Q.uhashSql("11700", "(doc_id % 4294967291)")
