@@ -215,6 +215,31 @@ object Relational extends QueryPack {
         .orderBy(col("o_custkey"))
     },
 
+    // SCD-2 INTERVALIZATION (the history-table build, q106's sibling:
+    // that one keeps only the latest row, this one turns the change
+    // log into effective [from, to) validity ranges). One partitioned
+    // window per key — lead(ms) closes each version, the last stays
+    // open (emitted as -1: the engines' NULL orderings differ, longs
+    // don't). Shuffle on o_custkey only; version counts per key are
+    // order-history-sized, so per-partition sorts stay bounded.
+    "q124_scd2_intervals" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ms"), col("o_orderkey"))
+      Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), ms.as("ms"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("valid_from_ms", col("ms"))
+        .withColumn("valid_to_ms",
+          coalesce(lead(col("ms"), 1).over(w), lit(-1L)))
+        .withColumn("is_current",
+          when(col("valid_to_ms") === -1L, 1L).otherwise(0L))
+        .select(col("o_custkey"), col("o_orderkey"), col("valid_from_ms"),
+          col("valid_to_ms"), col("price_c"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from_ms"), col("o_orderkey"))
+    },
+
     // ANALYZE-style COLUMN PROFILE in one statement: row count,
     // non-null counts, min/max, and EXACT ndv for four columns at
     // once. Spark plans the multi-distinct via Expand (one row
@@ -306,6 +331,21 @@ object Relational extends QueryPack {
   )
 
   val oracle = Map(
+    // Mirrors q124: same window, NULL lead folded to -1 on both sides.
+    "q124_scd2_intervals" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, ms AS valid_from_ms,
+        |  CAST(coalesce(lead(ms, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY ms, o_orderkey), -1) AS BIGINT) AS valid_to_ms,
+        |  price_c,
+        |  CAST(CASE WHEN coalesce(lead(ms, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY ms, o_orderkey), -1) = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM o
+        |ORDER BY o_custkey, valid_from_ms, o_orderkey""".stripMargin,
+
     // Mirrors q122: NTZ shipdate → epoch_ms matches Spark's UTC-session
     // unix_millis (the q106 argument).
     "q122_column_profile" ->

@@ -383,6 +383,36 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // PER-DOMAIN nucleus cut (q113's sibling: that one cuts ONE
+    // global token budget via the distributed prefix sum; this one
+    // cuts each language at 30% of ITS OWN token mass — the
+    // per-domain budget a mixture recipe prescribes). Hash order is
+    // the deterministic shuffle; the cumulative sum is a per-lang
+    // window (partitioned — no global bottleneck), the 30% gate is an
+    // integer cross-multiply (cum·10 ≤ total·3), no division, no
+    // doubles. Lang totals broadcast back: two aggregations + one
+    // window, all partitioned by lang.
+    "q125_domain_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (ha, hb) = graft.operators.Dedup.affine(12500)
+      val key = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L))
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          key.cast("long").as("order_key"))
+      val totals = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("order_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .join(broadcast(totals), Seq("lang"))
+        .filter(col("cum_tokens") * 10L <= col("lang_tokens") * 3L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("lang_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+    },
+
     // QUANTILE NORMALIZATION across domains: each doc's length mapped
     // to its within-language percentile rank — the cross-domain-
     // comparable quality score (a raw length threshold means different
@@ -687,6 +717,25 @@ object TextQueries extends QueryPack {
         |  percent_rank() OVER (PARTITION BY lang
         |    ORDER BY n_chars, doc_id) AS qnorm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q125_domain_budget" -> {
+      val uh = Q.uhashSql("12500", "(doc_id % 4294967291)")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST($uh AS BIGINT) AS order_key
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY order_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t),
+         |tt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+         |  FROM t GROUP BY lang)
+         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, tt.lang_tokens
+         |FROM c JOIN tt ON c.lang = tt.lang
+         |WHERE c.cum_tokens * 10 <= tt.lang_tokens * 3
+         |ORDER BY c.lang, c.cum_tokens, c.doc_id""".stripMargin
+    },
 
     "q117_weighted_sample" -> {
       val uh = Q.uhashSql("11700", "(doc_id % 4294967291)")
