@@ -318,6 +318,25 @@ object Windowed extends QueryPack {
     // it partitions at any scale — and the range predicate rides along
     // as a join filter; per-click aggregates keep the output one row
     // per click (left join ⇒ zero-view clicks stay, n_views = 0).
+    // PURE range join (no equi key), bin-accelerated: match events to
+    // overlapping value windows. q73 has user_id to hash on — here
+    // NOTHING is equal on both sides, the shape Spark can only plan
+    // as a broadcast nested loop (O(N·M) compares). RangeJoin derives
+    // the key: bucket the domain at 250, explode each 400-wide window
+    // over the 2–3 buckets it touches, hash-join on the bucket, exact
+    // range as residual — same rows, O(N + 3M) shuffle instead of
+    // N·M compares (RangeJoinSpec pins both the equality and the
+    // no-nested-loop plan).
+    "q126_binned_range_join" -> { (s, dir) =>
+      val pts = ev(s, dir).select(col("event_id"), col("value_c"))
+      val wins = s.range(0, 200).select(col("id").as("win_id"),
+        (col("id") * 250L).as("lo"), (col("id") * 250L + 400L).as("hi"))
+      graft.operators.RangeJoin.binnedRangeJoin(pts, "value_c", wins, "lo", "hi", 250L)
+        .groupBy(col("win_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+        .orderBy(col("win_id"))
+    },
+
     "q73_interval_join" -> { (s, dir) =>
       val e = ev(s, dir)
       val clicks = e.filter(col("event_type") === "click")
@@ -549,6 +568,18 @@ object Windowed extends QueryPack {
          |  FROM f3 GROUP BY 1, 2)
          |SELECT CAST(stage AS INT) AS stage, count(*) AS n_sessions
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors q126 with the NAIVE range join — binning is plan-only,
+    // the rows must be identical.
+    "q126_binned_range_join" ->
+      s"""WITH $E,
+         |w AS (SELECT i AS win_id, i*250 AS lo, i*250 + 400 AS hi
+         |      FROM range(0, 200) t(i))
+         |SELECT w.win_id, CAST(w.lo AS BIGINT) AS lo, CAST(w.hi AS BIGINT) AS hi,
+         |  count(*) AS n, CAST(sum(e.value_c) AS BIGINT) AS sum_c
+         |FROM w JOIN e ON w.lo <= e.value_c AND e.value_c < w.hi
+         |GROUP BY 1, 2, 3
+         |ORDER BY win_id""".stripMargin,
 
     "q73_interval_join" ->
       s"""WITH $E,
