@@ -37,6 +37,15 @@ object TextOps {
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** [[adjacentPairs]] as (a, b) structs — same pairs, no per-token
+    * string building: the q116 count groups on the two fields and
+    * concatenates only the rows that survive the top-k cut. */
+  def adjacentPairStructs(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
   /** Sliding-window chunking with overlap (LLM context packing:
     * window tokens per chunk, advancing by stride < window). Emits one
     * row per chunk: (id, chunk_id, start, n_chunk_tokens, chunk_fp).
@@ -88,10 +97,12 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, k: Int): DataFrame = {
+    // materialize the token array before ngrams' lambda references
+    // it: an inline words(text) re-evaluates the split per element
     val grams = docs
       .withColumn("is_bench", isBenchmark)
-      .select(col(idCol), col("is_bench"),
-        explode(ngrams(words(col(textCol)), k)).as("g"))
+      .select(col(idCol), col("is_bench"), words(col(textCol)).as("w"))
+      .select(col(idCol), col("is_bench"), explode(ngrams(col("w"), k)).as("g"))
     val benchVocab = grams.filter(col("is_bench")).select(col("g")).distinct()
     val shared = grams.filter(!col("is_bench"))
       .join(broadcast(benchVocab), Seq("g"))
@@ -129,10 +140,12 @@ object TextOps {
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, k: Int, expectedItems: Long,
       fpp: Double = 0.03): DataFrame = {
+    // materialize the token array before ngrams' lambda references
+    // it: an inline words(text) re-evaluates the split per element
     val grams = docs
       .withColumn("is_bench", isBenchmark)
-      .select(col(idCol), col("is_bench"),
-        explode(ngrams(words(col(textCol)), k)).as("g"))
+      .select(col(idCol), col("is_bench"), words(col(textCol)).as("w"))
+      .select(col(idCol), col("is_bench"), explode(ngrams(col("w"), k)).as("g"))
     val benchGrams = grams.filter(col("is_bench")).select(col("g"))
     val bloom = benchGrams.stat.bloomFilter("g", expectedItems, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)

@@ -347,8 +347,9 @@ object TextQueries extends QueryPack {
       // spread the 1-file scan before the span explode (see q83)
       val docs = Tables.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val spans = docs.select(col("doc_id"),
-        explode(TextOps.ngrams(TextOps.words(col("text")), 20)).as("span"))
+      val spans = docs
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), explode(TextOps.ngrams(col("w"), 20)).as("span"))
       val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("n_glob"))
       val perDoc = spans.join(counts, Seq("span"))
         .groupBy(col("doc_id"))
@@ -498,13 +499,24 @@ object TextQueries extends QueryPack {
     // agg, and map-side combine absorbs within-partition repetition.
     // Top 30 with deterministic (n desc, pair) tie order — the merge
     // candidates one BPE iteration would consider.
+    // Counting groups on (a, b) token structs — the pair string is
+    // built only for rows surviving the top-30 cut, not per corpus
+    // token. Ties break identically: (n desc, a, b) ≡ (n desc, pair)
+    // because the single-space join of space-free tokens is
+    // order-isomorphic to the (a, b) tuple.
+    // The tokenization is MATERIALIZED as a column before the lambda
+    // references it (the q74 pattern): an inline words(text) inside
+    // transform's element_at re-evaluates the split per element.
     "q116_bpe_pairs" -> { (s, dir) =>
       Tables.table(s, dir, "documents")
-        .select(explode(TextOps.adjacentPairs(
-          TextOps.words(col("text")))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair"))
+        .select(TextOps.words(col("text")).as("w"))
+        .select(explode(TextOps.adjacentPairStructs(col("w"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
         .limit(30)
+        .select(concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
+        .orderBy(col("n").desc, col("pair"))
     },
 
     // Sliding-window CHUNKING with overlap (LLM context packing:
