@@ -215,6 +215,27 @@ object Relational extends QueryPack {
         .orderBy(col("o_custkey"))
     },
 
+    // EQUI-DEPTH histogram (q107's fixed-width sibling, the form
+    // ANALYZE actually stores): ntile(20) over (value, id) — the
+    // unique order keeps both engines' identical ANSI split rule
+    // (first n%k buckets get ⌈n/k⌉ rows) deterministic — then one agg
+    // per bucket for bounds and mass. The ntile window is global by
+    // protocol; its input is (value_c, event_id) pairs only, and the
+    // 100 TB variant replaces it with the q113 two-pass range
+    // partitioner (same output, no single-task window).
+    "q127_equidepth_histogram" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .select(col("event_id"), cents(col("value")).as("vc"))
+        .withColumn("bucket",
+          ntile(20).over(Window.orderBy(col("vc"), col("event_id")))
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("vc")).as("lo_c"),
+          max(col("vc")).as("hi_c"), sum(col("vc")).as("sum_c"))
+        .orderBy(col("bucket"))
+    },
+
     // SCD-2 INTERVALIZATION (the history-table build, q106's sibling:
     // that one keeps only the latest row, this one turns the change
     // log into effective [from, to) validity ranges). One partitioned
@@ -331,6 +352,17 @@ object Relational extends QueryPack {
   )
 
   val oracle = Map(
+    // Mirrors q127: ANSI ntile on the same unique order.
+    "q127_equidepth_histogram" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT vc, CAST(ntile(20) OVER (ORDER BY vc, event_id) AS BIGINT) AS bucket
+        |  FROM e)
+        |SELECT bucket, count(*) AS n,
+        |  CAST(min(vc) AS BIGINT) AS lo_c, CAST(max(vc) AS BIGINT) AS hi_c,
+        |  CAST(sum(vc) AS BIGINT) AS sum_c
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // Mirrors q124: same window, NULL lead folded to -1 on both sides.
     "q124_scd2_intervals" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

@@ -477,6 +477,29 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // CROSS-SOURCE overlap matrix (the corpus-snapshot contamination
+    // audit: how much does each source pair share?): distinct
+    // (source, 3-gram) pairs, gram self-join, count per ordered
+    // source pair. The distinct collapses within-source repetition
+    // BEFORE the join; pair blowup per gram is bounded by #sources²
+    // (sources are few — this is an inter-CATALOG audit, not a
+    // per-doc join), so the join output is #grams·O(sources²) worst
+    // case and the final agg is tiny. At 100 TB, swap the gram string
+    // for its 64-bit hash to keep exchange rows fixed-width.
+    "q128_source_overlap" -> { (s, dir) =>
+      val grams = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), TextOps.words(col("text")).as("w"))
+        .select(col("source"), explode(TextOps.ngrams(col("w"), 3)).as("g"))
+        .distinct()
+      val a = grams.select(col("source").as("src_a"), col("g"))
+      val b = grams.select(col("source").as("src_b"), col("g"))
+      a.join(b, Seq("g")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // BLOOM-PREFILTERED decontamination: same contract as q83, but the
     // corpus grams pass a broadcast bloom sketch of the benchmark
     // vocabulary before the exact join — at 100 TB the clean ~99% of
@@ -767,6 +790,19 @@ object TextQueries extends QueryPack {
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d JOIN st USING (lang) JOIN md ON d.lang = md.lang
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q128_source_overlap" ->
+      """WITH w AS (SELECT source,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |gr AS (SELECT DISTINCT source, unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      ovi -> array_to_string(wt[(CAST(ovi AS INT)+1):(CAST(ovi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g
+        |  FROM w)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS shared_grams
+        |FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the bloom sketch is plan-only (no false negatives): the oracle
     // is the exact decontamination SQL, bench set = src2.
