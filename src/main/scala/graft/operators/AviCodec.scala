@@ -14,12 +14,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * sizes, even-padded chunks, and an AVIIF_KEYFRAME idx1 entry per
   * frame — players and ffprobe read the output. Framing is lossless,
   * so PNG frames roundtrip byte-exact (what q121 pins under the
-  * DuckDB oracle, the q114 argument one container level up).
+  * DuckDB oracle, the q114 argument one container level up). A
+  * second interleaved `auds` PCM stream makes the A/V mux real
+  * (q129) — the ffmpeg `-c copy` contract of demoTalkNet.py:207–213.
   */
 object AviCodec {
 
   final case class Avi(width: Int, height: Int, fps: Int,
-      fourcc: String, frames: Vector[Array[Byte]])
+      fourcc: String, frames: Vector[Array[Byte]],
+      audioRate: Int = 0, pcm: Array[Short] = Array.empty)
 
   private def le(i: Int): Array[Byte] =
     ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array()
@@ -45,7 +48,18 @@ object AviCodec {
   /** Encode pre-compressed frame payloads (JPEG for `MJPG`, PNG for
     * `PNG `) into a complete single-stream AVI. */
   def encode(width: Int, height: Int, fps: Int, fourcc: String,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    encode(width, height, fps, fourcc, frames, None)
+
+  /** Full A/V MUX (the ffmpeg `-c:v copy -c:a copy` of
+    * demoTalkNet.py:207–213 / extractSpeakingSegments.py:83–87, for
+    * real): a second `auds` stream of 16-bit mono PCM, interleaved as
+    * one `01wb` chunk (rate/fps samples) after each `00dc` frame —
+    * the layout players expect for progressive read. Both streams are
+    * indexed in idx1; framing stays lossless, so frames AND samples
+    * roundtrip byte-exact (q129 pins that under the oracle). */
+  def encode(width: Int, height: Int, fps: Int, fourcc: String,
+      frames: Seq[Array[Byte]], audio: Option[(Int, Array[Short])]): Array[Byte] = {
     require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
     require(fps > 0, s"fps must be positive: $fps")
     val n = frames.length
@@ -59,7 +73,7 @@ object AviCodec {
       b.putInt(0x10)          // dwFlags = AVIF_HASINDEX
       b.putInt(n)             // dwTotalFrames
       b.putInt(0)             // dwInitialFrames
-      b.putInt(1)             // dwStreams
+      b.putInt(if (audio.isDefined) 2 else 1) // dwStreams
       b.putInt(maxBuf)        // dwSuggestedBufferSize
       b.putInt(width)
       b.putInt(height)
@@ -95,21 +109,74 @@ object AviCodec {
       b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
       b.array()
     }
+    val audioStrl = audio.map { case (rate, pcm) =>
+      require(rate > 0 && rate % fps == 0,
+        s"audio rate $rate must be a positive multiple of fps $fps")
+      val ash = { // strh for the auds stream
+        val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("auds".getBytes("US-ASCII"))
+        b.putInt(0) // fccHandler (0 = PCM)
+        b.putInt(0); b.putShort(0); b.putShort(0)
+        b.putInt(0)        // dwInitialFrames
+        b.putInt(1)        // dwScale
+        b.putInt(rate)     // dwRate → samples/sec
+        b.putInt(0)        // dwStart
+        b.putInt(pcm.length) // dwLength (samples)
+        b.putInt(rate * 2) // dwSuggestedBufferSize
+        b.putInt(-1)       // dwQuality
+        b.putInt(2)        // dwSampleSize (bytes per mono 16-bit sample)
+        b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0)
+        b.array()
+      }
+      val asf = { // strf = PCMWAVEFORMAT
+        val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(1)          // wFormatTag = PCM
+        b.putShort(1)          // nChannels
+        b.putInt(rate)         // nSamplesPerSec
+        b.putInt(rate * 2)     // nAvgBytesPerSec
+        b.putShort(2)          // nBlockAlign
+        b.putShort(16)         // wBitsPerSample
+        b.array()
+      }
+      list("strl", chunk("strh", ash) ++ chunk("strf", asf))
+    }
     val hdrl = list("hdrl",
       chunk("avih", avih) ++
-        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)) ++
+        audioStrl.getOrElse(Array.emptyByteArray))
 
     // movi body + idx1 offsets (relative to the 'movi' fourcc; the
-    // first chunk header starts at offset 4)
+    // first chunk header starts at offset 4). With audio: one 01wb
+    // chunk of rate/fps samples interleaved after each frame, the
+    // remainder (ragged tail, or audio longer than video) appended
+    // as a final chunk.
     val moviBody = new ByteArrayOutputStream()
     val idx = new ByteArrayOutputStream()
-    frames.foreach { f =>
+    def put(id: String, body: Array[Byte]): Unit = {
       val off = 4 + moviBody.size()
-      moviBody.write(chunk("00dc", f))
-      idx.write("00dc".getBytes("US-ASCII"))
-      idx.write(le(0x10)) // AVIIF_KEYFRAME (intra codecs: all frames)
+      moviBody.write(chunk(id, body))
+      idx.write(id.getBytes("US-ASCII"))
+      idx.write(le(0x10)) // AVIIF_KEYFRAME (intra/PCM: every chunk)
       idx.write(le(off))
-      idx.write(le(f.length))
+      idx.write(le(body.length))
+    }
+    def pcmBytes(pcm: Array[Short], from: Int, until: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate((until - from) * 2).order(ByteOrder.LITTLE_ENDIAN)
+      var i = from
+      while (i < until) { b.putShort(pcm(i)); i += 1 }
+      b.array()
+    }
+    audio match {
+      case None => frames.foreach(put("00dc", _))
+      case Some((rate, pcm)) =>
+        val spf = rate / fps
+        var a = 0
+        frames.foreach { f =>
+          put("00dc", f)
+          val hi = math.min(a + spf, pcm.length)
+          if (hi > a) { put("01wb", pcmBytes(pcm, a, hi)); a = hi }
+        }
+        if (a < pcm.length) put("01wb", pcmBytes(pcm, a, pcm.length))
     }
     val movi = list("movi", moviBody.toByteArray)
 
@@ -150,12 +217,16 @@ object AviCodec {
     }
     require(moviAt >= 0, "AVI has no movi list")
     require(idxAt >= 0, "AVI has no idx1 index (seek needs one)")
-    val n = idxLen / 16
+    // frame index = position among the 00dc entries only (a muxed
+    // file interleaves 01wb audio entries between them)
+    val videoEntries = (0 until idxLen / 16).iterator
+      .map(i => idxAt + 16 * i)
+      .filter(e => fourccAt(avi, e) == "00dc")
+      .toVector
     val from = math.max(lo, 0L).toInt
-    val to = math.min(hi, n - 1L).toInt
+    val to = math.min(hi, videoEntries.length - 1L).toInt
     (from to to).iterator.map { i =>
-      val e = idxAt + 16 * i
-      require(fourccAt(avi, e) == "00dc", s"idx1 entry $i is not a frame")
+      val e = videoEntries(i)
       val off = leAt(avi, e + 8)
       val size = leAt(avi, e + 12)
       java.util.Arrays.copyOfRange(avi, moviAt + off + 8, moviAt + off + 8 + size)
@@ -177,7 +248,9 @@ object AviCodec {
     require(avi.length >= 12 && fourccAt(avi, 0) == "RIFF" &&
       fourccAt(avi, 8) == "AVI ", "not a RIFF/AVI payload")
     var width = 0; var height = 0; var fps = 0; var fourcc = "????"
+    var audioRate = 0
     val frames = Vector.newBuilder[Array[Byte]]
+    val audioBytes = new ByteArrayOutputStream()
 
     def walk(from: Int, to: Int): Unit = {
       var p = from
@@ -199,14 +272,25 @@ object AviCodec {
             val scale = leAt(avi, body + 20)
             val rate = leAt(avi, body + 24)
             if (scale > 0) fps = rate / scale
+          case "strh" if fourccAt(avi, body) == "auds" =>
+            val scale = leAt(avi, body + 20)
+            val rate = leAt(avi, body + 24)
+            if (scale > 0) audioRate = rate / scale
           case "00dc" =>
             frames += java.util.Arrays.copyOfRange(avi, body, body + sz)
+          case "01wb" =>
+            audioBytes.write(avi, body, sz)
           case _ => // strf, idx1, JUNK: skip
         }
         p = body + sz + (sz % 2) // chunks are even-padded
       }
     }
     walk(12, 8 + leAt(avi, 4))
-    Avi(width, height, fps, fourcc, frames.result())
+    val ab = audioBytes.toByteArray
+    val pcm = new Array[Short](ab.length / 2)
+    val bb = ByteBuffer.wrap(ab).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = bb.getShort(); i += 1 }
+    Avi(width, height, fps, fourcc, frames.result(), audioRate, pcm)
   }
 }

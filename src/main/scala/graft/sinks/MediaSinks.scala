@@ -315,7 +315,9 @@ object MediaSinks {
         val pcm = Array.tabulate(((last + 1 - first) * 640).toInt)(j =>
           StubCutKernel.sourceSample(v, t, first * 640 + j))
         val wavBytes = Wav.encode(16000, 1, pcm)
-        // mux (stub concat; real: ffmpeg -c:v copy -c:a copy)
+        // mux (stub concat, oracle-pinned; the REAL two-stream mux is
+        // AviCodec.encode(..., Some((rate, pcm))) — q129 proves it —
+        // and swaps in with the AviVideoEncoder seat)
         val out = new java.io.ByteArrayOutputStream()
         out.write("MUX1".getBytes("UTF-8")); out.write(container); out.write(wavBytes)
         (v, sc, t, f"v$v%05d/pycrop/$base", out.toByteArray, wavBytes, pcm.length.toLong)

@@ -57,6 +57,34 @@ class AviCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("A/V mux: both streams roundtrip byte-exact, headers recovered") {
+    val fs = frames(80, 81, 82)
+    // audio longer than video: the ragged tail must survive too
+    val pcm = Array.tabulate[Short](3 * 640 + 123)(j => ((j * 31) % 4001 - 2000).toShort)
+    val avi = AviCodec.encode(16, 16, 25, "MJPG", fs, Some((16000, pcm)))
+    val back = AviCodec.decode(avi)
+    assert(back.fourcc === "MJPG" && back.frames.length === 3)
+    assert(back.audioRate === 16000)
+    assert(back.pcm.toSeq === pcm.toSeq)
+    back.frames.zip(fs).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+    // rate must divide into whole samples per frame
+    intercept[IllegalArgumentException](
+      AviCodec.encode(16, 16, 25, "MJPG", fs, Some((16001, pcm))))
+  }
+
+  test("decodeRange on a muxed file: audio chunks are not frames") {
+    val fs = frames(50, 51, 52, 53)
+    val pcm = Array.tabulate[Short](4 * 640)(j => (j % 251).toShort)
+    val avi = AviCodec.encode(16, 16, 25, "MJPG", fs, Some((16000, pcm)))
+    val mid = AviCodec.decodeRange(avi, 1, 2)
+    assert(mid.length === 2)
+    mid.zip(fs.slice(1, 3)).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
   test("empty stream and fps recovery") {
     val avi = AviCodec.encode(64, 48, 30, "MJPG", Seq.empty)
     val back = AviCodec.decode(avi)
