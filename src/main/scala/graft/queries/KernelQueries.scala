@@ -51,6 +51,11 @@ object KernelQueries extends QueryPack {
     // gaps-and-islands minus each user's last island.
     "q102_stream_sessions" -> { (s, dir) => EventStream.statefulSessionRollup(s, dir) },
 
+    // Streaming CDC apply: the orders change log consumed as a
+    // stream, latest-version state per key — any micro-batch slicing
+    // converges to the batch q106 compaction (same oracle SQL).
+    "q130_stream_cdc" -> { (s, dir) => EventStream.cdcLatestRollup(s, dir) },
+
     // Audio DSP kernel: synthesize deterministic PCM per supplier,
     // WAV encode→decode roundtrip, MFCC framing (demoTalkNet.py:238
     // defaults: 25 ms / 10 ms @ 16 kHz → frame_len 400, step 160).
@@ -518,6 +523,20 @@ object KernelQueries extends QueryPack {
     "q66_visual_preprocess" -> q66Sql,
     "q121_avi_roundtrip" -> q121Sql,
     "q129_avi_mux" -> q129Sql,
+
+    // The stream's converged state ≡ the batch compaction (q106's SQL).
+    "q130_stream_cdc" ->
+      """WITH r AS (SELECT *, CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |n AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT r.o_custkey, r.o_orderkey AS latest_orderkey,
+        |  r.ms AS latest_order_ms,
+        |  CAST(round(r.o_totalprice*100) AS BIGINT) AS latest_price_c,
+        |  r.o_orderstatus AS latest_status, n.n_orders
+        |FROM r JOIN n USING (o_custkey) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     "q110_scene_content" -> q110Sql,
     "q111_scene_stats" -> q111Sql,
     "q112_s3fd_detect" -> q112Sql,

@@ -271,6 +271,44 @@ object EventStream {
       .orderBy(col("user_id"), col("start_ns"))
   }
 
+  /** STREAMING CDC apply: the change log (orders) arrives as a
+    * stream; distributed streaming state keeps the latest version per
+    * key (max_by over the (ms, orderkey) version vector) plus the
+    * change count. The merge is associative+commutative, so the final
+    * table is identical for ANY micro-batch slicing — and equals the
+    * batch q106 compaction, which is exactly what the oracle checks.
+    * Complete-mode memory sink here (test harness); production sinks
+    * each updated key to a keyed store via foreachBatch, state stays
+    * partitioned by key either way. */
+  def cdcLatestRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_cdc_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+    val agg = spark.readStream.schema(schema).parquet(s"$sfDir/[o]rders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(struct(col("o_orderkey"), ms.as("ms"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("pc"),
+          col("o_orderstatus")),
+          struct(ms, col("o_orderkey"))).as("latest"),
+        count(lit(1)).as("n_orders"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(col("o_custkey"),
+        col("latest.o_orderkey").as("latest_orderkey"),
+        col("latest.ms").as("latest_order_ms"),
+        col("latest.pc").as("latest_price_c"),
+        col("latest.o_orderstatus").as("latest_status"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   final case class SessionState(startNs: Long, lastNs: Long, n: Long, sumC: Long)
   final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long, sum_c: Long)
 
