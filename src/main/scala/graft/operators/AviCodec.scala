@@ -233,6 +233,55 @@ object AviCodec {
     }.toVector
   }
 
+  /** [[decodeRange]] against a FILE with genuinely ranged reads: walk
+    * the top-level chunk headers by seek (8 bytes each), read idx1,
+    * then one contiguous read spanning exactly the requested frames'
+    * chunks — the access pattern that maps 1:1 onto object-store
+    * ranged GETs. Never reads the movi payload outside [lo, hi]. */
+  def decodeRangeFile(path: java.nio.file.Path, lo: Long, hi: Long): Vector[Array[Byte]] = {
+    val raf = new java.io.RandomAccessFile(path.toFile, "r")
+    try {
+      def readAt(off: Long, n: Int): Array[Byte] = {
+        val b = new Array[Byte](n)
+        raf.seek(off); raf.readFully(b); b
+      }
+      val head = readAt(0, 12)
+      require(fourccAt(head, 0) == "RIFF" && fourccAt(head, 8) == "AVI ",
+        "not a RIFF/AVI file")
+      val end = 8L + leAt(head, 4)
+      var moviAt = -1L; var idx: Array[Byte] = null
+      var p = 12L
+      while (p + 8 <= end && (moviAt < 0 || idx == null)) {
+        val hdr = readAt(p, 8)
+        val id = fourccAt(hdr, 0)
+        val sz = leAt(hdr, 4)
+        if (id == "LIST" && fourccAt(readAt(p + 8, 4), 0) == "movi") moviAt = p + 8
+        else if (id == "idx1") idx = readAt(p + 8, sz)
+        p = p + 8 + sz + (sz % 2)
+      }
+      require(moviAt >= 0, "AVI has no movi list")
+      require(idx != null, "AVI has no idx1 index (seek needs one)")
+      val entries = (0 until idx.length / 16).map(i => i * 16)
+        .filter(e => fourccAt(idx, e) == "00dc")
+      val from = math.max(lo, 0L).toInt
+      val to = math.min(hi, entries.length - 1L).toInt
+      if (from > to) return Vector.empty
+      // ONE contiguous read covering the span (frames are written in
+      // index order; interleaved audio inside the span rides along —
+      // still a single ranged read, not per-frame seeks)
+      val firstOff = moviAt + leAt(idx, entries(from) + 8)
+      val lastE = entries(to)
+      val endOff = moviAt + leAt(idx, lastE + 8) + 8L + leAt(idx, lastE + 12)
+      val span = readAt(firstOff, (endOff - firstOff).toInt)
+      (from to to).iterator.map { i =>
+        val e = entries(i)
+        val off = (moviAt + leAt(idx, e + 8) - firstOff).toInt
+        val size = leAt(idx, e + 12)
+        java.util.Arrays.copyOfRange(span, off + 8, off + 8 + size)
+      }.toVector
+    } finally raf.close()
+  }
+
   private def fourccAt(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 

@@ -53,6 +53,35 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** BGR raster → REAL JPEG (the cv2.imwrite/.jpg payload of
+    * utils/tools.py:175 and the MJPG frames AviVideoEncoder muxes).
+    * Lossy — roundtrips preserve dimensions exactly and pixels
+    * approximately (ImageCodecSpec bounds the error), which is why
+    * the oracle-gated roundtrips (q114/q121/q129) ride PNG and JPEG
+    * serves the interchange/sink surface. */
+  def encodeJpeg(px: Array[Int], h: Int, w: Int, quality: Float = 0.9f): Array[Byte] = {
+    require(px.length == h * w * 3, s"raster ${px.length} != $h*$w*3")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var p = 0
+    while (p < h * w) {
+      val b = px(3 * p); val g = px(3 * p + 1); val r = px(3 * p + 2)
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
   /** Decode any ImageIO-supported payload → (h, w, BGR raster). */
   def decodeBgr(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))

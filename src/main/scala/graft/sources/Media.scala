@@ -75,12 +75,12 @@ object Media {
 
   /** REAL frame decoder over MJPG/PNG AVI files (operators/AviCodec):
     * resolves `root/<name>`, then uses the container's idx1 index to
-    * SEEK to the requested frame range — out-of-range frames are
-    * never copied (AviCodec.decodeRange), honoring the -ss/-to
-    * pushdown contract like the stub does. The full file is read once
-    * per task here (local filesystem); on an object store the same
-    * index walk becomes three ranged GETs. Frames outside the
-    * container's count clamp exactly as the stub clamps to
+    * SEEK to the requested frame range with genuinely RANGED reads
+    * (AviCodec.decodeRangeFile: header walk + idx1 + one contiguous
+    * span — the pattern that maps 1:1 onto object-store ranged GETs;
+    * movi payload outside [lo, hi] is never read, honoring the
+    * -ss/-to pushdown contract like the stub does). Frames outside
+    * the container's count clamp exactly as the stub clamps to
     * durationSec·fps. Payload = the frame's compressed bytes (JPEG /
     * PNG — ImageCodec decodes them downstream); checksum =
     * payloadChecksum. */
@@ -90,10 +90,9 @@ object Media {
       val bare = java.nio.file.Paths.get(root, video.name)
       val path = if (java.nio.file.Files.exists(bare)) bare
         else java.nio.file.Paths.get(root, video.name + ".avi")
-      val bytes = java.nio.file.Files.readAllBytes(path)
       val lo = range.map(_.startFrame).getOrElse(0L)
       val hi = range.map(_.endFrame).getOrElse(Long.MaxValue - 1)
-      graft.operators.AviCodec.decodeRange(bytes, lo, hi)
+      graft.operators.AviCodec.decodeRangeFile(path, lo, hi)
         .iterator.zipWithIndex.map { case (payload, i) =>
           Frame(lo + i, payload, payloadChecksum(payload))
         }

@@ -107,6 +107,43 @@ class AviCodecSpec extends AnyFunSuite {
     assert(AviCodec.decodeRange(avi, 5, 9).isEmpty)        // past the end
   }
 
+  test("decodeRangeFile: ranged-read seek matches the in-memory decode") {
+    val fs = frames(90, 91, 92, 93, 94)
+    val pcm = Array.tabulate[Short](5 * 640)(j => (j % 199).toShort)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi_rr")
+    for ((audio, tag) <- Seq((None, "plain"), (Some((16000, pcm)), "muxed"))) {
+      val avi = AviCodec.encode(16, 16, 25, "MJPG", fs, audio)
+      val p = dir.resolve(s"$tag.avi")
+      java.nio.file.Files.write(p, avi)
+      for ((lo, hi) <- Seq((0L, 4L), (1L, 3L), (2L, 2L), (0L, 99L), (4L, 1L))) {
+        val viaFile = AviCodec.decodeRangeFile(p, lo, hi)
+        val viaBytes = AviCodec.decodeRange(avi, lo, hi)
+        assert(viaFile.length === viaBytes.length, s"$tag [$lo,$hi]")
+        viaFile.zip(viaBytes).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      }
+    }
+  }
+
+  test("real JPEG frames through MJPG: dims exact, pixels near") {
+    // a SMOOTH raster (JPEG murders checkerboards at any quality)
+    val rasters = (0 until 2).map(f =>
+      Array.tabulate(16 * 16 * 3) { k =>
+        val p = k / 3; (((p % 16) * 8 + (p / 16) * 4 + f * 16) % 200) + 20
+      })
+    val jpegs = rasters.map(ImageCodec.encodeJpeg(_, 16, 16, 0.95f))
+    jpegs.foreach(j => assert(ImageCodec.isJpeg(j)))
+    val avi = graft.sinks.MediaSinks.AviVideoEncoder
+      .encode(16, 16, 25, jpegs.iterator.map(identity))
+    val back = AviCodec.decode(avi)
+    assert(back.fourcc === "MJPG" && back.frames.length === 2)
+    back.frames.zip(rasters).foreach { case (jpeg, want) =>
+      val px = ImageCodec.decodeBgrAuto(jpeg, 16, 16)
+      assert(px.length === want.length)
+      val maxErr = px.zip(want).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 24, s"JPEG error too large: $maxErr")
+    }
+  }
+
   test("AviVideoEncoder: PNG passthrough stays pixel-lossless") {
     val rasters = (0 until 3).map(f =>
       Array.tabulate(768)(k => (f * 37 + k * 5 + 11) % 256))
