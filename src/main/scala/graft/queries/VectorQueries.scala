@@ -27,23 +27,48 @@ object VectorQueries extends QueryPack {
     df.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
       .withColumn("n2", dot(col("vd"), col("vd")))
 
+  /** Brute-force cosine top-10 for every 50th vector (exact ANN
+    * baseline; corpus-side scan, broadcast queries). Shared by q27
+    * and the q131 recall audit. */
+  private def exactTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables.table(s, dir, "embeddings"))
+    val qs = graft.operators.Similarity.boundedQueries(
+        emb.filter(col("vec_id") % 50 === 0),
+        graft.operators.Similarity.DefaultMaxQueries, "q27")
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("n2").as("qn2"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("vd").as("cv"), col("n2").as("cn2"))
+    corpus.join(broadcast(qs), col("cid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries = Map[String, Fn](
-    // Brute-force cosine top-10 for every 50th vector (exact ANN
-    // baseline; corpus-side scan, broadcast queries).
-    "q27_cosine_topk" -> { (s, dir) =>
-      val emb = withNorm(Tables.table(s, dir, "embeddings"))
-      val qs = graft.operators.Similarity.boundedQueries(
-          emb.filter(col("vec_id") % 50 === 0),
-          graft.operators.Similarity.DefaultMaxQueries, "q27")
-        .select(col("vec_id").as("qid"), col("vd").as("qv"), col("n2").as("qn2"))
-      val corpus = emb.select(col("vec_id").as("cid"), col("vd").as("cv"), col("n2").as("cn2"))
-      corpus.join(broadcast(qs), col("cid") =!= col("qid"))
-        .withColumn("cos", dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
-        .orderBy(col("qid"), col("rank"))
+    "q27_cosine_topk" -> { (s, dir) => exactTopK(s, dir) },
+
+    // INDEX-QUALITY audit: recall@10 of the IVF index (nprobe=1)
+    // against the exact baseline, per query — the measurement run
+    // before committing (codebook size, nprobe) to a full-corpus
+    // deployment, exactly like q105 calibrates the MinHash sketch.
+    // Both sides are existing plans; the audit itself is one
+    // (qid, cid) equi-join + per-query count. Deterministic end to
+    // end, so even the recall VALUES are oracle-checkable.
+    "q131_ann_recall" -> { (s, dir) =>
+      val exact = exactTopK(s, dir).select(col("qid"), col("cid"))
+      val ivf = graft.operators.Similarity
+        .ivfTopK(s, Tables.table(s, dir, "embeddings"), k = 10)
+        .select(col("qid"), col("cid"))
+      val hits = ivf.join(exact, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy(col("qid"))
     },
 
     // Per-label embedding norm statistics (exact scaled-integer avg).
