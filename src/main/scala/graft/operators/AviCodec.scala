@@ -269,14 +269,22 @@ object AviCodec {
       // ONE contiguous read covering the span (frames are written in
       // index order; interleaved audio inside the span rides along —
       // still a single ranged read, not per-frame seeks)
-      val firstOff = moviAt + leAt(idx, entries(from) + 8)
+      // idx1 offsets/sizes are UNSIGNED 32-bit in RIFF (files up to
+      // ~4 GB): widen before arithmetic so a >2 GiB offset stays valid
+      def leAtU(b: Array[Byte], off: Int): Long = leAt(b, off) & 0xffffffffL
+      val firstOff = moviAt + leAtU(idx, entries(from) + 8)
       val lastE = entries(to)
-      val endOff = moviAt + leAt(idx, lastE + 8) + 8L + leAt(idx, lastE + 12)
+      val endOff = moviAt + leAtU(idx, lastE + 8) + 8L + leAtU(idx, lastE + 12)
+      // RIFF permits ~4 GB files but a single JVM array tops out at
+      // Int.MaxValue — fail loudly instead of truncating the length
+      require(endOff - firstOff <= Int.MaxValue,
+        s"AVI frame span [$from,$to] covers ${endOff - firstOff} bytes " +
+          "(> 2 GiB): narrow the requested frame range")
       val span = readAt(firstOff, (endOff - firstOff).toInt)
       (from to to).iterator.map { i =>
         val e = entries(i)
-        val off = (moviAt + leAt(idx, e + 8) - firstOff).toInt
-        val size = leAt(idx, e + 12)
+        val off = (moviAt + leAtU(idx, e + 8) - firstOff).toInt
+        val size = leAtU(idx, e + 12).toInt
         java.util.Arrays.copyOfRange(span, off + 8, off + 8 + size)
       }.toVector
     } finally raf.close()

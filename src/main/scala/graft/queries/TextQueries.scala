@@ -825,17 +825,22 @@ object TextQueries extends QueryPack {
         |WHERE d.source <> 'src2'
         |ORDER BY d.doc_id""".stripMargin,
 
+    // The top-30 CUT orders by (n desc, a, b) — the same keys the
+    // Spark plan cuts on — so the order-isomorphism between (a, b)
+    // and the joined pair string is not needed at the boundary (it
+    // would break if a token carried a char below 0x20). The final
+    // presentation order over the surviving 30 is (n desc, pair) on
+    // both sides, which is engine-identical on an identical set.
     "q116_bpe_pairs" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wt
         |  FROM documents),
-        |p AS (SELECT unnest(CASE WHEN len(wt) >= 2
-        |    THEN list_transform(range(0, len(wt)-1),
-        |      bpi -> wt[CAST(bpi AS INT)+1] || ' ' || wt[CAST(bpi AS INT)+2])
-        |    ELSE CAST([] AS VARCHAR[]) END) AS pair
-        |  FROM w)
-        |SELECT pair, CAST(count(*) AS BIGINT) AS n
-        |FROM p GROUP BY pair
-        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+        |ix AS (SELECT wt, unnest(range(0, len(wt)-1)) AS bpi
+        |  FROM w WHERE len(wt) >= 2),
+        |g AS (SELECT wt[CAST(bpi AS INT)+1] AS a, wt[CAST(bpi AS INT)+2] AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ix GROUP BY 1, 2
+        |  ORDER BY n DESC, a, b LIMIT 30)
+        |SELECT a || ' ' || b AS pair, n FROM g ORDER BY n DESC, pair""".stripMargin,
 
     // chunk count = 1 for n<=window else ceil((n-window)/stride)+1 —
     // emission stops at the first chunk reaching the doc end (see

@@ -242,6 +242,49 @@ object VectorQueries extends QueryPack {
          |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
          |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
 
+    // Composition of the q27 exact SQL and the q52 IVF SQL (both
+    // already hash-match their Spark plans, so their per-qid top-10
+    // SETS are pinned); the audit is one equi-join + per-qid count.
+    // n_hits is BIGINT on both sides; recall = n_hits/10.0.
+    "q131_ann_recall" -> {
+      val uh = Q.uhashSql("5000", "vec_id % 4294967291")
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |    ${sqlDot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |xq AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id % 50 = 0),
+         |xp AS (SELECT qid, c.vec_id AS cid,
+         |    ${sqlDot("qe", "c.embedding")} / (sqrt(qn2)*sqrt(c.n2)) AS cos
+         |  FROM xq JOIN n c ON c.vec_id <> qid),
+         |xr AS (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM xp),
+         |exact AS (SELECT qid, cid FROM xr WHERE rn <= 10),
+         |cb AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  ORDER BY $uh, vec_id LIMIT 64),
+         |asg AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${Q.sqlDotD("c.ce", "e.embedding")} DESC, c.cent_id) AS arn
+         |  FROM embeddings e CROSS JOIN cb c),
+         |v AS (SELECT vec_id, embedding, cent_id AS cell,
+         |    ${Q.sqlDotD("embedding", "embedding")} AS n2
+         |  FROM asg WHERE arn = 1),
+         |iq AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2, cell AS qc
+         |  FROM v WHERE vec_id % 50 = 0),
+         |ip AS (SELECT qid, c.vec_id AS cid,
+         |    ${Q.sqlDotD("qe", "c.embedding")} / (sqrt(qn2)*sqrt(c.n2)) AS cos
+         |  FROM iq JOIN v c ON c.cell = qc AND c.vec_id <> qid),
+         |ir AS (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM ip),
+         |ivf AS (SELECT qid, cid FROM ir WHERE rn <= 10),
+         |hits AS (SELECT i.qid, count(*) AS n_hits
+         |  FROM ivf i JOIN exact x ON x.qid = i.qid AND x.cid = i.cid GROUP BY 1)
+         |SELECT allq.qid,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE)/10.0 AS recall_at_10
+         |FROM (SELECT DISTINCT qid FROM exact) allq
+         |LEFT JOIN hits h ON h.qid = allq.qid
+         |ORDER BY allq.qid""".stripMargin
+    },
+
     "q28_embedding_norms" ->
       s"""WITH n AS (SELECT label, sqrt(${sqlDot("embedding", "embedding")}) AS norm
          |FROM embeddings),

@@ -264,7 +264,12 @@ object MediaSinks {
       if (allJpeg) AviCodec.encode(width, height, fps, "MJPG", fs)
       else AviCodec.encode(width, height, fps, "PNG ", fs.map { f =>
         if (ImageCodec.isPng(f)) f
-        else {
+        else if (ImageCodec.isImage(f)) {
+          // real JPEG/BMP in a mixed batch: transcode losslessly via
+          // ImageIO instead of treating the bytes as fixture payload
+          val (h, w, px) = ImageCodec.decodeBgr(f)
+          ImageCodec.encodePng(px, h, w)
+        } else {
           val n = math.max(f.length, 1)
           val raster = Array.tabulate(height * width * 3)(k =>
             if (f.isEmpty) 0 else f(k % n) & 0xff)

@@ -22,7 +22,11 @@ class QueriesSmokeSpec extends SparkSpec {
     * algebra with no corpus shuffle. */
   private val deliberateNestedLoop =
     Set("q27_cosine_topk", "q88_quantized_ann", "q85_tfidf_topk", "q86_bm25",
-      "q99_kmeans_iter")
+      "q99_kmeans_iter",
+      // q131 composes q27's exact brute-force baseline — the exact side
+      // of a recall audit is a full scan by definition; its pruned side
+      // (IVF) plans hash joins only.
+      "q131_ann_recall")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
