@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.nn.Tensor
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checkable audits of the neural-network inference kernels
+  * (graft.nn.Tensor) — the same conv2d/maxPool2d/linear/relu code the
+  * S3fdNet and TalkNetModel forwards are built from (reference
+  * model/faceDetector/s3fd/nets.py:28–174, model/audioEncoder.py:
+  * 54–108, model/visualEncoder.py:100–172).
+  *
+  * Oracle strategy: with integer-valued weights and inputs every
+  * kernel is EXACT (the accumulations stay far inside 2^53), so a
+  * DuckDB relational re-statement — conv as a kernel-offset join +
+  * group-by sum, pooling as a group-by max, the dense layer as a
+  * weight-formula join — must hash-match bit for bit. This pins the
+  * kernels' indexing, padding, striding and bias semantics against an
+  * independent engine, which is exactly the guarantee the float
+  * forwards (S3fdNet/TalkNetModel, spec-pinned) inherit.
+  *
+  * Scale: q132 is a bounded kernel audit (32 synthetic 8×8 images,
+  * like the q65/q66 in-kernel reductions); q133 runs the MLP over the
+  * FULL embeddings corpus — map-only per-partition inference, no
+  * shuffle until the final output sort, the 100 TB deployment shape
+  * for model scoring (weights built once per partition, O(1) memory).
+  */
+object NnQueries extends QueryPack {
+  import Q.Fn
+
+  // ---------------------------------------------------------- q132 kernel
+
+  /** pixel(p) for image `docId` — positive modular arithmetic only,
+    * exact in BIGINT and in double (≤ 2^53). */
+  private[queries] def pixel(docId: Long, p: Int): Double =
+    ((docId * 2654435761L + p.toLong * 40503L + 97L) % 251L).toDouble
+
+  /** conv(4,1,3,3) w/ bias → relu → maxpool 2×2/2 → linear(64→3):
+    * weights from closed-form integer formulas (mirrored in SQL). */
+  private[queries] def convForward(docId: Long): (Long, Long, Long, Long) = {
+    val img = Tensor(Array(1, 8, 8), Array.tabulate(64)(pixel(docId, _)))
+    // flat i = o*9 + ky*3 + kx (C=1) — the SQL kernel formula's index
+    val w1 = Tensor(Array(4, 1, 3, 3),
+      Array.tabulate(36)(i => ((i.toLong * 7L) % 5L - 2L).toDouble))
+    val b1 = Array.tabulate(4)(o => (o % 3 - 1).toDouble)
+    val act = Tensor.relu(Tensor.conv2d(img, w1, Some(b1), padH = 1, padW = 1))
+    val pooled = Tensor.maxPool2d(act, 2, 2, 2, 2) // 4×4×4, flat = o*16+y*4+x
+    val w2 = Tensor(Array(3, 64),
+      Array.tabulate(192)(i => ((i.toLong * 11L) % 7L - 3L).toDouble))
+    val b2 = Array.tabulate(3)(c => (c - 1).toDouble)
+    val s = Tensor.linear(Tensor(Array(1, 64), pooled.data), w2, Some(b2)).data
+    var best = 0
+    var c = 1
+    while (c < 3) { if (s(c) > s(best)) best = c; c += 1 } // tie → lowest class
+    (s(0).toLong, s(1).toLong, s(2).toLong, best.toLong)
+  }
+
+  // ---------------------------------------------------------- q133 mlp
+
+  /** The q133 model parameters for one embedding width — built once
+    * per (partition, dim), not per row: at corpus scale the weight
+    * tensors are loop-invariant state exactly like a real model's. */
+  private final class MlpWeights(dim: Int) {
+    val w1 = Tensor(Array(8, dim), Array.tabulate(8 * dim) { f =>
+      val j = f / dim; val i = f % dim
+      ((j.toLong * 131L + i.toLong) * 13L % 9L - 4L).toDouble
+    })
+    val b1 = Array.tabulate(8)(j => (j % 5 - 2).toDouble)
+    val w2 = Tensor(Array(4, 8), Array.tabulate(32) { f =>
+      val c = f / 8; val j = f % 8
+      ((c.toLong * 67L + j.toLong) * 17L % 11L - 5L).toDouble
+    })
+    val b2 = Array.tabulate(4)(c => (c % 3 - 1).toDouble)
+  }
+
+  /** relu(q·W1ᵀ+b1)·W2ᵀ+b2 over the floor(32·e) quantized embedding;
+    * dim-independent weight formulas (no hardcoded width). */
+  private def mlpForwardW(e: Array[Float], ws: MlpWeights): (Long, Long, Long, Long, Long) = {
+    val dim = e.length
+    // float→double is exact and ·32 is a power-of-two scale, so
+    // floor() sees the identical double in Spark and DuckDB
+    val q = Array.tabulate(dim)(i => math.floor(e(i).toDouble * 32.0))
+    val h = Tensor.relu(Tensor.linear(Tensor(Array(1, dim), q), ws.w1, Some(ws.b1)))
+    val s = Tensor.linear(h, ws.w2, Some(ws.b2)).data
+    var best = 0
+    var c = 1
+    while (c < 4) { if (s(c) > s(best)) best = c; c += 1 }
+    (s(0).toLong, s(1).toLong, s(2).toLong, s(3).toLong, best.toLong)
+  }
+
+  private[queries] def mlpForward(e: Array[Float]): (Long, Long, Long, Long, Long) =
+    mlpForwardW(e, new MlpWeights(e.length))
+
+  val queries = Map[String, Fn](
+    // CNN kernel audit: the real Tensor.conv2d/relu/maxPool2d/linear
+    // chain on 32 deterministic 8×8 integer images, every value
+    // hash-matched against the relational restatement in DuckDB.
+    "q132_nn_conv" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(32)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val (s0, s1, s2, pred) = convForward(id)
+          (id, s0, s1, s2, pred)
+        })
+        .toDF("doc_id", "s0", "s1", "s2", "pred")
+        .orderBy(col("doc_id"))
+    },
+
+    // Distributed model scoring: the 2-layer integer MLP over EVERY
+    // embedding row — per-partition inference (the weights are built
+    // inside the partition, nothing is shuffled but the output sort).
+    "q133_nn_mlp" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          var ws: MlpWeights = null // one build per (partition, dim)
+          it.map { case (id, e) =>
+            if (ws == null || ws.w1.dim(1) != e.length) ws = new MlpWeights(e.length)
+            val (s0, s1, s2, s3, pred) = mlpForwardW(e, ws)
+            (id, s0, s1, s2, s3, pred)
+          }
+        }
+        .toDF("vec_id", "s0", "s1", "s2", "s3", "pred")
+        .orderBy(col("vec_id"))
+    },
+  )
+
+  val oracle = Map(
+    "q132_nn_conv" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
+         |px AS (
+         |  SELECT d.doc_id, y.range AS y, x.range AS x,
+         |    (d.doc_id*2654435761 + (y.range*8 + x.range)*40503 + 97) % 251 AS v
+         |  FROM docs d, range(8) y, range(8) x),
+         |grid AS (
+         |  SELECT d.doc_id, o.range AS o, oy.range AS oy, ox.range AS ox,
+         |         ky.range AS ky, kx.range AS kx
+         |  FROM docs d, range(4) o, range(8) oy, range(8) ox,
+         |       range(3) ky, range(3) kx),
+         |conv AS (
+         |  SELECT g.doc_id, g.o, g.oy, g.ox,
+         |    SUM(COALESCE(p.v, 0) * ((g.o*9 + g.ky*3 + g.kx)*7 % 5 - 2))
+         |      + (g.o % 3 - 1) AS cv
+         |  FROM grid g LEFT JOIN px p
+         |    ON p.doc_id = g.doc_id AND p.y = g.oy - 1 + g.ky
+         |   AND p.x = g.ox - 1 + g.kx
+         |  GROUP BY 1, 2, 3, 4),
+         |pool AS (
+         |  SELECT doc_id, o, oy // 2 AS py, ox // 2 AS qx,
+         |         MAX(GREATEST(cv, 0)) AS pv
+         |  FROM conv GROUP BY 1, 2, 3, 4),
+         |lin AS (
+         |  SELECT p.doc_id, c.range AS cls,
+         |    SUM(p.pv * ((c.range*64 + (p.o*16 + p.py*4 + p.qx))*11 % 7 - 3))
+         |      + (c.range - 1) AS sc
+         |  FROM pool p, range(3) c
+         |  GROUP BY 1, 2),
+         |piv AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN cls = 0 THEN sc END) AS s0,
+         |    MAX(CASE WHEN cls = 1 THEN sc END) AS s1,
+         |    MAX(CASE WHEN cls = 2 THEN sc END) AS s2
+         |  FROM lin GROUP BY doc_id)
+         |SELECT doc_id, CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+         |  CAST(s2 AS BIGINT) AS s2,
+         |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+         |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT) AS pred
+         |FROM piv ORDER BY doc_id""".stripMargin,
+
+    "q133_nn_mlp" ->
+      s"""WITH qi AS (
+         |  SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         |    CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 32) AS BIGINT) AS qv
+         |  FROM qi),
+         |h AS (
+         |  SELECT q.vec_id, j.range AS j,
+         |    GREATEST(SUM(q.qv * ((j.range*131 + q.i)*13 % 9 - 4))
+         |      + (j.range % 5 - 2), 0) AS hv
+         |  FROM q, range(8) j GROUP BY 1, 2),
+         |o AS (
+         |  SELECT h.vec_id, c.range AS cls,
+         |    SUM(h.hv * ((c.range*67 + h.j)*17 % 11 - 5)) + (c.range % 3 - 1) AS sc
+         |  FROM h, range(4) c GROUP BY 1, 2),
+         |piv AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN cls = 0 THEN sc END) AS s0,
+         |    MAX(CASE WHEN cls = 1 THEN sc END) AS s1,
+         |    MAX(CASE WHEN cls = 2 THEN sc END) AS s2,
+         |    MAX(CASE WHEN cls = 3 THEN sc END) AS s3
+         |  FROM o GROUP BY vec_id)
+         |SELECT vec_id, CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+         |  CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+         |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+         |            WHEN s1 >= s2 AND s1 >= s3 THEN 1
+         |            WHEN s2 >= s3 THEN 2 ELSE 3 END AS BIGINT) AS pred
+         |FROM piv ORDER BY vec_id""".stripMargin,
+  )
+}
