@@ -92,6 +92,27 @@ object NnQueries extends QueryPack {
   private[queries] def mlpForward(e: Array[Float]): (Long, Long, Long, Long, Long) =
     mlpForwardW(e, new MlpWeights(e.length))
 
+  // ---------------------------------------------------------- q134 deep
+
+  /** Depthwise (groups=2) stride-2 dilated conv on a 2-channel image —
+    * the conv code paths q132 doesn't reach (grouped channel slicing,
+    * strided output grid, dilated taps), same exact-integer oracle. */
+  private[queries] def deepForward(docId: Long): (Long, Long) = {
+    val img = Tensor(Array(2, 8, 8),
+      Array.tabulate(128)(p => ((docId * 2654435761L + p.toLong * 40503L + 97L) % 251L).toDouble))
+    val w1 = Tensor(Array(2, 1, 3, 3),
+      Array.tabulate(18)(i => ((i.toLong * 5L) % 7L - 3L).toDouble))
+    val b1 = Array.tabulate(2)(o => (o * 2 - 1).toDouble)
+    val act = Tensor.relu(Tensor.conv2d(img, w1, Some(b1),
+      strideH = 2, strideW = 2, padH = 2, padW = 2, dilH = 2, dilW = 2, groups = 2))
+    // 2×4×4 → flat o*16 + y*4 + x
+    val w2 = Tensor(Array(2, 32),
+      Array.tabulate(64)(f => ((f.toLong * 3L) % 5L - 2L).toDouble))
+    val b2 = Array.tabulate(2)(c => c.toDouble)
+    val t = Tensor.linear(Tensor(Array(1, 32), act.data), w2, Some(b2)).data
+    (t(0).toLong, t(1).toLong)
+  }
+
   val queries = Map[String, Fn](
     // CNN kernel audit: the real Tensor.conv2d/relu/maxPool2d/linear
     // chain on 32 deterministic 8×8 integer images, every value
@@ -106,6 +127,22 @@ object NnQueries extends QueryPack {
           (id, s0, s1, s2, pred)
         })
         .toDF("doc_id", "s0", "s1", "s2", "pred")
+        .orderBy(col("doc_id"))
+    },
+
+    // Grouped/strided/dilated conv audit (the q132 companion): 32
+    // 2-channel images through a depthwise stride-2 dilation-2 conv,
+    // relu, dense head — hash-matched against the DuckDB restatement.
+    "q134_nn_deep" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(32)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val (t0, t1) = deepForward(id)
+          (id, t0, t1)
+        })
+        .toDF("doc_id", "t0", "t1")
         .orderBy(col("doc_id"))
     },
 
@@ -171,6 +208,33 @@ object NnQueries extends QueryPack {
          |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
          |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT) AS pred
          |FROM piv ORDER BY doc_id""".stripMargin,
+
+    "q134_nn_deep" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
+         |grid AS (
+         |  SELECT d.doc_id, o.range AS o, oy.range AS oy, ox.range AS ox,
+         |         ky.range AS ky, kx.range AS kx,
+         |         oy.range*2 - 2 + ky.range*2 AS iy,
+         |         ox.range*2 - 2 + kx.range*2 AS ix
+         |  FROM docs d, range(2) o, range(4) oy, range(4) ox,
+         |       range(3) ky, range(3) kx),
+         |conv AS (
+         |  SELECT doc_id, o, oy, ox,
+         |    SUM(CASE WHEN iy BETWEEN 0 AND 7 AND ix BETWEEN 0 AND 7 THEN
+         |      ((doc_id*2654435761 + (o*64 + iy*8 + ix)*40503 + 97) % 251)
+         |        * ((o*9 + ky*3 + kx)*5 % 7 - 3)
+         |      ELSE 0 END) + (o*2 - 1) AS cv
+         |  FROM grid GROUP BY 1, 2, 3, 4),
+         |lin AS (
+         |  SELECT p.doc_id, c.range AS cls,
+         |    SUM(GREATEST(p.cv, 0) * ((c.range*32 + (p.o*16 + p.oy*4 + p.ox))*3 % 5 - 2))
+         |      + c.range AS t
+         |  FROM conv p, range(2) c
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(MAX(CASE WHEN cls = 0 THEN t END) AS BIGINT) AS t0,
+         |  CAST(MAX(CASE WHEN cls = 1 THEN t END) AS BIGINT) AS t1
+         |FROM lin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q133_nn_mlp" ->
       s"""WITH qi AS (

@@ -52,12 +52,15 @@ object Media {
   }
 
   /** Decoder-seat resolution for FrameSource's `decoder` option:
-    * "stub" (default) or "avi:<root>" for [[AviFileFrameDecoder]]. */
+    * "stub" (default), "avi:<root>" for [[AviFileFrameDecoder]], or
+    * "ffmpeg:<root>" for the shelling [[FfmpegFrameDecoder]] (any
+    * container the executor's ffmpeg can read — mp4/h264/…). */
   def resolveDecoder(spec: String): FrameDecoder = spec match {
     case null | "" | "stub" => StubFrameDecoder
     case s if s.startsWith("avi:") => new AviFileFrameDecoder(s.substring(4))
+    case s if s.startsWith("ffmpeg:") => new FfmpegFrameDecoder(s.substring(7))
     case other => throw new IllegalArgumentException(
-      s"unknown frame decoder '$other' (want 'stub' or 'avi:<root>')")
+      s"unknown frame decoder '$other' (want 'stub', 'avi:<root>' or 'ffmpeg:<root>')")
   }
 
   /** Byte-payload checksum for REAL decoded frames: the same 31-base
