@@ -404,4 +404,151 @@ object Similarity {
         .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
     }
   }
+
+  /** IVF-PQ composite — the FAISS IVFPQ memory/scan shape with
+    * `by_residual=false`: the coarse IVF codebook (family 5000)
+    * prunes CANDIDATES (each query scans only its `nprobe` cells)
+    * while the PQ codebook (family 6000) compresses the DISTANCE math
+    * (ADC over `m` log₂(ksub)-bit codes). Both deterministic codebook
+    * constructions are reused UNCHANGED from ivfTopK/pqTopK, so
+    * trained k-means codebooks drop into the same seats.
+    *
+    * Scale shape: ONE corpus pass emits (cell, code) — 4 bytes of
+    * code + a cell id per vector, the representation that keeps a
+    * 100 TB corpus's index in executor memory; queries broadcast
+    * (probe set + m×ksub LUT); the scan is pqTopK's bounded-heap ADC
+    * behind a cell gate, so per-query candidate work drops by
+    * ~codebookSize/nprobe and the corpus never shuffles. Exactness:
+    * (adc, cid) is a total order, so partition-local heaps + the
+    * global window equal the full sort — the SQL oracle composes the
+    * q52 cell CTEs with the q78 PQ CTEs. */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame, k: Int = 10,
+      codebookSize: Int = 64, nprobe: Int = 1, m: Int = 8, ksub: Int = 16,
+      queryEvery: Int = 50, maxQueries: Int = DefaultMaxQueries): DataFrame =
+    ivfPqTopKFor(spark, emb, emb.filter(col("vec_id") % queryEvery === 0),
+      k, codebookSize, nprobe, m, ksub, maxQueries)
+
+  /** ivfPqTopK against an EXPLICIT query DataFrame(vec_id, embedding). */
+  def ivfPqTopKFor(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, codebookSize: Int = 64, nprobe: Int = 1,
+      m: Int = 8, ksub: Int = 16,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // seed rows in (uhash(family), vec_id) order — O(n) driver collect
+    def seeds(family: Int, n: Int, what: String): Array[(Long, Array[Double])] = {
+      val (ha, hb) = Dedup.affine(family)
+      val h = pmod(lit(ha) * pmod(col("vec_id").cast("long"), lit(P32)) + lit(hb), lit(P32))
+      val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+        .withColumn("h", h).orderBy(col("h"), col("vec_id")).limit(n)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (id, v.map(_.toDouble)) }
+      require(rows.length == n, s"corpus smaller than $what=$n")
+      rows
+    }
+    val coarse = seeds(5000, codebookSize, "codebookSize").sortBy(_._1)
+    val pqCents: Array[Array[Double]] = seeds(6000, ksub, "ksub").map(_._2)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcPq = spark.sparkContext.broadcast(pqCents)
+    def subDist(v: Array[Double], c: Array[Double], mm: Int): Double = {
+      var dsum = 0.0; var j = 0
+      while (j < sub) {
+        val diff = v(mm * sub + j) - c(mm * sub + j)
+        dsum += diff * diff; j += 1
+      }
+      dsum
+    }
+    def toD(v: Array[Float]): Array[Double] = {
+      val vd = new Array[Double](v.length)
+      var d = 0
+      while (d < v.length) { vd(d) = v(d).toDouble; d += 1 }
+      vd
+    }
+    // ONE corpus pass: coarse cell + PQ code per vector
+    val codes = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        val pc = bcPq.value
+        it.map { case (id, v) =>
+          val vd = toD(v)
+          val cell = probeCells(vd, cs, 1)(0)
+          val code = new Array[Int](m)
+          var mm = 0
+          while (mm < m) {
+            var best = 0; var bestD = Double.MaxValue; var kk = 0
+            while (kk < ksub) {
+              val d = subDist(vd, pc(kk), mm)
+              if (d < bestD) { bestD = d; best = kk } // strict < ⇒ min k on ties
+              kk += 1
+            }
+            code(mm) = best; mm += 1
+          }
+          (id, cell, code)
+        }
+      }.toDF("cid", "cell", "code")
+    val bounded = boundedQueries(queries, maxQueries, "ivfPqTopK")
+    val lutRows: Array[(Long, Array[Long], Array[Double])] = bounded
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        val pc = bcPq.value
+        it.map { case (qid, qv) =>
+          val vd = toD(qv)
+          val lut = new Array[Double](m * ksub)
+          var mm = 0
+          while (mm < m) {
+            var kk = 0
+            while (kk < ksub) { lut(mm * ksub + kk) = subDist(vd, pc(kk), mm); kk += 1 }
+            mm += 1
+          }
+          (qid, probeCells(vd, cs, nprobe), lut)
+        }
+      }
+      .take(maxQueries + 1)
+    require(lutRows.length <= maxQueries,
+      s"ivfPqTopK: query set exceeds maxQueries=$maxQueries; " +
+        "pass a bounded queries DataFrame or raise maxQueries explicitly")
+    val luts = lutRows.sortBy(_._1)
+    val bcL = spark.sparkContext.broadcast(luts)
+    val kk = k
+    val cand = codes.as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val ls = bcL.value
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heaps = Array.fill(ls.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (cid, cell, code) =>
+          var qi = 0
+          while (qi < ls.length) {
+            val (qid, probes, lut) = ls(qi)
+            // nprobe is tiny — linear membership beats a set per row
+            var hit = false
+            var pi = 0
+            while (pi < probes.length && !hit) { hit = probes(pi) == cell; pi += 1 }
+            if (hit && cid != qid) {
+              var adc = 0.0; var mm = 0
+              while (mm < m) { adc += lut(mm * ksub + code(mm)); mm += 1 }
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((adc, cid))
+              else if (ord.lt((adc, cid), h.head)) { h.dequeue(); h.enqueue((adc, cid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (adc, cid) => (ls(qi)._1, cid, adc) }
+        }
+      }.toDF("qid", "cid", "adc")
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("adc"), 6).as("adc_r"))
+  }
 }

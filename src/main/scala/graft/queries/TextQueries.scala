@@ -384,6 +384,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // BIGRAM LM SCORING (fluency gate from corpus statistics): train
+    // the bigram table ON the corpus itself, then score every doc by
+    // its mean P(b|a) = c(ab)/c(a·) — the cheap model-free perplexity
+    // stand-in a cleaning pipeline runs before paying for a real LM.
+    // Exactness: each term is integer-scaled (round(1e6·c2/c1) as
+    // LONG) BEFORE the per-doc sum, so the aggregate is
+    // order-independent; one double division at the end. Shape: one
+    // bigram explode feeding two key-partitioned aggs + two equi-joins
+    // (gram-keyed shuffles, AQE-splittable); at 100 TB swap the token
+    // strings for 64-bit hashes to keep exchange rows fixed-width
+    // (the q92 note). Counts stay < 2^53/1e6 ≈ 9e9 per bigram — far
+    // above any real gram frequency at trillion-token scale.
+    "q135_ngram_lm" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      val bi = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(TextOps.adjacentPairStructs(col("w"))).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+      bi.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+        .withColumn("term",
+          round(col("c2").cast("double") * 1e6 / col("c1")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_u"))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_u"),
+          (col("lm_u").cast("double") / 1e6 / col("n_bigrams")).as("avg_p"))
+        .orderBy(col("doc_id"))
+    },
+
     // PER-DOMAIN nucleus cut (q113's sibling: that one cuts ONE
     // global token budget via the distributed prefix sum; this one
     // cuts each language at 30% of ITS OWN token mass — the
@@ -841,6 +872,25 @@ object TextQueries extends QueryPack {
         |  FROM ix GROUP BY 1, 2
         |  ORDER BY n DESC, a, b LIMIT 30)
         |SELECT a || ' ' || b AS pair, n FROM g ORDER BY n DESC, pair""".stripMargin,
+
+    // Same bigram extraction as q116; the per-term scaled integers
+    // make the doc sums engine-exact (QueryPack float policy).
+    "q135_ngram_lm" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |ix AS (SELECT doc_id, wt, unnest(range(0, len(wt)-1)) AS i
+        |  FROM w WHERE len(wt) >= 2),
+        |bi AS (SELECT doc_id, wt[CAST(i AS INT)+1] AS a, wt[CAST(i AS INT)+2] AS b
+        |  FROM ix),
+        |c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+        |t AS (SELECT bi.doc_id,
+        |    CAST(round(c2.c2 * 1000000.0 / c1.c1) AS BIGINT) AS term
+        |  FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(term) AS BIGINT) AS lm_u,
+        |  CAST(sum(term) AS DOUBLE) / 1000000.0 / count(*) AS avg_p
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // chunk count = 1 for n<=window else ceil((n-window)/stride)+1 —
     // emission stops at the first chunk reaching the doc end (see

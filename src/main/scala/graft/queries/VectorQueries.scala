@@ -71,6 +71,17 @@ object VectorQueries extends QueryPack {
         .orderBy(col("qid"))
     },
 
+    // IVF-PQ composite ANN (the FAISS IVFPQ shape, by_residual=false):
+    // coarse cells prune candidates (nprobe=2), PQ codes compress the
+    // distance math (ADC) — the full 100 TB index recipe in one plan.
+    // Deterministic end to end, oracled by composing the q52 cell
+    // CTEs with the q78 PQ CTEs.
+    "q136_ivfpq_topk" -> { (s, dir) =>
+      graft.operators.Similarity.ivfPqTopK(
+          s, Tables.table(s, dir, "embeddings"), k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Per-label embedding norm statistics (exact scaled-integer avg).
     "q28_embedding_norms" -> { (s, dir) =>
       withNorm(Tables.table(s, dir, "embeddings"))
@@ -283,6 +294,61 @@ object VectorQueries extends QueryPack {
          |FROM (SELECT DISTINCT qid FROM exact) allq
          |LEFT JOIN hits h ON h.qid = allq.qid
          |ORDER BY allq.qid""".stripMargin
+    },
+
+    // q52's coarse-cell CTEs (family 5000) composed with q78's PQ
+    // CTEs (family 6000): candidates = corpus rows whose cell is one
+    // of the query's nprobe=2 best, distance = ADC over the 8×16 LUT.
+    "q136_ivfpq_topk" -> {
+      val uh5 = Q.uhashSql("5000", "vec_id % 4294967291")
+      val uh6 = Q.uhashSql("6000", "(vec_id % 4294967291)")
+      s"""WITH cb5 AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  ORDER BY $uh5, vec_id LIMIT 64),
+         |asg AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${Q.sqlDotD("c.ce", "e.embedding")} DESC, c.cent_id) AS arn
+         |  FROM embeddings e CROSS JOIN cb5 c),
+         |cell AS (SELECT vec_id, cent_id AS cell FROM asg WHERE arn = 1),
+         |probe AS (SELECT vec_id AS qid, cent_id AS pcell FROM asg
+         |  WHERE vec_id % 50 = 0 AND arn <= 2),
+         |cb6 AS (
+         |  SELECT cent_k, embedding FROM (
+         |    SELECT embedding,
+         |      row_number() OVER (ORDER BY $uh6, vec_id) - 1 AS cent_k
+         |    FROM embeddings) WHERE cent_k < 16),
+         |sd AS (
+         |  SELECT e.vec_id, pqm.m, cb6.cent_k,
+         |    list_reduce(list_transform(range(1, len(e.embedding)//8 + 1), pqj ->
+         |      (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE)
+         |         - CAST(cb6.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE))
+         |      * (CAST(e.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE)
+         |         - CAST(cb6.embedding[CAST(pqm.m*(len(e.embedding)//8) + pqj AS INT)] AS DOUBLE))),
+         |      (pqx, pqy) -> pqx + pqy) AS dist
+         |  FROM embeddings e, range(0, 8) pqm(m), cb6),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id AS cid, list(cent_k ORDER BY m) AS code FROM (
+         |    SELECT vec_id, m, cent_k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_k) AS rn
+         |    FROM sd) WHERE rn = 1 GROUP BY vec_id),
+         |luts AS MATERIALIZED (
+         |  SELECT vec_id AS qid, list(dist ORDER BY m, cent_k) AS lut
+         |  FROM sd WHERE vec_id % 50 = 0 GROUP BY vec_id),
+         |adc AS (
+         |  SELECT l.qid, c.cid,
+         |    list_reduce(list_transform(range(0, 8), pqm ->
+         |      lut[CAST(pqm*16 AS INT) + code[CAST(pqm AS INT) + 1] + 1]),
+         |      (pqx, pqy) -> pqx + pqy) AS adc
+         |  FROM luts l
+         |  JOIN probe p ON p.qid = l.qid
+         |  JOIN cell cl ON cl.cell = p.pcell
+         |  JOIN codes c ON c.cid = cl.vec_id
+         |  WHERE c.cid <> l.qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+         |      FROM adc)
+         |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(adc, 6) AS adc_r
+         |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
     },
 
     "q28_embedding_norms" ->
