@@ -263,6 +263,90 @@ object TextQueries extends QueryPack {
         .orderBy(col("cum_tokens"))
     },
 
+    // SEQUENCE PACKING (the pretraining concat-and-chop): documents
+    // concatenated in deterministic hash order, the token stream cut
+    // every 512 tokens — each doc's placement is pure integer algebra
+    // on the exclusive prefix sum (seq = tok/512, offset = tok%512),
+    // so packing 100 TB is one distributed prefix sum (the q113
+    // two-phase plan: per-partition sums + an O(partitions) offset
+    // cascade, never a 1-task window) plus a map. A doc spans
+    // seq_end-seq_start+1 sequences; the trainer's attention mask
+    // derives from (seq, off) spans directly.
+    "q137_sequence_pack" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(13700)
+      val key = pmod(lit(ha) * pmod(col("doc_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L))
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          key.cast("long").as("order_key"))
+      graft.operators.Enumerate.globalRunningSum(docs, "n_tokens", "cum_tokens",
+          col("order_key"), col("doc_id"))
+        .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
+        .select(col("doc_id"), col("order_key"), col("n_tokens"), col("tok_start"),
+          expr("tok_start div 512").as("seq_start"), // integer div, not `/`
+          pmod(col("tok_start"), lit(512L)).as("off_start"),
+          expr("(cum_tokens - 1) div 512").as("seq_end"))
+        .orderBy(col("tok_start"))
+    },
+
+    // TOKENIZER INDUCTION + ENCODE (the WordPiece-greedy pair): vocab
+    // = the 32 most frequent character 2..4-grams over word
+    // occurrences (count desc, gram asc — deterministic), encode =
+    // greedy longest-prefix against that vocab with a 1-char
+    // fallback. Per doc: word/char/subtoken counts and the char
+    // compression ratio the tokenizer buys. Shapes: vocab induction
+    // is one combiner-friendly gram agg ending in an O(32) collect;
+    // encoding is map-only over the exploded words + one doc-keyed
+    // agg — at 100 TB both passes stream, nothing corpus-sized ever
+    // sits anywhere. Oracle: same induction SQL + a recursive-CTE
+    // greedy walk over the distinct words (the q48 recursion
+    // precedent).
+    "q138_wordpiece_encode" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val wd = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      val vocab: Array[String] = wd
+        .select(col("word"), posexplode(split(col("word"), "")).as(Seq("p", "ch")))
+        .select(col("word"), col("p"))
+        .withColumn("l", explode(array(lit(2), lit(3), lit(4))))
+        .filter(col("p") + col("l") <= length(col("word")))
+        .select(expr("substring(word, p + 1, l)").as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(32)
+        .select(col("gram")).as[String].collect()
+      val bcV = s.sparkContext.broadcast(vocab.toSet)
+      val wordCols = wd.as[(Long, String)]
+        .mapPartitions { it =>
+          val vs = bcV.value
+          it.map { case (id, w) =>
+            var pos = 0
+            var ntok = 0L
+            while (pos < w.length) {
+              var step = 1
+              var l = math.min(4, w.length - pos)
+              while (l >= 2) {
+                if (step == 1 && vs.contains(w.substring(pos, pos + l))) step = l
+                l -= 1
+              }
+              // step = LONGEST match: scan l descending, keep first hit
+              pos += step
+              ntok += 1
+            }
+            (id, w.length.toLong, ntok)
+          }
+        }.toDF("doc_id", "n_ch", "ntok")
+      wordCols.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_ch")).as("n_chars"),
+          sum(col("ntok")).as("n_subtokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_subtokens"),
+          when(col("n_subtokens") === 0L, lit(0.0))
+            .otherwise(col("n_chars").cast("double") / col("n_subtokens"))
+            .as("compression"))
+        .orderBy(col("doc_id"))
+    },
+
     // CLASSIFIER-based quality filtering (the FineWeb-style learned
     // gate): a linear model over per-doc features — stopword count
     // and lexical diversity, both over the shared n_tokens
@@ -872,6 +956,62 @@ object TextQueries extends QueryPack {
         |  FROM ix GROUP BY 1, 2
         |  ORDER BY n DESC, a, b LIMIT 30)
         |SELECT a || ' ' || b AS pair, n FROM g ORDER BY n DESC, pair""".stripMargin,
+
+    // Vocab induction over word OCCURRENCES (same counts), greedy
+    // encode as a recursive walk over the DISTINCT words — pos
+    // advances by the longest vocab gram matching at pos (max glen
+    // via correlated subquery), 1-char fallback; a word is done when
+    // pos = len+1 (the empty word terminates at its seed row, 0
+    // tokens).
+    "q138_wordpiece_encode" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |wd AS (SELECT doc_id, unnest(wt) AS word FROM w),
+        |gp AS (SELECT word, unnest(range(0, len(word))) AS p FROM wd),
+        |g AS (SELECT substr(word, CAST(p AS INT) + 1, CAST(l.range AS INT)) AS gram
+        |  FROM gp, range(2, 5) l WHERE p + l.range <= len(word)),
+        |vocab AS (
+        |  SELECT gram, len(gram) AS glen FROM (
+        |    SELECT gram, count(*) AS n FROM g GROUP BY 1
+        |    ORDER BY n DESC, gram LIMIT 32)),
+        |dw AS (SELECT DISTINCT word FROM wd),
+        |st(word, pos, ntok) AS (
+        |  SELECT word, 1, 0 FROM dw
+        |  UNION ALL
+        |  SELECT word, pos + step, ntok + 1 FROM (
+        |    SELECT word, pos, ntok,
+        |      COALESCE((SELECT max(v.glen) FROM vocab v
+        |                WHERE substr(word, CAST(pos AS INT), CAST(v.glen AS INT)) = v.gram),
+        |        1) AS step
+        |    FROM st WHERE pos <= len(word))),
+        |enc AS (SELECT word, ntok FROM st WHERE pos = len(word) + 1)
+        |SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(wd.word)) AS BIGINT) AS n_chars,
+        |  CAST(sum(e.ntok) AS BIGINT) AS n_subtokens,
+        |  CASE WHEN sum(e.ntok) = 0 THEN 0.0
+        |       ELSE CAST(sum(len(wd.word)) AS DOUBLE) / sum(e.ntok) END AS compression
+        |FROM wd JOIN enc e USING (word)
+        |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin,
+
+    // q113's prefix-sum CTE with the placement algebra on top; all
+    // integer (// and %), so the hash order is the only ordering used.
+    "q137_sequence_pack" -> {
+      val uh137 = Q.uhashSql("13700", "(doc_id % 4294967291)")
+      s"""WITH t AS (SELECT doc_id, CAST($uh137 AS BIGINT) AS order_key,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, order_key, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY order_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t),
+         |p AS (SELECT doc_id, order_key, n_tokens,
+         |    cum_tokens - n_tokens AS tok_start, cum_tokens FROM c)
+         |SELECT doc_id, order_key, n_tokens, tok_start,
+         |  tok_start // 512 AS seq_start,
+         |  tok_start % 512 AS off_start,
+         |  (cum_tokens - 1) // 512 AS seq_end
+         |FROM p ORDER BY tok_start""".stripMargin
+    },
 
     // Same bigram extraction as q116; the per-term scaled integers
     // make the doc sums engine-exact (QueryPack float policy).
