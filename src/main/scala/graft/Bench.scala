@@ -84,10 +84,19 @@ object Bench {
       round += 1
     }
     val results = best.toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver records only the trailing ~2000 chars of the run's
+    // output; with 131 full-length query names the JSON line is ~4.6 KB
+    // and its head gets cut, so the structured record never parses
+    // ("parsed": null in every round's BENCH artifact). Emit the
+    // contract line with the unique qNNN prefix as the key and
+    // centisecond precision — ~1.7 KB, fits the window whole. The
+    // full-name, full-precision numbers are already on stderr (one
+    // [bench] line per query) for local profiling.
+    val qs = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

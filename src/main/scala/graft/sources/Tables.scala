@@ -30,17 +30,32 @@ object Tables {
 
   /** events with `ts_ns: Long` (epoch nanos) and `ts: Timestamp` (µs).
     *
-    * `ts_ns` is truncated to whole microseconds (`DIV 1000 * 1000`):
-    * the raw file carries sub-µs nanos, but DuckDB's TIMESTAMP is
-    * µs-precision, so the oracle only ever sees µs — truncating here
-    * keeps every derived integer (gaps, durations, bounds) bit-equal.
-    * Truncation is monotone, so orderings are unaffected.
+    * Schema-adaptive: the driver's generator has shipped `ts` both as
+    * parquet TIMESTAMP(NANOS) (read as an epoch-ns long via
+    * `nanosAsLong`) and as plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Either way the surfaced contract is identical:
+    * `ts_ns` is whole-microsecond epoch nanoseconds — exactly DuckDB's
+    * `epoch_ns(ts)`, which is µs-precision for both physical types, so
+    * every derived integer (gaps, durations, bounds) stays bit-equal
+    * to the oracle — and `ts` is a µs TimestampType (the NTZ cast is
+    * instant-preserving under the session's UTC timezone). Truncation
+    * to whole µs is monotone, so orderings are unaffected.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_ns", expr("(ts_ns DIV 1000) * 1000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_ns", expr("(ts_ns DIV 1000) * 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ => // TIMESTAMP(MICROS) file (NTZ or LTZ)
+        val tsUs = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.select(raw.columns.map {
+            case "ts" => (unix_micros(tsUs) * lit(1000L)).as("ts_ns")
+            case c    => col(c)
+          }.toIndexedSeq: _*)
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    }
   }
 }

@@ -32,19 +32,39 @@ object EventStream {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Streaming scan of the events table with normalized event-time
+    * columns, schema-adaptive like Tables.events (the generator has
+    * shipped `ts` as both TIMESTAMP(NANOS) — epoch-ns long under
+    * `nanosAsLong` — and plain TIMESTAMP(MICROS)/NTZ). Surfaces the
+    * same contract either way: `ets` a µs TimestampType event-time
+    * column and `ts_ns` whole-µs epoch nanos (= DuckDB epoch_ns(ts));
+    * the raw `ts` is dropped so no caller can depend on its physical
+    * type. The file-stream source requires a directory/glob ("basePath
+    * must be a directory") — the [e] glob keeps basePath = sfDir but
+    * matches only the events table. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+    val shaped = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", expr("(ts DIV 1000) * 1000"))
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        val tsUs = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.withColumn("ts_ns", unix_micros(tsUs) * lit(1000L))
+          .withColumn("ets", timestamp_micros(unix_micros(tsUs)))
+    }
+    shaped.drop("ts")
+  }
+
   /** Hourly tumbling-window counts/sums per event_type, computed by a
     * real streaming query (memory sink, complete mode). */
   def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // stable per-sfDir sink name; stop any leftover run of the same query
     val name = "graft_stream_hourly_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // file-stream source requires a directory/glob ("basePath must be a
-    // directory") — the [e] glob keeps basePath = sfDir but matches only
-    // the events table
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
       .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
     val agg = stream
       .groupBy(window(col("ets"), "1 hour"), col("event_type"))
@@ -102,12 +122,9 @@ object EventStream {
     * on a real unbounded stream a finite delay bounds the state
     * (StreamDedupSpec pins the eviction behavior). */
   def dedupRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_dedup_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
       .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
       .withColumn("copy", explode(array(lit(1), lit(2)))) // planted dups
     val deduped = dedupStream(stream, Seq("event_id"), delay = "3650 days")
@@ -145,12 +162,9 @@ object EventStream {
     * moving-average/rate-monitoring shape. State is (window, type)-
     * keyed and bounded like the tumbling case, ×(width/slide). */
   def slidingRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_sliding_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
       .withColumn("value_c", expr("CAST(round(value*100) AS BIGINT)"))
     val agg = stream
       .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
@@ -168,13 +182,9 @@ object EventStream {
   }
 
   def intervalJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_join_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
-      .withColumn("ts_ns", expr("(ts DIV 1000) * 1000"))
+    def src = eventsStream(spark, sfDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
         col("ets").as("cets"), col("ts_ns").as("cts"))
@@ -212,11 +222,9 @@ object EventStream {
     * is dimension-sized — the stream-stream machinery (q76) is only
     * for two unbounded sides. */
   def enrichRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_enrich_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
+    val stream = eventsStream(spark, sfDir)
       .select(col("user_id"),
         expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
     val dim = graft.sources.Tables.table(spark, sfDir, "customer")
@@ -248,14 +256,11 @@ object EventStream {
   def statefulSessionRollup(spark: SparkSession, sfDir: String,
       gapNs: Long = 1800L * 1000000000L): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_sessions_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // µs-truncate the ns timestamps like Tables.events does — DuckDB
-    // reads the TIMESTAMP_NS column at µs precision
-    val events = spark.readStream.schema(schema).parquet(s"$sfDir/[e]vents.parquet")
-      .select(col("user_id"), expr("(ts DIV 1000) * 1000").as("ts"),
+    // ts_ns is already whole-µs epoch nanos — DuckDB sees the same µs
+    val events = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts_ns").as("ts"),
         expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
       .as[(Long, Long, Long)]
     val sessions = sessionizeStateful(events, gapNs)
