@@ -381,6 +381,77 @@ object DomainQueries extends QueryPack {
           sum(col("wav_samples")).as("samples_sum"))
         .orderBy(col("video_id"))
     },
+
+    // LOCAL FOLDER SCAN with a glob extension filter under the oracle
+    // gate (batchProcessVideos.py:93–99 globs `*.avi` out of a mixed
+    // drop folder): executors materialize one file per document into a
+    // <source>/doc_<id>.<ext> tree (ext cycles avi/wav/txt by doc_id),
+    // then a `binaryFile` scan with pathGlobFilter=*.avi +
+    // recursiveFileLookup lists ONLY the avi subset. The scan's
+    // projection keeps (path, length) so column pruning drops the
+    // `content` blob — listing 1M files never reads a payload byte
+    // (the Explain audit asserts the pruned ReadSchema). The oracle
+    // recomputes names and byte sizes relationally from documents
+    // (ASCII corpus: length(text) = UTF-8 bytes, the q31 note).
+    // Scale: file listing is driver-side metadata work proportional
+    // to file COUNT (Spark parallelizes listing over a threadpool);
+    // the payload read it avoids is the part that scales with bytes.
+    "q139_folder_scan" -> { (s, dir) =>
+      val root = scratchDir(s, "graft_folderscan")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val exts = Array("avi", "wav", "txt")
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val p = java.nio.file.Paths.get(root, r.getString(1),
+              s"doc_$id.${exts((id % 3).toInt)}")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, r.getString(2).getBytes("UTF-8"))
+          }
+        }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+          regexp_extract(col("path"), "([^/]+)/doc_\\d+\\.avi$", 1).as("source"),
+          regexp_extract(col("path"), "doc_(\\d+)\\.avi$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // FACE-CROP IMAGE SINK under the oracle gate (utils/tools.py:
+    // 163–186 writes <video>/<entity>/<ts>.jpg crops): one crop per
+    // event — entity = event_type within the user's video, timestamps
+    // from the per-(user,type) frame index, geometry scaled from
+    // `value` — through writeFaceCrops (same EntrySink machinery as
+    // q67/q68: per-file or archive-per-partition, identical manifest
+    // either way). The stub payload embeds the int pixel box, so
+    // bytes_sum certifies the int() crop geometry (tools.py:180–184)
+    // relationally: the oracle rebuilds each payload's length from
+    // the same double expression tree. Crop PIXELS are covered by the
+    // real-codec roundtrips (q114/q121); this row closes the sink's
+    // path/layout/geometry contract, the part a switcher relies on.
+    "q140_image_sink" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val rows = Tables.events(s, dir)
+        .withColumn("frame", (row_number().over(w) - 1).cast("double"))
+        .select(
+          concat(lit("v"), col("user_id")).as("video_key"),
+          col("event_type").as("entity_id"),
+          (col("frame") / 25.0).as("frame_timestamp"),
+          (col("value") / 1000.0).as("x1"), (col("value") / 2000.0).as("y1"),
+          ((col("value") + 100.0) / 1000.0).as("x2"),
+          ((col("value") + 100.0) / 2000.0).as("y2"))
+      val out = scratchDir(s, "graft_facesink")
+      graft.sinks.MediaSinks.writeFaceCrops(s, rows, out, mode = envSinkMode)
+        .groupBy(col("video_key"), col("entity_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("bytes_sum"))
+        .orderBy(col("video_key"), col("entity_id"))
+    },
   )
 
   // ——— DuckDB mirrors of the polynomial-family LSH pipeline ———
@@ -855,6 +926,29 @@ object DomainQueries extends QueryPack {
         |  CAST(64 + 1288*count(*) AS BIGINT) AS bytes_sum,
         |  CAST(640*count(*) AS BIGINT) AS samples_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q139: names/sizes of the avi-extension subset of the fixture
+    // tree, relationally — ASCII corpus, so length(text) = UTF-8 bytes
+    // (the q31 note).
+    "q139_folder_scan" ->
+      """SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    // q140: rebuild each stub payload's length from the same IEEE
+    // double tree as the sink's int() pixel casts (tools.py:180–184).
+    "q140_image_sink" ->
+      """WITH e AS (SELECT 'v' || CAST(user_id AS VARCHAR) AS video_key,
+        |    event_type AS entity_id,
+        |    CAST(trunc((value/1000.0)*640) AS INT) AS px1,
+        |    CAST(trunc((value/2000.0)*360) AS INT) AS py1,
+        |    CAST(trunc(((value+100.0)/1000.0)*640) AS INT) AS px2,
+        |    CAST(trunc(((value+100.0)/2000.0)*360) AS INT) AS py2
+        |  FROM events)
+        |SELECT video_key, entity_id, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(length('STUBJPG ' || CAST(px1 AS VARCHAR) || ',' ||
+        |    CAST(py1 AS VARCHAR) || ',' || CAST(px2 AS VARCHAR) || ',' ||
+        |    CAST(py2 AS VARCHAR))) AS BIGINT) AS bytes_sum
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ASCII-only corpus assumption (same as q29): Spark-side RollingHash
     // folds UTF-8 OCTETS while this oracle folds per-CHARACTER codepoints
