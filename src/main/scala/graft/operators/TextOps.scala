@@ -170,4 +170,47 @@ object TextOps {
   def wordCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("wn"))
+
+  /** Exact duplicated-SPAN attribution ("Deduplicating Training Data
+    * Makes Language Models Better"): every k-token span → global
+    * occurrence count → per-doc rollup of duplicated-span
+    * occurrences. Two hash aggregations, both partial-aggregating
+    * map-side.
+    *
+    * `hashed = true` (the default, and the 100 TB plan) replaces the
+    * span STRING with a 128-bit fingerprint — two independent
+    * xxhash64 lanes — before anything shuffles, so every exchange row
+    * is fixed-width (16 bytes + id) no matter how long the k-token
+    * text is; a k=20 span averages ~120 bytes, so the span shuffle
+    * shrinks ~7× and stops depending on token length. Counts are
+    * identical modulo ~2⁻¹²⁸ birthday collisions (≈ 10⁻²⁰ at a
+    * trillion distinct spans). `hashed = false` shuffles the raw
+    * string — collision-free by construction, the form the DuckDB
+    * oracle mirrors; SpanDedupSpec pins hash ≡ string on the fixture
+    * corpus. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      hashed: Boolean = true): DataFrame = {
+    val raw = docs
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), explode(ngrams(col("w"), k)).as("span"))
+    // second lane: fold a golden-ratio salt ahead of the span so the
+    // two lanes are independent functions of the same string
+    val spans =
+      if (hashed) raw.select(col(idCol), xxhash64(col("span")).as("k1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("span")).as("k2"))
+      else raw.select(col(idCol), col("span").as("k1"), lit(0L).as("k2"))
+    val counts = spans.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n_glob"))
+    val perDoc = spans.join(counts, Seq("k1", "k2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_glob") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
+      .orderBy(col(idCol))
+  }
 }

@@ -421,32 +421,18 @@ object TextQueries extends QueryPack {
     // EXACT duplicated-SPAN detection (the exact-substring dedup of
     // "Deduplicating Training Data Makes Language Models Better":
     // find every 20-token span that occurs more than once in the
-    // corpus, attribute per doc). Two hash aggregations — span → global
-    // count, then per-doc rollup of duplicated-span occurrences; both
-    // partial-aggregate map-side. Spans join on the raw token string
-    // here (collision-free ⇒ the DuckDB oracle is exact); at 100 TB
-    // you'd shuffle a 128-bit span hash instead — same counts modulo
-    // ~2^-128 collisions, fixed-width exchange rows.
+    // corpus, attribute per doc). Default plan shuffles the 128-bit
+    // span fingerprint — fixed-width exchange rows, the 100 TB shape;
+    // the collision-free raw-string plan remains as
+    // TextOps.spanDedup(hashed = false) and SpanDedupSpec pins the
+    // two identical on the fixture corpus, so the string-keyed DuckDB
+    // oracle stays exact for this plan too.
     "q92_span_dedup" -> { (s, dir) =>
       // spread the 1-file scan before the span explode (see q83)
-      val docs = Tables.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      val spans = docs
-        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-        .select(col("doc_id"), explode(TextOps.ngrams(col("w"), 20)).as("span"))
-      val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("n_glob"))
-      val perDoc = spans.join(counts, Seq("span"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("n_glob") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
-      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
-        .withColumn("dup_frac",
-          when(col("n_spans") === 0, lit(0.0))
-            .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
-        .orderBy(col("doc_id"))
+      TextOps.spanDedup(
+        Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", k = 20)
     },
 
     // Benchmark DECONTAMINATION (the n-gram eval-leak check run before
