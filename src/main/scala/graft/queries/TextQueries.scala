@@ -435,6 +435,38 @@ object TextQueries extends QueryPack {
         "doc_id", "text", k = 20)
     },
 
+    // CROSS-DOCUMENT PARAGRAPH DEDUP (the C4 boilerplate rule, one
+    // level up from q92's span counting): segment each doc into
+    // 10-token paragraphs (TextOps.chunk, stride = window → disjoint),
+    // drop every paragraph whose fingerprint appears in MORE THAN ONE
+    // distinct document, and report what survives per doc — the
+    // dedup that actually REMOVES text rather than scoring it.
+    // Plan: chunk explode is map-side; the (fp, doc) distinct and the
+    // per-fp doc count are two hash aggregations on the fixed-width
+    // md5 key; the verdict joins back fp-keyed and rolls up per doc.
+    // Nothing corpus-sized ever sits on the driver; at 100 TB the fp
+    // exchange is the only wide traffic and every stage map-side
+    // combines.
+    "q143_paragraph_dedup" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val ch = TextOps.chunk(docs, "doc_id", "text", window = 10, stride = 10)
+      val docCounts = ch.select(col("chunk_fp"), col("doc_id")).distinct()
+        .groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_docs"))
+      val perDoc = ch.join(docCounts, Seq("chunk_fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("n_docs") === 1, col("n_chunk_tokens")).otherwise(0L))
+            .as("kept_tokens"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark DECONTAMINATION (the n-gram eval-leak check run before
     // training): docs from src0/src1 stand in for the benchmark suite;
     // every other doc is scored by how many distinct word-trigrams it
@@ -1143,6 +1175,35 @@ object TextQueries extends QueryPack {
         |  CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
         |       ELSE CAST(coalesce(pd.n_dup_spans, 0) AS DOUBLE) / pd.n_spans
         |  END AS dup_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors q143: the q84 chunk CTEs at window = stride = 10 (so
+    // ((n−10+9)//10)+1 = ceil(n/10) disjoint paragraphs), md5
+    // fingerprints, per-fp distinct-doc counts, keep = fp in exactly
+    // one doc.
+    "q143_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |st AS (SELECT doc_id, wt,
+        |    unnest(range(0, CASE WHEN len(wt) <= 10 THEN 1
+        |      ELSE ((len(wt) - 10 + 9) // 10) + 1 END)) AS cki FROM w),
+        |ch AS (SELECT doc_id,
+        |    wt[(CAST(cki*10 AS INT)+1):(CAST(cki*10 AS INT)+10)] AS c
+        |  FROM st),
+        |f AS (SELECT doc_id, CAST(len(c) AS BIGINT) AS n_toks,
+        |    md5(array_to_string(c, ' ')) AS fp FROM ch),
+        |dc AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM f GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN dc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    CAST(sum(CASE WHEN dc.n_docs = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+        |      AS kept_tokens
+        |  FROM f JOIN dc USING (fp) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_chunks, 0) AS n_chunks,
+        |  coalesce(pd.n_kept, 0) AS n_kept,
+        |  coalesce(pd.kept_tokens, 0) AS kept_tokens
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -233,6 +233,79 @@ object VectorQueries extends QueryPack {
           (col("sm").cast("double") / (col("n").cast("double") * 1e6)).as("cent"))
         .orderBy(col("cluster_id"), col("dim"))
     },
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space, then flag near-duplicates ONLY within a
+    // cluster — the clustering bounds the quadratic so the corpus
+    // never all-pairs itself. Assignment reuses the q99 machinery
+    // (one broadcast row of k=8 deterministic seeds, per-row argmin —
+    // map-only, no corpus shuffle); the within-cluster pair join is
+    // a hash join keyed on cluster_id. Keep policy: a vector
+    // survives unless a LOWER-id cluster-mate sits above the cosine
+    // threshold — deterministic, order-free. At 100 TB the cluster
+    // count scales with the corpus (k ≈ √N keeps expected cluster
+    // size √N) and hot clusters split recursively; the τ=0.3
+    // threshold here is fixture-calibrated (the synthetic corpus'
+    // cosine mass sits in ±0.5).
+    "q141_semdedup" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(9900) // q99's seed family
+      val emb = withNorm(Tables.table(s, dir, "embeddings"))
+      val seeds = emb
+        .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
+          lit(4294967291L)))
+        .orderBy(col("hk"), col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("vd").as("se"))
+        .agg(collect_list(struct(col("cid"), col("se"))).as("seeds"))
+      val assigned = emb.crossJoin(broadcast(seeds))
+        .withColumn("best", array_min(transform(col("seeds"), sd =>
+          struct(
+            aggregate(zip_with(col("vd"), sd.getField("se"),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("dist"),
+            sd.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("best.cid").as("cluster_id"),
+          col("vd"), col("n2"))
+      val mates = assigned.select(col("cluster_id"), col("vec_id").as("bid"),
+        col("vd").as("bvd"), col("n2").as("bn2"))
+      val dups = assigned.join(mates, Seq("cluster_id"))
+        .filter(col("bid") < col("vec_id"))
+        .withColumn("cos", dot(col("vd"), col("bvd"))
+          / (sqrt(col("n2")) * sqrt(col("bn2"))))
+        .filter(col("cos") > 0.3)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups"))
+      assigned.select(col("vec_id"), col("cluster_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          when(coalesce(col("n_dups"), lit(0L)) === 0, 1L).otherwise(0L).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+
+    // HARD-NEGATIVE MINING (contrastive training-pair construction):
+    // for each query vector, the top-5 most similar corpus vectors
+    // carrying a DIFFERENT label — the negatives that sit closest to
+    // the decision boundary. Same broadcast-queries / streaming-
+    // corpus shape as q27 (the label inequality rides the join
+    // condition, so only cross-label pairs are scored); the bucketed
+    // family (q43/q52) is the pruning path at full scale.
+    "q142_hard_negatives" -> { (s, dir) =>
+      val emb = withNorm(Tables.table(s, dir, "embeddings"))
+      val qs = graft.operators.Similarity.boundedQueries(
+          emb.filter(col("vec_id") % 50 === 0),
+          graft.operators.Similarity.DefaultMaxQueries, "q142")
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("vd").as("qv"), col("n2").as("qn2"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("vd").as("cv"), col("n2").as("cn2"))
+      corpus.join(broadcast(qs), col("clabel") =!= col("qlabel"))
+        .withColumn("cos", dot(col("qv"), col("cv"))
+          / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid")))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
   )
 
   /** Oracle-side strict-left-fold dot product over double-cast lists
@@ -457,5 +530,54 @@ object VectorQueries extends QueryPack {
          |    / (CAST(count(*) AS DOUBLE) * 1e6) AS cent
          |FROM ex GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin
     },
+
+    // Mirrors q141: the q99 assignment CTEs (same seed pick, same
+    // squared-diff fold, argmin ≡ row_number dist,cid), then the
+    // within-cluster lower-id pair count with the identical
+    // dot/(sqrt·sqrt) IEEE tree as the Spark plan's cosine.
+    "q141_semdedup" -> {
+      val uh = Q.uhashSql("9900", "(vec_id % 4294967291)")
+      s"""WITH sd AS (SELECT vec_id AS cid, embedding AS se FROM embeddings
+         |  ORDER BY $uh, vec_id LIMIT 8),
+         |a AS (SELECT e.vec_id, e.embedding, s.cid,
+         |    list_reduce(list_transform(range(1, len(e.embedding)+1), kmi ->
+         |      (CAST(e.embedding[kmi] AS DOUBLE) - CAST(s.se[kmi] AS DOUBLE))
+         |      * (CAST(e.embedding[kmi] AS DOUBLE) - CAST(s.se[kmi] AS DOUBLE))),
+         |      (kmx, kmy) -> kmx + kmy) AS dist
+         |  FROM embeddings e, sd s),
+         |p AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM a),
+         |m AS (SELECT vec_id, cid AS cluster_id, embedding,
+         |    ${sqlDot("embedding", "embedding")} AS n2
+         |  FROM p WHERE rn = 1),
+         |d AS (SELECT x.vec_id, count(*) AS n_dups
+         |  FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+         |    AND y.vec_id < x.vec_id
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")}
+         |    / (sqrt(x.n2) * sqrt(y.n2)) > 0.3
+         |  GROUP BY 1)
+         |SELECT m.vec_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CAST(CASE WHEN coalesce(d.n_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep
+         |FROM m LEFT JOIN d ON m.vec_id = d.vec_id
+         |ORDER BY m.vec_id""".stripMargin
+    },
+
+    // Mirrors q142: the q27 shape with the label inequality in the
+    // pair predicate and rank cut at 5.
+    "q142_hard_negatives" ->
+      s"""WITH n AS (SELECT vec_id, label, embedding,
+         |  ${sqlDot("embedding", "embedding")} AS n2
+         |FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, n2 AS qn2
+         |  FROM n WHERE vec_id % 50 = 0),
+         |p AS (SELECT qid, c.vec_id AS cid,
+         |  ${sqlDot("qe", "c.embedding")} / (sqrt(qn2)*sqrt(c.n2)) AS cos
+         |FROM q JOIN n c ON c.label <> qlabel),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM p)
+         |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
+         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -26,7 +26,12 @@ class QueriesSmokeSpec extends SparkSpec {
       // q131 composes q27's exact brute-force baseline — the exact side
       // of a recall audit is a full scan by definition; its pruned side
       // (IVF) plans hash joins only.
-      "q131_ann_recall")
+      "q131_ann_recall",
+      // q141's seed assignment is q99's 1-row broadcast codebook
+      // (its pair join is cluster_id-keyed hash); q142 is q27's
+      // broadcast-queries scan with the label inequality riding the
+      // join condition.
+      "q141_semdedup", "q142_hard_negatives")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
