@@ -517,6 +517,71 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // DECONTAMINATION WITH EXCISION (q83 one step further: don't just
+    // FLAG the contaminated doc — cut the leaking spans out and
+    // report what survives, the transform an actual training run
+    // applies). Every non-benchmark doc's word-trigram START
+    // positions that match the benchmark vocabulary expand to their
+    // covered token positions (i, i+1, i+2); the distinct covered set
+    // is the excision. Plan shape = q83: the benchmark gram
+    // vocabulary broadcasts (benchmark-sized, never corpus-sized),
+    // only MATCHED (doc, pos) rows survive the join, so a clean
+    // corpus expands nothing; the per-doc distinct-position count is
+    // one hash aggregation on (doc_id, pos) — integers end to end.
+    "q144_decontaminate_cut" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+      val bench = col("source").isin("src0", "src1")
+      val grams = docs
+        .select(col("doc_id"), col("source"), col("w"),
+          posexplode(TextOps.ngrams(col("w"), 3)).as(Seq("pos", "gram")))
+      val bv = grams.filter(bench).select(col("gram")).distinct()
+      val covered = grams.filter(!bench)
+        .join(broadcast(bv), Seq("gram"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 2)).as("cpos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_excised"))
+      docs.filter(!bench)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_excised"), lit(0L)).as("n_excised"),
+          (col("n_tokens") - coalesce(col("n_excised"), lit(0L))).as("n_retained"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TEMPERATURE-SCALED mixture allocation (the multilingual
+    // sampling rule: domain weight ∝ n^α with α = 1/2 flattens the
+    // head, lifts the tail): per-language doc counts → integer √
+    // scores → a 10,000-slot budget split by LARGEST REMAINDER, all
+    // in exact integer arithmetic (base = ⌊B·s/S⌋ by integer
+    // division; the B−Σbase leftover slots go to the largest
+    // remainders B·s − base·S, ties by lang). One tiny aggregation —
+    // the corpus contributes only its counts; the allocation itself
+    // is lang-cardinality work, broadcastable anywhere downstream.
+    "q145_temperature_mix" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.table(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("score", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      val tot = counts.agg(sum(col("score")).as("s_tot"), count(lit(1)).as("n_langs"))
+      val budget = 10000L
+      val based = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($budget * score) DIV s_tot")) // exact int floor
+        .withColumn("rem", lit(budget) * col("score") - col("base") * col("s_tot"))
+      val spareRow = based.agg((lit(budget) - sum(col("base"))).as("spare"))
+      based.crossJoin(broadcast(spareRow))
+        // lang-cardinality rows: the unpartitioned window is k rows
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .select(col("lang"), col("n_docs"), col("score"),
+          (col("base") + when(col("rr") <= col("spare"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("lang"))
+    },
+
     // PER-DOMAIN nucleus cut (q113's sibling: that one cuts ONE
     // global token budget via the distributed prefix sum; this one
     // cuts each language at 30% of ITS OWN token mass — the
@@ -1177,6 +1242,48 @@ object TextQueries extends QueryPack {
         |  END AS dup_frac
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors q144: zipped parallel unnest gives (start, gram) pairs
+    // (Spark's posexplode), the covered set is DISTINCT (doc,
+    // start+offset) over matched grams × [0,1,2].
+    "q144_decontaminate_cut" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    unnest(range(0, greatest(len(wt)-2, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(wt)-2, 0)),
+        |      dci -> array_to_string(wt[(CAST(dci AS INT)+1):(CAST(dci AS INT)+3)], ' '))) AS gram
+        |  FROM w),
+        |bv AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0','src1')),
+        |cv AS (SELECT DISTINCT t.doc_id, t.pos + u.o AS cpos
+        |  FROM g t JOIN bv USING (gram), unnest([0,1,2]) AS u(o)
+        |  WHERE t.source NOT IN ('src0','src1')),
+        |ex AS (SELECT doc_id, count(*) AS n_excised FROM cv GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(ex.n_excised, 0) AS BIGINT) AS n_excised,
+        |  CAST(len(regexp_split_to_array(trim(d.text), '\s+'))
+        |    - coalesce(ex.n_excised, 0) AS BIGINT) AS n_retained
+        |FROM documents d LEFT JOIN ex USING (doc_id)
+        |WHERE d.source NOT IN ('src0','src1')
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors q145: integer ⌊√n⌋ scores, integer floor-division
+    // quotas, largest-remainder top-up (rem DESC, lang ties).
+    "q145_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS score
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(score) AS s_tot FROM c),
+        |b AS (SELECT lang, n_docs, score,
+        |    (10000 * score) // s_tot AS base,
+        |    10000 * score - ((10000 * score) // s_tot) * s_tot AS rem
+        |  FROM c, t),
+        |sp AS (SELECT 10000 - sum(base) AS spare FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b)
+        |SELECT lang, n_docs, score,
+        |  CAST(base + CASE WHEN rr <= sp.spare THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, sp ORDER BY lang""".stripMargin,
 
     // Mirrors q143: the q84 chunk CTEs at window = stride = 10 (so
     // ((n−10+9)//10)+1 = ceil(n/10) disjoint paragraphs), md5

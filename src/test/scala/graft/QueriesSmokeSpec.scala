@@ -30,8 +30,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // q141's seed assignment is q99's 1-row broadcast codebook
       // (its pair join is cluster_id-keyed hash); q142 is q27's
       // broadcast-queries scan with the label inequality riding the
-      // join condition.
-      "q141_semdedup", "q142_hard_negatives")
+      // join condition; q145 attaches two 1-row aggregates (total
+      // score, spare slots) to lang-cardinality rows — the q85/q86
+      // scalar-subquery shape.
+      "q141_semdedup", "q142_hard_negatives", "q145_temperature_mix")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
