@@ -1255,9 +1255,12 @@ object TextQueries extends QueryPack {
         |      dci -> array_to_string(wt[(CAST(dci AS INT)+1):(CAST(dci AS INT)+3)], ' '))) AS gram
         |  FROM w),
         |bv AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0','src1')),
-        |cv AS (SELECT DISTINCT t.doc_id, t.pos + u.o AS cpos
-        |  FROM g t JOIN bv USING (gram), unnest([0,1,2]) AS u(o)
+        |m AS (SELECT t.doc_id, t.pos FROM g t JOIN bv USING (gram)
         |  WHERE t.source NOT IN ('src0','src1')),
+        |cv AS (SELECT DISTINCT doc_id, cpos FROM (
+        |  SELECT doc_id, pos AS cpos FROM m
+        |  UNION ALL SELECT doc_id, pos + 1 FROM m
+        |  UNION ALL SELECT doc_id, pos + 2 FROM m)),
         |ex AS (SELECT doc_id, count(*) AS n_excised FROM cv GROUP BY 1)
         |SELECT d.doc_id,
         |  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
