@@ -92,11 +92,15 @@ object Bench {
     // centisecond precision — ~1.7 KB, fits the window whole. The
     // full-name, full-precision numbers are already on stderr (one
     // [bench] line per query) for local profiling.
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale (de_DE, fr_FR, …) would emit 1,23 —
+    // invalid JSON, the exact parse failure this line exists to fix.
+    def cs(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     val qs = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+        "\"" + k.takeWhile(_ != '_') + "\":" + cs(v)
       }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

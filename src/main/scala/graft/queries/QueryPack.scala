@@ -45,8 +45,30 @@ object Q {
     val root = java.nio.file.Paths.get(s.conf.getOption("graft.scratch.dir")
       .getOrElse(System.getProperty("java.io.tmpdir")))
     java.nio.file.Files.createDirectories(root)
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+    val dir = java.nio.file.Files.createTempDirectory(root, prefix)
+    // A bench/verify run executes the scratch queries several times
+    // (warm-up + timed + re-measure) and each call gets a fresh tree;
+    // free them all when THIS process exits so repeated runs don't
+    // accumulate corpus-sized temp trees. Exit-time (not eager)
+    // because the returned path is consumed lazily by the query plan.
+    Q.reapAtExit(dir)
+    dir.toString
   }
+
+  private lazy val reaper = {
+    val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }))
+    dirs
+  }
+
+  private[queries] def reapAtExit(dir: java.nio.file.Path): Unit = reaper.add(dir)
 
   /** Empirical 1/64-quantile grid of `events.value` (computed once at
     * sf0.1; the driver generator's value distribution — log-normal-ish,

@@ -27,6 +27,32 @@ object VectorQueries extends QueryPack {
     df.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
       .withColumn("n2", dot(col("vd"), col("vd")))
 
+  /** Deterministic k-seed pick + per-row argmin cluster assignment —
+    * the shared machinery of q99 (one Lloyd step) and q141 (SemDeDup
+    * clustering): the k smallest (uhash(vec_id), vec_id) rows become
+    * seeds packed into ONE broadcast row; assignment is per-row
+    * array_min over (squared-dist, cid) structs — map-only, the
+    * corpus never shuffles, no driver collect anywhere. */
+  private def seedAssign(s: SparkSession, dir: String,
+      seedFamily: Int = 9900, k: Int = 8): DataFrame = {
+    val (ha, hb) = graft.operators.Dedup.affine(seedFamily)
+    val emb = withNorm(Tables.table(s, dir, "embeddings"))
+    val seeds = emb
+      .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
+        lit(4294967291L)))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("vd").as("se"))
+      .agg(collect_list(struct(col("cid"), col("se"))).as("seeds"))
+    emb.crossJoin(broadcast(seeds))
+      .withColumn("best", array_min(transform(col("seeds"), sd =>
+        struct(
+          aggregate(zip_with(col("vd"), sd.getField("se"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("dist"),
+          sd.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("best.cid").as("cluster_id"),
+        col("embedding"), col("vd"), col("n2"))
+  }
+
   /** Brute-force cosine top-10 for every 50th vector (exact ANN
     * baseline; corpus-side scan, broadcast queries). Shared by q27
     * and the q131 recall audit. */
@@ -208,23 +234,8 @@ object VectorQueries extends QueryPack {
     // Emitted centroids are one double division of exact longs —
     // bit-identical on every engine. dim is 0-based.
     "q99_kmeans_iter" -> { (s, dir) =>
-      val (ha, hb) = graft.operators.Dedup.affine(9900)
-      val emb = Tables.table(s, dir, "embeddings")
-        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-      val seeds = emb
-        .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
-          lit(4294967291L)))
-        .orderBy(col("hk"), col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"), col("vd").as("se"))
-        .agg(collect_list(struct(col("cid"), col("se"))).as("seeds"))
-      val assigned = emb.crossJoin(broadcast(seeds))
-        .withColumn("best", array_min(transform(col("seeds"), sd =>
-          struct(
-            aggregate(zip_with(col("vd"), sd.getField("se"),
-              (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("dist"),
-            sd.getField("cid").as("cid")))))
-        .select(col("best.cid").as("cluster_id"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
+      val assigned = seedAssign(s, dir)
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       assigned.groupBy(col("cluster_id"), col("dim"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("x").cast("double") * 1e6).cast("long")).as("sm"))
@@ -248,22 +259,8 @@ object VectorQueries extends QueryPack {
     // threshold here is fixture-calibrated (the synthetic corpus'
     // cosine mass sits in ±0.5).
     "q141_semdedup" -> { (s, dir) =>
-      val (ha, hb) = graft.operators.Dedup.affine(9900) // q99's seed family
-      val emb = withNorm(Tables.table(s, dir, "embeddings"))
-      val seeds = emb
-        .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
-          lit(4294967291L)))
-        .orderBy(col("hk"), col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"), col("vd").as("se"))
-        .agg(collect_list(struct(col("cid"), col("se"))).as("seeds"))
-      val assigned = emb.crossJoin(broadcast(seeds))
-        .withColumn("best", array_min(transform(col("seeds"), sd =>
-          struct(
-            aggregate(zip_with(col("vd"), sd.getField("se"),
-              (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("dist"),
-            sd.getField("cid").as("cid")))))
-        .select(col("vec_id"), col("best.cid").as("cluster_id"),
-          col("vd"), col("n2"))
+      val assigned = seedAssign(s, dir) // q99's seed family + argmin
+        .select(col("vec_id"), col("cluster_id"), col("vd"), col("n2"))
       val mates = assigned.select(col("cluster_id"), col("vec_id").as("bid"),
         col("vd").as("bvd"), col("n2").as("bn2"))
       val dups = assigned.join(mates, Seq("cluster_id"))
