@@ -284,6 +284,57 @@ object KernelQueries extends QueryPack {
           col("dh"), col("ds"), col("dv"))
         .orderBy(col("video_id"), col("frame"))
     },
+
+    // ENERGY-BASED VAD (the model-free voice-activity gate a
+    // pipeline runs before paying for TalkNet): per user a
+    // deterministic 16 kHz PCM track goes through the REAL WAV codec
+    // (encode → decode, the q45 seat) inside a partition kernel that
+    // emits per-25ms-frame |sample| energies; speech frames
+    // (energy > θ) then sessionize into runs ≥ 3 frames with the
+    // q67 gaps-and-islands windows — kernel math feeding the
+    // declarative layer, nothing corpus-sized anywhere (users × 20
+    // integer rows). The oracle regenerates the energies from the
+    // sample formula alone, so the hash matches iff the codec
+    // roundtrip is sample-exact AND the windowing agrees.
+    "q146_vad_segments" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nFrames = 20
+      val energies = graft.sources.Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[Long]
+        .mapPartitions(_.flatMap { u =>
+          val samples = Array.tabulate(nFrames * 640)(i =>
+            graft.sinks.MediaSinks.StubCutKernel.sourceSample(u, 0L, i.toLong))
+          val back = graft.sources.Wav.decode(
+            graft.sources.Wav.encode(16000, 1, samples)).samples
+          (0 until nFrames).map { f =>
+            var e = 0L; var i = f * 640
+            while (i < (f + 1) * 640) { e += math.abs(back(i).toLong); i += 1 }
+            (u, f.toLong, e)
+          }
+        })
+        .toDF("user_id", "frame", "energy")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("frame"))
+      energies
+        .withColumn("speaking",
+          when(col("energy") > 2620000L, 1).otherwise(0))
+        .withColumn("changed",
+          when(lag(col("speaking"), 1).over(w).isNull
+            || lag(col("speaking"), 1).over(w) =!= col("speaking"), 1)
+            .otherwise(0))
+        .withColumn("grp", sum(col("changed")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("speaking") === 1)
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("frame")).as("start_frame"), max(col("frame")).as("end_frame"),
+          count(lit(1)).as("n_frames"), sum(col("energy")).as("energy_sum"))
+        .filter(col("n_frames") >= 3)
+        .select(col("user_id"), col("start_frame"), col("end_frame"),
+          col("n_frames"), col("energy_sum"))
+        .orderBy(col("user_id"), col("start_frame"))
+    },
   )
 
   /** Mirrors Visual.preprocess at the q66 geometry: cyclic byte →
@@ -621,5 +672,34 @@ object KernelQueries extends QueryPack {
         |  CAST(1 + (s_suppkey % 97) AS BIGINT) AS n_frames,
         |  CAST(13 AS BIGINT) AS n_ceps
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // Mirrors q146 from the sourceSample formula (videoId·31 +
+    // i·2654435761 mod 16384 − 8192; track 0) — positive operands, so
+    // C-style % matches the JVM — plus the q67 gaps-and-islands
+    // windows. The codec roundtrip on the Spark side must be
+    // sample-exact for the energies to agree.
+    "q146_vad_segments" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |sm AS (SELECT u.user_id, CAST(t.i AS BIGINT) AS i,
+        |    abs(((u.user_id*31 + CAST(t.i AS BIGINT)*2654435761) % 16384) - 8192) AS a
+        |  FROM u, range(0, 12800) t(i)),
+        |e AS (SELECT user_id, i // 640 AS frame, sum(a) AS energy
+        |  FROM sm GROUP BY 1, 2),
+        |f AS (SELECT *, CASE WHEN energy > 2620000 THEN 1 ELSE 0 END AS speaking
+        |  FROM e),
+        |c AS (SELECT *,
+        |    CASE WHEN lag(speaking) OVER w IS NULL OR lag(speaking) OVER w <> speaking
+        |         THEN 1 ELSE 0 END AS changed
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY frame)),
+        |g AS (SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY frame
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM c)
+        |SELECT user_id,
+        |  CAST(min(frame) AS BIGINT) AS start_frame,
+        |  CAST(max(frame) AS BIGINT) AS end_frame,
+        |  count(*) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS energy_sum
+        |FROM g WHERE speaking = 1
+        |GROUP BY user_id, grp HAVING count(*) >= 3
+        |ORDER BY user_id, start_frame""".stripMargin,
   )
 }
