@@ -582,6 +582,51 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     },
 
+    // SPARSE LEXICAL DOC SIMILARITY (the postings-join plan family —
+    // the sparse analog of q27's dense scan): candidates come ONLY
+    // from shared terms via a word-keyed equi-join of the term-
+    // frequency postings, integer dot products aggregate per pair,
+    // one double division at the end. The df ≤ 75%-of-corpus cap
+    // (integer cross-multiply against a 1-row broadcast count — the
+    // q85/q86 scalar shape) drops ubiquitous terms BEFORE the join —
+    // the standard guard that keeps the pair blowup bounded by
+    // rare-term postings (a stop word would otherwise pair everything
+    // with everything); the norms use the same capped vocabulary so
+    // the metric is self-consistent and the oracle mirrors it. Query
+    // side bounded to every 50th doc like q27.
+    "q147_sparse_docsim" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val tf = TextOps.wordCounts(docs, "doc_id", "text") // (doc, word) unique
+      val nRow = docs.agg(count(lit(1)).as("nd"))
+      val dfs = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nRow))
+        .filter(col("df") * 4L <= col("nd") * 3L)
+      val rare = tf.join(dfs.select(col("word")), Seq("word"))
+        .select(col("doc_id"), col("word"), col("wn"))
+      val norms = rare.groupBy(col("doc_id"))
+        .agg(sum(col("wn") * col("wn")).as("n2"))
+      val qs = rare.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("word"), col("wn").as("qwn"))
+      val pairs = rare.join(qs, Seq("word"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("wn") * col("qwn")).as("dp"))
+      val cos = pairs
+        .join(norms.select(col("doc_id").as("qid"), col("n2").as("qn2")), Seq("qid"))
+        .join(norms.select(col("doc_id"), col("n2").as("cn2")), Seq("doc_id"))
+        .withColumn("cos", col("dp").cast("double")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      cos.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id").as("cid"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // PER-DOMAIN nucleus cut (q113's sibling: that one cuts ONE
     // global token budget via the distributed prefix sum; this one
     // cuts each language at 30% of ITS OWN token mass — the
@@ -1242,6 +1287,33 @@ object TextQueries extends QueryPack {
         |  END AS dup_frac
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors q147: same capped-vocabulary postings join, integer dot
+    // products, one double division (exact longs ≤ 2^53 on both
+    // engines), (cos desc, cid) rank ties.
+    "q147_sparse_docsim" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS wn FROM w GROUP BY 1, 2),
+        |nr AS (SELECT count(*) AS nd FROM documents),
+        |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |tr AS (SELECT tf.doc_id, tf.word, tf.wn FROM tf
+        |  JOIN dft USING (word), nr WHERE dft.df * 4 <= nr.nd * 3),
+        |nm AS (SELECT doc_id, sum(wn*wn) AS n2 FROM tr GROUP BY 1),
+        |p AS (SELECT q.doc_id AS qid, c.doc_id AS cid, sum(q.wn*c.wn) AS dp
+        |  FROM tr q JOIN tr c USING (word)
+        |  WHERE q.doc_id % 50 = 0 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT p.qid, p.cid,
+        |    CAST(p.dp AS DOUBLE)
+        |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cos
+        |  FROM p JOIN nm qn ON qn.doc_id = p.qid
+        |    JOIN nm cn ON cn.doc_id = p.cid),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, cid) AS rn FROM r)
+        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, round(cos, 6) AS cos_r
+        |FROM rk WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
     // Mirrors q144: zipped parallel unnest gives (start, gram) pairs
     // (Spark's posexplode), the covered set is DISTINCT (doc,

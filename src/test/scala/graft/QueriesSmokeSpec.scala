@@ -33,7 +33,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // join condition; q145 attaches two 1-row aggregates (total
       // score, spare slots) to lang-cardinality rows — the q85/q86
       // scalar-subquery shape.
-      "q141_semdedup", "q142_hard_negatives", "q145_temperature_mix")
+      "q141_semdedup", "q142_hard_negatives", "q145_temperature_mix",
+      // q147's df cap compares against a 1-row corpus count — the
+      // same scalar shape.
+      "q147_sparse_docsim")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
