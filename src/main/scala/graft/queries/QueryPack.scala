@@ -56,14 +56,23 @@ object Q {
   }
 
   private lazy val reaper = {
-    val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       dirs.forEach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverseIterator
-            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-        } catch { case _: Exception => () }
+        // depth-first deleting visitor: no open-stream leak, no
+        // whole-tree materialization
+        try Files.walkFileTree(d, new SimpleFileVisitor[Path] {
+          override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+            try Files.deleteIfExists(f) catch { case _: Exception => () }
+            FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(p: Path, e: java.io.IOException): FileVisitResult = {
+            try Files.deleteIfExists(p) catch { case _: Exception => () }
+            FileVisitResult.CONTINUE
+          }
+        }) catch { case _: Exception => () }
       }))
     dirs
   }

@@ -33,14 +33,16 @@ object VectorQueries extends QueryPack {
     * seeds packed into ONE broadcast row; assignment is per-row
     * array_min over (squared-dist, cid) structs — map-only, the
     * corpus never shuffles, no driver collect anywhere. */
-  private def seedAssign(s: SparkSession, dir: String,
-      seedFamily: Int = 9900, k: Int = 8): DataFrame = {
-    val (ha, hb) = graft.operators.Dedup.affine(seedFamily)
+  private val SeedFamily = 9900 // pinned: q99 + q141 oracles both derive from it
+  private val SeedK = 8
+
+  private def seedAssign(s: SparkSession, dir: String): DataFrame = {
+    val (ha, hb) = graft.operators.Dedup.affine(SeedFamily)
     val emb = withNorm(Tables.table(s, dir, "embeddings"))
     val seeds = emb
       .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
         lit(4294967291L)))
-      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .orderBy(col("hk"), col("vec_id")).limit(SeedK)
       .select(col("vec_id").as("cid"), col("vd").as("se"))
       .agg(collect_list(struct(col("cid"), col("se"))).as("seeds"))
     emb.crossJoin(broadcast(seeds))

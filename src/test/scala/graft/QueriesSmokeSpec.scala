@@ -20,23 +20,37 @@ class QueriesSmokeSpec extends SparkSpec {
     * q99 does the same with its one-row packed seed array (k=8
     * codebook candidates), assignment then being per-row array
     * algebra with no corpus shuffle. */
-  private val deliberateNestedLoop =
-    Set("q27_cosine_topk", "q88_quantized_ann", "q85_tfidf_topk", "q86_bm25",
-      "q99_kmeans_iter",
-      // q131 composes q27's exact brute-force baseline — the exact side
-      // of a recall audit is a full scan by definition; its pruned side
-      // (IVF) plans hash joins only.
-      "q131_ann_recall",
-      // q141's seed assignment is q99's 1-row broadcast codebook
-      // (its pair join is cluster_id-keyed hash); q142 is q27's
-      // broadcast-queries scan with the label inequality riding the
-      // join condition; q145 attaches two 1-row aggregates (total
-      // score, spare slots) to lang-cardinality rows — the q85/q86
-      // scalar-subquery shape.
-      "q141_semdedup", "q142_hard_negatives", "q145_temperature_mix",
-      // q147's df cap compares against a 1-row corpus count — the
-      // same scalar shape.
-      "q147_sparse_docsim")
+  /** name → MAX deliberate BNLJ count: the audit still fires if a
+    * whitelisted query gains an EXTRA nested loop (an equi-keyed join
+    * elsewhere in its plan losing its keys), which a plain
+    * name-exemption would silently absorb. Counts above 1 come from
+    * UN-CACHED SUBTREE DUPLICATION, not from extra joins: a DataFrame
+    * referenced k times inlines its subtree — and the 1-row broadcast
+    * join inside it — k times (e.g. q141's `assigned` feeds the pair
+    * join's both sides plus the final verdict = 3 copies of the seed
+    * crossJoin). Cheap for 1-row broadcasts, and pinning the exact
+    * count means an accidental extra reference shows up here too. */
+  private val deliberateNestedLoop = Map(
+    "q27_cosine_topk" -> 1, "q88_quantized_ann" -> 1,
+    "q85_tfidf_topk" -> 1, "q86_bm25" -> 1,
+    "q99_kmeans_iter" -> 1,
+    // q131 composes q27's exact brute-force baseline — the exact side
+    // of a recall audit is a full scan by definition (×2: exactTopK
+    // feeds the hit join and the qid spine); its pruned side (IVF)
+    // plans hash joins only.
+    "q131_ann_recall" -> 2,
+    // q141's seed assignment is q99's 1-row broadcast codebook
+    // (its pair join is cluster_id-keyed hash; the assignment subtree
+    // is referenced 3×); q142 is q27's broadcast-queries scan with
+    // the label inequality riding the join condition; q145 attaches
+    // two 1-row aggregates (total score ×2 references, spare slots)
+    // to lang-cardinality rows — the q85/q86 scalar-subquery shape.
+    "q141_semdedup" -> 3, "q142_hard_negatives" -> 1,
+    "q145_temperature_mix" -> 3,
+    // q147's df cap compares against a 1-row corpus count — the same
+    // scalar shape, inlined into the 4 references of the capped
+    // postings; its postings/norm joins must stay hash.
+    "q147_sparse_docsim" -> 4)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -53,9 +67,10 @@ class QueriesSmokeSpec extends SparkSpec {
       val df = fn(spark, sf001)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
-      if (!deliberateNestedLoop(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop join (equi-keys lost)")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val allowed = deliberateNestedLoop.getOrElse(name, 0)
+      assert(bnlj <= allowed,
+        s"$name plans $bnlj nested-loop joins (allowed $allowed — equi-keys lost?)")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
