@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.TextOps
 import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over `documents` — the
@@ -23,6 +24,29 @@ object TextQueries extends QueryPack {
   private val STOP_ES = "\\b(el|la|de|que|los|una)\\b"
   private val STOP_DE = "\\b(der|die|und|das|ein|nicht)\\b"
   private val STOP_FR = "\\b(le|les|des|une|est|dans)\\b"
+
+  /** The q135 bigram-LM fluency score, shared with q148's bucketing:
+    * per-doc mean P(b|a) = c(ab)/c(a·) with each term integer-scaled
+    * (round(1e6·c2/c1) as LONG) BEFORE the per-doc sum, so the
+    * aggregate is order-independent; one double division at the end.
+    * Returns (doc_id, n_bigrams, lm_u, avg_p). */
+  private def bigramLmScore(s: SparkSession, dir: String) = {
+    val docs = Tables.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(TextOps.adjacentPairStructs(col("w"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+      .withColumn("term",
+        round(col("c2").cast("double") * 1e6 / col("c1")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_u"))
+      .withColumn("avg_p",
+        col("lm_u").cast("double") / 1e6 / col("n_bigrams"))
+  }
 
   val queries = Map[String, Fn](
     // Token counting: whitespace tokenization + a BPE-ish regex
@@ -499,21 +523,29 @@ object TextQueries extends QueryPack {
     // (the q92 note). Counts stay < 2^53/1e6 ≈ 9e9 per bigram — far
     // above any real gram frequency at trillion-token scale.
     "q135_ngram_lm" -> { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-      val bi = docs.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(TextOps.adjacentPairStructs(col("w"))).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy(col("a")).agg(count(lit(1)).as("c1"))
-      bi.join(c2, Seq("a", "b")).join(c1, Seq("a"))
-        .withColumn("term",
-          round(col("c2").cast("double") * 1e6 / col("c1")).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_u"))
-        .select(col("doc_id"), col("n_bigrams"), col("lm_u"),
-          (col("lm_u").cast("double") / 1e6 / col("n_bigrams")).as("avg_p"))
+      bigramLmScore(s, dir)
+        .select(col("doc_id"), col("n_bigrams"), col("lm_u"), col("avg_p"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNET-STYLE PERPLEXITY BUCKETING (head/middle/tail): the q135
+    // fluency score splits each language into terciles — the split
+    // CCNet uses to keep/inspect/drop by LM quality. ntile(3) over
+    // the per-lang (avg_p desc, doc_id) order: the score doubles are
+    // computed from the same exact-integer sums on both engines, so
+    // the ordering — and therefore every bucket label — is
+    // deterministic; ties never reach the comparator (doc_id breaks
+    // them first). One window per language on top of the shared
+    // scoring plan, nothing global.
+    "q148_ccnet_buckets" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_p").desc, col("doc_id"))
+      Tables.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(bigramLmScore(s, dir), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_u"),
+          col("bucket"))
         .orderBy(col("doc_id"))
     },
 
@@ -1159,6 +1191,33 @@ object TextQueries extends QueryPack {
         |  CAST(sum(term) AS BIGINT) AS lm_u,
         |  CAST(sum(term) AS DOUBLE) / 1000000.0 / count(*) AS avg_p
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors q148: the q135 scoring CTEs + per-lang ntile(3) over
+    // (avg_p desc, doc_id) — the doubles come from identical exact
+    // integer sums on both engines, so the ordering and every bucket
+    // label agree; ntile is the q127 dialect precedent.
+    "q148_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |ix AS (SELECT doc_id, wt, unnest(range(0, len(wt)-1)) AS i
+        |  FROM w WHERE len(wt) >= 2),
+        |bi AS (SELECT doc_id, wt[CAST(i AS INT)+1] AS a, wt[CAST(i AS INT)+2] AS b
+        |  FROM ix),
+        |c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+        |t AS (SELECT bi.doc_id,
+        |    CAST(round(c2.c2 * 1000000.0 / c1.c1) AS BIGINT) AS term
+        |  FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a)),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(term) AS BIGINT) AS lm_u,
+        |    CAST(sum(term) AS DOUBLE) / 1000000.0 / count(*) AS avg_p
+        |  FROM t GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, sc.n_bigrams, sc.lm_u, sc.avg_p
+        |  FROM documents d JOIN sc USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, lm_u,
+        |  CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY avg_p DESC, doc_id) AS BIGINT) AS bucket
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // chunk count = 1 for n<=window else ceil((n-window)/stride)+1 —
     // emission stops at the first chunk reaching the doc end (see
