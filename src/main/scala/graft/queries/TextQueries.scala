@@ -528,6 +528,57 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // FEATURE HASHING (the hashing trick): every word folds into a
+    // 16-dim signed integer vector — dim from the rolling-hash
+    // fingerprint, sign from its next bit — giving each doc a tiny
+    // fixed-width feature vector without any vocabulary state (the
+    // classifier-input construction that needs no fitted dictionary
+    // at 100 TB). Map-side explode + one (doc, dim) hash aggregation
+    // of exact integers; the custom codegen'd rolling_hash Expression
+    // is the kernel (same ASCII-corpus note as q29/q31).
+    "q149_feature_hashing" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      TextOps.wordCounts(
+          Tables.table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
+        .withColumn("fp", expr("rolling_hash(word)"))
+        .withColumn("dim", pmod(col("fp"), lit(16L)))
+        .withColumn("sign", expr("(fp DIV 16) % 2") * 2L - 1L)
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sign") * col("wn")).as("hval"))
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
+    // N-GRAM NOVELTY PROFILE (the memorization/contribution curve a
+    // dedup analysis reads before deciding retention order): per doc,
+    // the fraction of its distinct trigrams whose FIRST corpus
+    // occurrence (min doc_id) is this doc. gram → min(doc_id) is one
+    // hash aggregation; attribution is an equi-join back — the q92
+    // counting machinery pointed at provenance instead of
+    // multiplicity.
+    "q151_ngram_novelty" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val dg = docs.select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), explode(TextOps.ngrams(col("w"), 3)).as("gram"))
+        .distinct()
+      val owner = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      val per = dg.join(owner, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("n_novel").cast("double") / col("n_grams")))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNET-STYLE PERPLEXITY BUCKETING (head/middle/tail): the q135
     // fluency score splits each language into terciles — the split
     // CCNet uses to keep/inspect/drop by LM quality. ntile(3) over
@@ -1191,6 +1242,46 @@ object TextQueries extends QueryPack {
         |  CAST(sum(term) AS BIGINT) AS lm_u,
         |  CAST(sum(term) AS DOUBLE) / 1000000.0 / count(*) AS avg_p
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors q149: polyHashSql ≡ rolling_hash on the ASCII corpus;
+    // nonneg fp, so C-style % and // match the JVM ops.
+    "q149_feature_hashing" -> {
+      val fp = Q.polyHashSql("word")
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS wn
+         |  FROM w GROUP BY 1, 2),
+         |h AS (SELECT doc_id, wn, $fp AS fp FROM tf)
+         |SELECT doc_id, CAST(fp % 16 AS BIGINT) AS dim,
+         |  CAST(sum(((fp // 16) % 2 * 2 - 1) * wn) AS BIGINT) AS hval
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
+    },
+
+    // Mirrors q151: the q92 gram CTEs, DISTINCT per (doc, gram),
+    // provenance = min(doc_id) per gram.
+    "q151_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      ngi -> array_to_string(wt[(CAST(ngi AS INT)+1):(CAST(ngi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |  FROM w),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |o AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |pd AS (SELECT g.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM g JOIN o USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_grams, 0) AS n_grams,
+        |  coalesce(pd.n_novel, 0) AS n_novel,
+        |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(pd.n_novel, 0) AS DOUBLE) / pd.n_grams
+        |  END AS novelty
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Mirrors q148: the q135 scoring CTEs + per-lang ntile(3) over
     // (avg_p desc, doc_id) — the doubles come from identical exact

@@ -279,6 +279,30 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // MINORITY-CLASS BALANCING (downsample every label to the
+    // smallest class size — the deterministic class-balance step
+    // before training a classifier on skewed labels): per-label
+    // counts → 1-row broadcast min → per-label hash-ordered
+    // row_number keeps exactly m rows per label. The hash order is
+    // the same universal-hash deterministic shuffle as q49/q117/q125,
+    // so every engine/partitioning picks the same rows; the per-label
+    // window is lang-partitioned (no global bottleneck).
+    "q150_label_balance" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(15000)
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .withColumn("hk", pmod(lit(ha) * pmod(col("vec_id"), lit(4294967291L)) + lit(hb),
+          lit(4294967291L)))
+      val minRow = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("m"))
+      val w = Window.partitionBy(col("label")).orderBy(col("hk"), col("vec_id"))
+      emb.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(minRow))
+        .filter(col("rk") <= col("m"))
+        .select(col("label"), col("rk"), col("vec_id"))
+        .orderBy(col("label"), col("rk"))
+    },
+
     // HARD-NEGATIVE MINING (contrastive training-pair construction):
     // for each query vector, the top-5 most similar corpus vectors
     // carrying a DIFFERENT label — the negatives that sit closest to
@@ -562,6 +586,21 @@ object VectorQueries extends QueryPack {
          |    AS keep
          |FROM m LEFT JOIN d ON m.vec_id = d.vec_id
          |ORDER BY m.vec_id""".stripMargin
+    },
+
+    // Mirrors q150: same hash family, per-label row_number over
+    // (uhash, vec_id), scalar min class size.
+    "q150_label_balance" -> {
+      val uh = Q.uhashSql("15000", "(vec_id % 4294967291)")
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    $uh AS hk FROM embeddings),
+         |mm AS (SELECT min(cnt) AS m FROM
+         |  (SELECT count(*) AS cnt FROM e GROUP BY label)),
+         |r AS (SELECT label, vec_id,
+         |    row_number() OVER (PARTITION BY label ORDER BY hk, vec_id) AS rk
+         |  FROM e)
+         |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id
+         |FROM r, mm WHERE rk <= mm.m ORDER BY label, rk""".stripMargin
     },
 
     // Mirrors q142: the q27 shape with the label inequality in the

@@ -47,6 +47,8 @@ class QueriesSmokeSpec extends SparkSpec {
     // to lang-cardinality rows — the q85/q86 scalar-subquery shape.
     "q141_semdedup" -> 3, "q142_hard_negatives" -> 1,
     "q145_temperature_mix" -> 3,
+    // q150's min-class-size is a 1-row broadcast scalar.
+    "q150_label_balance" -> 1,
     // q147's df cap compares against a 1-row corpus count — the same
     // scalar shape, inlined into the 4 references of the capped
     // postings; its postings/norm joins must stay hash.
