@@ -52,7 +52,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // q147's df cap compares against a 1-row corpus count — the same
     // scalar shape, inlined into the 4 references of the capped
     // postings; its postings/norm joins must stay hash.
-    "q147_sparse_docsim" -> 4)
+    "q147_sparse_docsim" -> 4,
+    // q155's exact-threshold gate compares candidate counts against
+    // the 1-row corpus token total — the q85/q86 scalar shape; the
+    // candidate and recount joins themselves must stay hash.
+    "q155_heavy_hitters" -> 1)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
