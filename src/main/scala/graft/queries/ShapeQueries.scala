@@ -302,6 +302,170 @@ object ShapeQueries extends QueryPack {
           coalesce(col("source"), lit("(all)")).as("source"),
           col("g_lang"), col("g_source"), col("n_docs"), col("chars"))
         .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+    },
+
+    // MULTISET set ops — INTERSECT ALL / EXCEPT ALL between two
+    // sources' token bags (q09's union and q08's anti-join cover the
+    // DISTINCT set algebra; corpus accounting needs the ALL variants:
+    // "how many occurrences does src0 share with src1" is a multiset
+    // question). Spark's intersectAll/exceptAll compile to counted
+    // hash aggregates + a generate — one shuffle on the token, no
+    // quadratic pair joins.
+    "q161_multiset_ops" -> { (s, dir) =>
+      def toks(src: String) = Tables.table(s, dir, "documents")
+        .filter(col("source") === src)
+        .select(explode(TextOps.words(col("text"))).as("w"))
+      val a = toks("src0"); val b = toks("src1")
+      def counted(df: DataFrame, op: String) = df
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(lit(op).as("op"), col("w"), col("cnt"))
+      counted(a.intersectAll(b), "intersect_all")
+        .union(counted(a.exceptAll(b), "except_all"))
+        .orderBy(col("op"), col("w"))
+    },
+
+    // AGGREGATE-FUNCTION family completion: count_if, bool_and,
+    // bool_or, and arg-max/arg-min by a UNIQUE composite key.
+    // max_by/min_by are nondeterministic under argument ties, so the
+    // ordering argument is n_chars·10⁶ + doc_id — injective while
+    // doc_id < 10⁶ (true for the acceptance tables; at larger id
+    // spaces widen the multiplier or use a struct ordering key).
+    // One hash aggregate, partial-agg friendly: every function here
+    // has an associative merge.
+    "q162_agg_family" -> { (s, dir) =>
+      val key = col("n_chars") * 1000000L + col("doc_id")
+      Tables.table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(expr("count_if(n_chars > 300)").as("n_long"),
+          when(expr("bool_and(n_chars > 50)"), 1L).otherwise(0L).as("all_over_50"),
+          when(expr("bool_or(n_chars > 900)"), 1L).otherwise(0L).as("any_over_900"),
+          max_by(col("doc_id"), key).as("longest_doc"),
+          min_by(col("doc_id"), key).as("shortest_doc"))
+        .orderBy(col("lang"))
+    },
+
+    // WINDOW-function family completion: cume_dist, nth_value, and
+    // last_value(IGNORE NULLS) over the per-lang length order. The
+    // (n_chars, doc_id) key is unique, so cume_dist's tie group is a
+    // single row (rank/n — one small-int IEEE division, identical on
+    // both engines) and the RANGE-vs-ROWS default-frame distinction
+    // is moot. nth_value/last_value are null until their target row
+    // enters the frame — nullable longs, compared as such.
+    "q163_window_family" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("doc_id"), 3).over(w).cast("long").as("third_doc"),
+          last(when(col("n_chars") % 3 === 0, col("doc_id")), ignoreNulls = true)
+            .over(w).cast("long").as("last_div3"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CONTENT CHECKSUM (the migration/replication audit: do two
+    // copies of a table hold the same rows, without moving either?):
+    // per-group row count + an order-independent digest = the SUM of
+    // per-row rolling_hash fingerprints over a canonical '|'-joined
+    // row string (integer/flag columns only — float formatting is
+    // engine-specific, so quantities enter as exact rounded longs).
+    // Sum-of-hashes is associative/commutative, so the digest is
+    // partition- and order-independent by construction; per-row
+    // hashes < 10⁹+7 keep the sum far from long overflow. The hash is
+    // the codegen'd RollingHash expression (q149's), mirrored by the
+    // oracle's polyHashSql.
+    "q164_content_checksum" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus"),
+            round(col("l_quantity")).cast("long")).as("rs"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("rolling_hash(rs)")).as("checksum"))
+        .orderBy(col("rf"))
+    },
+
+    // TIME-RANGE window frame (the §2.5 family's missing member —
+    // every other window here is ROWS-framed or unbounded): per-user
+    // trailing-10-minute event count and exact value sum, RANGE
+    // BETWEEN 600 s PRECEDING AND CURRENT ROW over epoch-nanos. The
+    // RANGE frame is value-based, so co-timestamped peers aggregate
+    // identically on both engines regardless of their physical order;
+    // the sum is integer cents (Q policy). One shuffle on user_id +
+    // per-partition sort — the standard window shape, frames slide in
+    // O(1) amortized per row.
+    "q165_range_frame" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+        .rangeBetween(-600000000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("cnt_10m"),
+          sum(Q.cents(col("value"))).over(w).as("cents_10m"))
+        .orderBy(col("event_id"))
+    },
+
+    // 2-D SKYLINE (Pareto frontier: docs not dominated in
+    // (n_chars, n_tokens) within their language — the multi-criteria
+    // retention cut "keep nothing strictly worse on both axes"). The
+    // plan is the sorted sweep, not the quadratic join: dominated ⟺
+    // max(y over x' > x) ≥ y OR max(y over same x) > y — two window
+    // maxes over one per-lang sort (the strict-x window is the
+    // 1-FOLLOWING range frame on the ascending x order). O(n log n)
+    // per language vs the oracle's NOT EXISTS O(n²); the hash compare
+    // certifies the sweep equals the quadratic definition. Equal
+    // (x, y) twins both survive (neither strictly dominates).
+    "q166_skyline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      val wGt = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy(col("lang"), col("n_chars"))
+      base
+        .withColumn("m_gt", max(col("n_tokens")).over(wGt))
+        .withColumn("m_eq", max(col("n_tokens")).over(wEq))
+        .filter(coalesce(col("m_gt"), lit(-1L)) < col("n_tokens") &&
+          col("m_eq") <= col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // MERGE APPLY (the lakehouse MERGE INTO shape: a change feed with
+    // update/insert/delete actions folded into a base table in one
+    // pass). The feed is each user's LATEST event (q106's one-agg
+    // max(struct) compaction — never a per-key sort), keyed to
+    // 11·user_id so it straddles the base key range: in-range keys
+    // update, beyond-range keys insert, and 'error' events delete.
+    // The fold itself is one full-outer hash join + a CASE — exactly
+    // what Delta/Iceberg MERGE compiles to when the feed isn't
+    // broadcastable; `status` makes each branch visible to the
+    // oracle. All money flows as integer cents.
+    "q167_merge_apply" -> { (s, dir) =>
+      val latest = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select((col("user_id") * 11).as("key"),
+          when(col("m.event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          Q.cents(col("m.value")).as("new_cents"))
+      val base = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), Q.cents(col("c_acctbal")).as("bal_cents"))
+      base.join(latest, Seq("key"), "full_outer")
+        // matched deletes remove the row; unmatched deletes are no-ops
+        // — either way every 'delete' row leaves the result.
+        .filter(col("op").isNull || col("op") === "upsert")
+        .select(col("key"),
+          when(col("op") === "upsert", col("new_cents"))
+            .otherwise(col("bal_cents")).as("bal_cents"),
+          when(col("op").isNull, lit("kept"))
+            .when(col("bal_cents").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("status"))
+        .orderBy(col("key"))
     }
   )
 
@@ -413,6 +577,91 @@ object ShapeQueries extends QueryPack {
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
-        |ORDER BY g_lang, g_source, lang, source""".stripMargin
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+
+    "q161_multiset_ops" ->
+      """WITH ta AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source = 'src0'),
+        |tb AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source = 'src1'),
+        |i AS (SELECT w FROM ta INTERSECT ALL SELECT w FROM tb),
+        |x AS (SELECT w FROM ta EXCEPT ALL SELECT w FROM tb)
+        |SELECT 'intersect_all' AS op, w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM i GROUP BY w
+        |UNION ALL
+        |SELECT 'except_all' AS op, w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM x GROUP BY w
+        |ORDER BY op, w""".stripMargin,
+
+    "q162_agg_family" ->
+      """SELECT lang,
+        |  CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS n_long,
+        |  CAST(CASE WHEN bool_and(n_chars > 50) THEN 1 ELSE 0 END AS BIGINT) AS all_over_50,
+        |  CAST(CASE WHEN bool_or(n_chars > 900) THEN 1 ELSE 0 END AS BIGINT) AS any_over_900,
+        |  CAST(arg_max(doc_id, n_chars * 1000000 + doc_id) AS BIGINT) AS longest_doc,
+        |  CAST(arg_min(doc_id, n_chars * 1000000 + doc_id) AS BIGINT) AS shortest_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q163_window_family" ->
+      """SELECT doc_id, lang,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(nth_value(doc_id, 3) OVER w AS BIGINT) AS third_doc,
+        |  CAST(last_value(CASE WHEN n_chars % 3 = 0 THEN doc_id END IGNORE NULLS)
+        |    OVER w AS BIGINT) AS last_div3
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q164_content_checksum" -> {
+      val fp = Q.polyHashSql("rs")
+      s"""WITH r AS (SELECT l_returnflag AS rf,
+         |    concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+         |      CAST(round(l_quantity) AS BIGINT)) AS rs
+         |  FROM lineitem)
+         |SELECT rf, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($fp) AS BIGINT) AS checksum
+         |FROM r GROUP BY rf ORDER BY rf""".stripMargin
+    },
+
+    "q165_range_frame" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS cnt_10m,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_10m
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+        |  RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // The oracle is the quadratic NOT EXISTS dominance definition —
+    // the sweep plan must reproduce it exactly.
+    "q166_skyline" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, n_tokens FROM b p
+        |WHERE NOT EXISTS (SELECT 1 FROM b q
+        |  WHERE q.lang = p.lang AND q.n_chars >= p.n_chars
+        |    AND q.n_tokens >= p.n_tokens
+        |    AND (q.n_chars > p.n_chars OR q.n_tokens > p.n_tokens))
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q167_merge_apply" ->
+      """WITH latest AS (
+        |  SELECT user_id * 11 AS key,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS new_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  CASE WHEN l.op = 'upsert' THEN l.new_cents ELSE b.bal_cents END AS bal_cents,
+        |  CASE WHEN l.op IS NULL THEN 'kept'
+        |       WHEN b.key IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS status
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+        |WHERE l.op IS NULL OR l.op = 'upsert'
+        |ORDER BY key""".stripMargin
   )
 }
