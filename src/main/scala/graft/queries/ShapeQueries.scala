@@ -474,6 +474,37 @@ object ShapeQueries extends QueryPack {
             .when(col("bal_cents").isNull, lit("inserted"))
             .otherwise(lit("updated")).as("status"))
         .orderBy(col("key"))
+    },
+
+    // TIME-SERIES GAP FILL with last-observation-carried-forward (the
+    // resample step a feature/metrics pipeline runs before training
+    // on regular time grids): per user, an HOURLY grid spanning that
+    // user's first..last event hour; hours with no event carry the
+    // previous observed value. The per-(user, hour) observation is
+    // the hour's LATEST event (q106's one-agg max(struct)
+    // compaction), the grid is a per-user sequence() explode (grid
+    // size = span × users, independent of event count), and the fill
+    // is one last(IGNORE NULLS) window per user — no self-joins, no
+    // per-gap scans. `observed` keeps real and carried rows
+    // distinguishable. Money as cents; hours as epoch-hour longs.
+    "q168_gap_fill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ob = Tables.events(s, dir)
+        .withColumn("hr", expr("ts_ns DIV 3600000000000"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(max(struct(col("ts_ns"), col("event_id"),
+          Q.cents(col("value")).as("cents"))).as("m"))
+        .select(col("user_id"), col("hr"), col("m.cents").as("ob_cents"))
+        .persist() // referenced by the bounds agg AND the grid join
+      val grid = ob.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      grid.join(ob, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          last(col("ob_cents"), ignoreNulls = true).over(w).as("filled_cents"),
+          when(col("ob_cents").isNull, 0L).otherwise(1L).as("observed"))
+        .orderBy(col("user_id"), col("hr"))
     }
   )
 
@@ -673,6 +704,24 @@ object ShapeQueries extends QueryPack {
         |       ELSE 'updated' END AS status
         |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
         |WHERE l.op IS NULL OR l.op = 'upsert'
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+
+    "q168_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |obs AS (SELECT user_id, ts_ns // 3600000000000 AS hr,
+        |    max(struct_pack(ts_ns := ts_ns, event_id := event_id,
+        |      cents := cents)) AS m
+        |  FROM e GROUP BY 1, 2),
+        |ob AS (SELECT user_id, hr, m.cents AS ob_cents FROM obs),
+        |bounds AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi
+        |  FROM ob GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hr FROM bounds)
+        |SELECT g.user_id AS user_id, CAST(g.hr AS BIGINT) AS hr,
+        |  CAST(last_value(ob.ob_cents IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.hr) AS BIGINT) AS filled_cents,
+        |  CAST(CASE WHEN ob.ob_cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+        |FROM grid g LEFT JOIN ob ON g.user_id = ob.user_id AND g.hr = ob.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin
   )
 }
