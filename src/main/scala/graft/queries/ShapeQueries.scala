@@ -462,7 +462,12 @@ object ShapeQueries extends QueryPack {
             .otherwise(lit("upsert")).as("op"),
           Q.cents(col("m.value")).as("new_cents"))
       val base = Tables.table(s, dir, "customer")
-        .select(col("c_custkey").as("key"), Q.cents(col("c_acctbal")).as("bal_cents"))
+        .select(col("c_custkey").as("key"), Q.cents(col("c_acctbal")).as("bal_cents"),
+          // Explicit base-presence marker: 'inserted' must mean "no
+          // base row", not "base balance was null" — a null-balance
+          // base row receiving an upsert is an UPDATE (the oracle
+          // tests b.key IS NULL, so the predicates must agree).
+          lit(1).as("in_base"))
       base.join(latest, Seq("key"), "full_outer")
         // matched deletes remove the row; unmatched deletes are no-ops
         // — either way every 'delete' row leaves the result.
@@ -471,7 +476,7 @@ object ShapeQueries extends QueryPack {
           when(col("op") === "upsert", col("new_cents"))
             .otherwise(col("bal_cents")).as("bal_cents"),
           when(col("op").isNull, lit("kept"))
-            .when(col("bal_cents").isNull, lit("inserted"))
+            .when(col("in_base").isNull, lit("inserted"))
             .otherwise(lit("updated")).as("status"))
         .orderBy(col("key"))
     },

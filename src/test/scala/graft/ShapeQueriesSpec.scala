@@ -59,11 +59,33 @@ class ShapeQueriesSpec extends SparkSpec {
     assert(st.values.forall(_ > 0))
   }
 
-  test("q155 output is invariant to the sketch's partitioning") {
-    val base = rowsOf("q155_heavy_hitters")
-    val old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "9")
-    try assert(rowsOf("q155_heavy_hitters") == base)
-    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  test("sketch+recount equals the exact heavy hitters under varied INPUT partitionings") {
+    // The q155 claim is that the Misra–Gries candidate stage is a
+    // superset of the true heavy hitters no matter how the token
+    // stream is split across partitions. shuffle.partitions does NOT
+    // vary that (the sketch runs on the scan's partitioning), so this
+    // test repartitions the token stream itself — including the
+    // adversarial single-partition and many-tiny-partitions splits —
+    // and requires the sketch→recount pipeline to land on the exact
+    // answer every time.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val rnd = new scala.util.Random(1550)
+    val words = Seq.fill(20000)(s"w${math.sqrt(rnd.nextInt(2500)).toInt}")
+    val n = words.size
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 200 > n }.toMap
+    assert(exact.nonEmpty) // the test must actually have heavy hitters
+    for (p <- Seq(1, 5, 32)) {
+      val toks = words.toDF("w").repartition(p)
+      val cand = toks.as[String]
+        .mapPartitions(it => graft.operators.Sketches.misraGries(it, 256))
+        .toDF("w").distinct()
+      val got = toks.join(bc(cand), Seq("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 200 > n)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"partitions=$p: got ${got.size} vs ${exact.size}")
+    }
   }
 }

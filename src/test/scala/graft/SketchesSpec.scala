@@ -29,9 +29,11 @@ class SketchesSpec extends AnyFunSuite {
   test("survives adversarial decrement-heavy streams") {
     // k distinct singletons after each arrival of the heavy item: the
     // classic pattern that forces a decrement pass per arrival. The
-    // heavy item has count n/ (2k) — below the guarantee line, so
-    // both outcomes (present or evicted) are legal; the kernel just
-    // must not crash, overcount slots, or lose an above-line item.
+    // heavy item's count is exactly n/(k+1) — ON the guarantee
+    // boundary (the guarantee needs count STRICTLY above n/(k+1)),
+    // so both outcomes (present or evicted) are legal; the kernel
+    // just must not crash, overcount slots, or lose an above-line
+    // item (the 'maj' majority stream checks that).
     val k = 4
     val xs = (1 to 100).flatMap(i => "hh" +: (1 to k).map(j => s"u$i-$j"))
     val cand = mg(xs, k)
