@@ -97,31 +97,32 @@ object Bench {
     // invalid JSON, the exact parse failure this line exists to fix.
     def cs(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Tiered density: the query count grows every round, so the
-    // seconds-map form will eventually outgrow the window again (at
-    // 161 queries it is ~1.92 KB — already at the edge). If the full
-    // line exceeds the safe budget, fall back to integer centisecond
-    // values keyed by the bare query number ("qunit":"cs" marks the
-    // encoding; -1.0 sentinels become -100), and to deciseconds
-    // ("ds") if even that outgrows the window. Same single-JSON-line
-    // contract, self-describing, monotone degradation.
-    def emit(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${cs(total)},"unit":"sec",$extra"queries":$qs,"sf":"$sfDir"}"""
-    val secLine = emit(results.map { case (k, v) =>
+    // The query count grows every round, so the full seconds map will
+    // eventually outgrow the window again (at 161 queries it is
+    // ~1.92 KB — already at the edge). If the full line exceeds the
+    // safe budget, keep the CONTRACT SHAPE (qNN keys, seconds values)
+    // but list only the slowest entries — the informative ones — and
+    // summarize the omitted fast tail in a self-describing "omitted"
+    // object, shrinking the list until the line fits. Every emitted
+    // number stays in seconds; nothing needs re-unit-ing downstream.
+    def entry(k: String, v: Double): String =
       "\"" + k.takeWhile(_ != '_') + "\":" + cs(v)
-    }.mkString("{", ",", "}"), "")
-    def intLine(unit: String, scale: Double): String =
-      emit(results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + math.round(v * scale)
-      }.mkString("{", ",", "}"), s""""qunit":"$unit",""")
+    def line(qs: Seq[(String, Double)], extra: String): String =
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":${
+        qs.map((entry _).tupled).mkString("{", ",", "}")},$extra"sf":"$sfDir"}"""
     val budget = 1900
-    val line =
-      if (secLine.length <= budget) secLine
-      else {
-        val csLine = intLine("cs", 100)
-        if (csLine.length <= budget) csLine else intLine("ds", 10)
-      }
-    println(line)
+    val full = line(results, "")
+    val out = if (full.length <= budget) full else {
+      val bySlow = results.sortBy { case (_, v) => -v }
+      Iterator.from(0).map { shrink =>
+        val keep = bySlow.take(math.max(10, bySlow.size - 20 * (shrink + 1)))
+        val rest = results.filterNot(keep.contains(_))
+        val restSum = rest.map(_._2).filter(_ >= 0).sum
+        line(keep.sortBy(_._1),
+          s""""omitted":{"n":${rest.size},"sum_sec":${cs(restSum)}},""")
+      }.find(_.length <= budget).get
+    }
+    println(out)
     spark.stop()
   }
 }
