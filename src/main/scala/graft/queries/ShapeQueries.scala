@@ -510,6 +510,45 @@ object ShapeQueries extends QueryPack {
           last(col("ob_cents"), ignoreNulls = true).over(w).as("filled_cents"),
           when(col("ob_cents").isNull, 0L).otherwise(1L).as("observed"))
         .orderBy(col("user_id"), col("hr"))
+    },
+
+    // RETENTION COHORTS (the engagement matrix every event pipeline
+    // reports: of the users whose FIRST activity fell in week w, how
+    // many were active k weeks later?). cohort = per-user min epoch-
+    // week (one hash agg), activity = distinct (user, week), offset =
+    // week − cohort_week; the matrix is one join + one distinct-count
+    // agg. Epoch-week integers end to end — no calendar functions, no
+    // timezone edge. Scale shape: everything keys on user_id, the
+    // natural partitioner; the matrix itself is weeks² tiny.
+    "q169_retention_cohorts" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 604800000000000").as("wk"))
+      val coh = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.distinct().join(coh, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
+    },
+
+    // SLIDING-WINDOW DISTINCT COUNT, exact (distinct users over the
+    // trailing 7 days, per day — the DAU/WAU overlap metric). COUNT
+    // DISTINCT cannot ride a sliding window frame, so the plan is the
+    // contribution explode: each distinct (user, active-day) feeds
+    // the 7 window-end days it covers, a second distinct collapses
+    // multi-day users per window, one count per day finishes. Blowup
+    // is a fixed 7× on the (user, day) DEDUPED activity table (not
+    // on raw events), every stage an equi-keyed hash agg — the shape
+    // that survives any event volume.
+    "q170_sliding_distinct" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+        .distinct()
+      d.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .distinct()
+        .groupBy(col("wday"))
+        .agg(count(lit(1)).as("users_7d"))
+        .orderBy(col("wday"))
     }
   )
 
@@ -727,6 +766,26 @@ object ShapeQueries extends QueryPack {
         |    OVER (PARTITION BY g.user_id ORDER BY g.hr) AS BIGINT) AS filled_cents,
         |  CAST(CASE WHEN ob.ob_cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
         |FROM grid g LEFT JOIN ob ON g.user_id = ob.user_id AND g.hr = ob.hr
-        |ORDER BY g.user_id, g.hr""".stripMargin
+        |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "q169_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT coh.cohort_wk AS cohort_wk,
+        |  CAST(act.wk - coh.cohort_wk AS BIGINT) AS offset_wk,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS active_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin,
+
+    "q170_sliding_distinct" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |w AS (SELECT DISTINCT user_id,
+        |    unnest(range(day, day + 7)) AS wday FROM d)
+        |SELECT CAST(wday AS BIGINT) AS wday,
+        |  CAST(count(*) AS BIGINT) AS users_7d
+        |FROM w GROUP BY wday ORDER BY wday""".stripMargin
   )
 }
