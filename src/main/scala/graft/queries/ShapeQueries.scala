@@ -549,6 +549,52 @@ object ShapeQueries extends QueryPack {
         .groupBy(col("wday"))
         .agg(count(lit(1)).as("users_7d"))
         .orderBy(col("wday"))
+    },
+
+    // EVENT TRANSITION MATRIX (first-order Markov counts: which event
+    // follows which, per user sequence — the session-model input and
+    // the "broken funnel" diagnostic). lead() over the per-user
+    // (ts_ns, event_id) order pairs each event with its successor;
+    // one count agg builds the |types|² matrix. The unique composite
+    // order key makes the successor deterministic under ties.
+    "q171_event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+
+    // CUSUM CHANGEPOINT over the daily event-rate series: cumulative
+    // sum of scaled deviations from the global mean, peak |cusum| day
+    // flagged — the standard level-shift detector. The mean is a
+    // rational (total/days), so deviations are cross-multiplied to
+    // integers (n·days − total): cusum stays an exact long, the
+    // argmax is unambiguous, and the whole series is bit-stable. The
+    // global window runs on the per-DAY aggregate (rows = days, tiny
+    // by construction) — the corpus-scale work is the one groupBy
+    // that produced it; the two 1-row broadcasts (totals, max) are
+    // the q85-style scalar shape.
+    "q172_cusum_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .groupBy(expr("ts_ns DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = d.agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.crossJoin(broadcast(t))
+        .withColumn("cusum", sum(col("n") * col("nd") - col("tot")).over(w))
+      val m = c.agg(max(abs(col("cusum"))).as("mx"))
+      c.crossJoin(broadcast(m))
+        .select(col("day"), col("n"), col("cusum"),
+          when(abs(col("cusum")) === col("mx"), 1L).otherwise(0L).as("is_peak"))
+        .orderBy(col("day"))
     }
   )
 
@@ -786,6 +832,29 @@ object ShapeQueries extends QueryPack {
         |    unnest(range(day, day + 7)) AS wday FROM d)
         |SELECT CAST(wday AS BIGINT) AS wday,
         |  CAST(count(*) AS BIGINT) AS users_7d
-        |FROM w GROUP BY wday ORDER BY wday""".stripMargin
+        |FROM w GROUP BY wday ORDER BY wday""".stripMargin,
+
+    "q171_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q172_cusum_changepoint" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS tot FROM d),
+        |c AS (SELECT day, n,
+        |    CAST(sum(n * t.nd - t.tot) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |  FROM d, t),
+        |m AS (SELECT max(abs(cusum)) AS mx FROM c)
+        |SELECT c.day AS day, c.n AS n, c.cusum AS cusum,
+        |  CAST(CASE WHEN abs(c.cusum) = m.mx THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+        |FROM c, m ORDER BY day""".stripMargin
   )
 }

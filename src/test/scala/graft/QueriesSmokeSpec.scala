@@ -56,7 +56,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // q155's exact-threshold gate compares candidate counts against
     // the 1-row corpus token total — the q85/q86 scalar shape; the
     // candidate and recount joins themselves must stay hash.
-    "q155_heavy_hitters" -> 1)
+    "q155_heavy_hitters" -> 1,
+    // q172 attaches two 1-row scalars (global totals + the peak
+    // |cusum|) to the tiny per-day series; the cusum'd subtree is
+    // referenced by both the max branch and the final projection, so
+    // the totals cross join inlines twice (2) plus the max attach (1).
+    "q172_cusum_changepoint" -> 3)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
