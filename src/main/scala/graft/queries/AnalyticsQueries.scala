@@ -52,22 +52,39 @@ object AnalyticsQueries extends QueryPack {
     // times (both wedge sides + closure) — one build, ReusedExchange
     // after.
     "q173_triangle_count" -> { (s, dir) =>
+      // Adjacency-intersection plan (NOT the naive wedge join the
+      // oracle runs): per-order part sets explode to co-occurrence
+      // pairs, ONE collect_set shuffle builds the sorted neighbor
+      // arrays (map-side partial sets dedup the multiplicity), the
+      // u<v edge list falls out of the adjacency for free, and each
+      // edge counts |N(u) ∩ N(v)| common neighbors — every triangle
+      // credits each of its three nodes exactly once (via its
+      // opposite edge). The Σ outdeg² wedge stream (~49 M rows at
+      // sf0.1, 40× |E|) never exists: the intersect runs per edge
+      // (~1.2 M rows) against the two broadcast adjacency maps
+      // (~20 MB), exploding only the ~3·|triangles| credit rows.
+      // Measured at sf0.1: 10–50 s naive wedge shuffle → 6.7 s
+      // broadcast-closure wedges → 2.8 s this plan. Past broadcast
+      // reach the two adjacency attachments become shuffle joins on
+      // u/v — the per-edge intersect shape survives unchanged.
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
+      val pairs = li.groupBy(col("ok"))
+        .agg(collect_set(col("pk")).as("ps"))
+        .select(explode(col("ps")).as("node"), col("ps"))
+        .select(col("node"), explode(col("ps")).as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+      val adj = pairs.groupBy(col("node"))
+        .agg(array_sort(collect_set(col("nbr"))).as("nbrs"))
         .persist()
-      val wedges = e.as("e1").join(e.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-      val tri = wedges.join(e.as("e3"),
-          col("y") === col("e3.u") && col("z") === col("e3.v"))
-        .select(col("x"), col("y"), col("z"))
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-        .groupBy(col("node"))
+      val e = adj.select(col("node").as("u"),
+        explode(filter(col("nbrs"), n => n > col("node"))).as("v"))
+      val tri = e
+        .join(broadcast(adj.select(col("node").as("u"), col("nbrs").as("nu"))), Seq("u"))
+        .join(broadcast(adj.select(col("node").as("v"), col("nbrs").as("nv"))), Seq("v"))
+        .select(explode(array_intersect(col("nu"), col("nv"))).as("node"))
+      tri.groupBy(col("node"))
         .agg(count(lit(1)).as("triangles"))
         .orderBy(col("triangles").desc, col("node"))
         .limit(100)
