@@ -61,7 +61,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // |cusum|) to the tiny per-day series; the cusum'd subtree is
     // referenced by both the max branch and the final projection, so
     // the totals cross join inlines twice (2) plus the max attach (1).
-    "q172_cusum_changepoint" -> 3)
+    "q172_cusum_changepoint" -> 3,
+    // q188's total-token count is a 1-row broadcast scalar attached
+    // to the min-support bigram survivors — the q85/q86 shape.
+    "q188_collocation_lift" -> 1)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
