@@ -17,6 +17,14 @@ object ImageCodec {
 
   java.lang.System.setProperty("java.awt.headless", "true")
 
+  // ImageIO's default stream cache is DISK-backed: every write/read
+  // through createImageOutputStream spins up a FileCache temp FILE —
+  // ~200 k temp files per q121/q129 run at sf0.1, and the dominant
+  // cost of the tiny-frame codec roundtrips. Memory caching is
+  // semantics-free (same bytes) and executor-safe (the buffers are
+  // per-call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   def isPng(payload: Array[Byte]): Boolean =
     payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
