@@ -211,6 +211,98 @@ object EventStream {
       .orderBy(col("click_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (q193): every click joins
+    * the views of the same user in the hour before it — and clicks
+    * with NO such view must still come out, which is the part plain
+    * stream-stream inner joins (q76) cannot express. Outer emission is
+    * WATERMARK-DRIVEN: an unmatched click leaves the state store only
+    * once the watermark proves no matching view can still arrive, so a
+    * stream whose watermark never passes its last click would hold
+    * those rows forever and the answer would depend on shutdown
+    * timing. The harness therefore replays the batch table through a
+    * scratch directory as THREE ordered file drops — the real events,
+    * then two far-future sentinel drops (one click + one view each, so
+    * BOTH sides' watermarks advance) — with maxFilesPerTrigger=1: by
+    * the time the second sentinel batch runs, the watermark from the
+    * first sentinel already exceeds every real click's eviction bound,
+    * so the state fully drains no matter whether the engine schedules
+    * a trailing no-data batch. Sentinels carry negative ids and are
+    * dropped before the rollup. The final answer provably equals the
+    * batch LEFT JOIN the oracle runs. */
+  def outerJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.Q
+    val name = "graft_stream_outer_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val drops = java.nio.file.Paths.get(Q.scratchDir(spark, "graft_stream_outer"))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ets"))
+    val maxNs = ev.agg(max(unix_micros(col("ets")))).collect()(0).getLong(0) // 1-row scalar
+    def sentinel(idBase: Long, us: Long): DataFrame =
+      spark.range(1).select(
+        lit(idBase).as("event_id"), lit(-1L).as("user_id"),
+        lit("click").as("event_type"), lit(0L).as("value_c"),
+        timestamp_micros(lit(us)).as("ets"))
+        .union(spark.range(1).select(
+          lit(idBase - 1).as("event_id"), lit(-1L).as("user_id"),
+          lit("view").as("event_type"), lit(0L).as("value_c"),
+          timestamp_micros(lit(us)).as("ets")))
+    val day = 86400L * 1000000L
+    val parts = Seq(ev, sentinel(-1L, maxNs + 30 * day), sentinel(-3L, maxNs + 60 * day))
+    val streamDir = drops.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = drops.resolve(s"tmp$i")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      // flatten to one ordered file per drop; mtime drives the file
+      // source's processing order under maxFilesPerTrigger=1
+      val files = java.nio.file.Files.list(tmp).iterator()
+      var k = 0
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.toString.endsWith(".parquet")) {
+          val dst = streamDir.resolve(f"$i%02d_$k%04d.parquet")
+          java.nio.file.Files.move(f, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          k += 1
+        }
+      }
+    }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("ets").as("cets"))
+      .withWatermark("cets", "1 minute")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
+        col("ets").as("vets"), col("value_c"))
+      .withWatermark("vets", "1 minute")
+    val joined = clicks.join(views,
+      col("c_uid") === col("v_uid") &&
+        col("vets") >= col("cets") - expr("INTERVAL 1 HOUR") &&
+        col("vets") <= col("cets"),
+      "leftOuter")
+    withStatePartitions(spark, 8) {
+      val q = joined
+        .select(col("click_id"), col("c_uid").as("user_id"),
+          col("view_id"), col("value_c"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .filter(col("click_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("view_id")).as("n_matched"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        coalesce(sum(col("value_c")), lit(0L)).as("matched_value_c"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-STATIC broadcast enrichment (q101): the streaming side of
     * the reference's audio-lookup join (dataLoader.py:5–13 — a small
     * dimension consulted per item). The dimension is a plain BATCH
