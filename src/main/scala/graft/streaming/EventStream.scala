@@ -249,7 +249,15 @@ object EventStream {
           lit("view").as("event_type"), lit(0L).as("value_c"),
           timestamp_micros(lit(us)).as("ets")))
     val day = 86400L * 1000000L
-    val parts = Seq(ev, sentinel(-1L, maxNs + 30 * day), sentinel(-3L, maxNs + 60 * day))
+    // one file per drop: maxFilesPerTrigger=1 makes each drop one
+    // micro-batch, so the whole run is exactly 3 batches (real data,
+    // sentinel, sentinel) — without the coalesce the real-data drop
+    // would fan into one batch PER shuffle partition and the harness
+    // would pay ~30 state-store commit rounds for nothing. Production
+    // replaces the scratch replay with a live source; the coalesce is
+    // harness-only.
+    val parts = Seq(ev.coalesce(1),
+      sentinel(-1L, maxNs + 30 * day), sentinel(-3L, maxNs + 60 * day))
     val streamDir = drops.resolve("stream")
     java.nio.file.Files.createDirectories(streamDir)
     parts.zipWithIndex.foreach { case (df, i) =>

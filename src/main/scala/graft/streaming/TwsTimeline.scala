@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Per-user running timeline statistics on the `transformWithState`
+  * arbitrary-state API (Spark 4's successor to
+  * flatMapGroupsWithState, q102's operator): typed `ValueState`
+  * backed by the RocksDB state store — the store that makes this
+  * operator viable at scale, because state lives off-heap/on-disk
+  * with changelog checkpointing instead of filling executor heaps.
+  *
+  * The processor keeps (first, last, n, max_gap, sum_cents) per user
+  * and folds each micro-batch's rows in (ts, id) order on top of it.
+  * Gap tracking is ORDER-SENSITIVE across batches, so the harness
+  * replays the events table as two scratch drops split at a fixed
+  * time boundary (all rows of drop 1 precede all rows of drop 2) —
+  * the state genuinely carries across micro-batches, yet the final
+  * fold provably equals the batch lag()-window the oracle runs. The
+  * last emission per user (largest n) is the drained answer.
+  */
+object TwsTimeline {
+
+  /** (first_ns, last_ns, n, max_gap_ns, sum_c) carried per user. */
+  final case class TimelineState(first: Long, last: Long, n: Long,
+      maxGap: Long, sumC: Long)
+  final case class TimelineOut(user_id: Long, n_events: Long, first_ns: Long,
+      last_ns: Long, max_gap_ns: Long, sum_c: Long)
+
+  /** Input rows: (user_id, ts_ns, event_id, value_c). */
+  final class TimelineProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), TimelineOut] {
+    @transient private var state: ValueState[TimelineState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TimelineState]("timeline",
+        Encoders.product[TimelineState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timers: TimerValues): Iterator[TimelineOut] = {
+      // sources deliver a batch's rows unordered; the fold order is
+      // part of the semantics, so pin it (ts, id) — the same order
+      // the oracle's lag() window uses
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var s = if (state.exists()) state.get()
+        else TimelineState(Long.MaxValue, Long.MinValue, 0L, 0L, 0L)
+      sorted.foreach { case (_, ts, _, c) =>
+        val gap = if (s.n == 0) 0L else ts - s.last
+        s = TimelineState(math.min(s.first, ts), math.max(s.last, ts),
+          s.n + 1, math.max(s.maxGap, gap), s.sumC + c)
+      }
+      state.update(s)
+      Iterator.single(TimelineOut(user, s.n, s.first, s.last, s.maxGap, s.sumC))
+    }
+  }
+
+  /** Runs the processor over a two-drop time-split replay of events
+    * and returns the drained per-user rows (q199). */
+  def runningTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.Q
+    val name = "graft_stream_tws_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val drops = java.nio.file.Paths.get(Q.scratchDir(spark, "graft_stream_tws"))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
+    // fixed time boundary = the midpoint of the observed span: every
+    // row of drop 0 precedes every row of drop 1, so the cross-batch
+    // state fold sees time-ordered batches (the only order in which
+    // running gap statistics are well-defined)
+    val b = ev.agg((min(col("ts_ns")) + (max(col("ts_ns")) - min(col("ts_ns"))) / 2)
+      .cast("long")).collect()(0).getLong(0) // 1-row scalar
+    val streamDir = drops.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    Seq(ev.filter(col("ts_ns") < b), ev.filter(col("ts_ns") >= b))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = drops.resolve(s"tmp$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val files = java.nio.file.Files.list(tmp).iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.toString.endsWith(".parquet")) {
+            val dst = streamDir.resolve(f"$i%02d.parquet")
+            java.nio.file.Files.move(f, dst)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          }
+        }
+      }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[(Long, Long, Long, Long)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(new TimelineProcessor, TimeMode.None(),
+        OutputMode.Append(), Encoders.product[TimelineOut])
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB store
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val oldShuffle = spark.conf.get(shuffleKey)
+      spark.conf.set(shuffleKey, "8")
+      try {
+        val q = out.toDF()
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally spark.conf.set(shuffleKey, oldShuffle)
+    } finally oldProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    // each batch emits the running row; the drained answer per user
+    // is the one with the largest n (monotone)
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("first_ns"), col("last_ns"),
+          col("max_gap_ns"), col("sum_c")), col("n_events")).as("t"))
+      .select(col("user_id"), col("t.n_events"), col("t.first_ns"),
+        col("t.last_ns"), col("t.max_gap_ns"), col("t.sum_c"))
+      .orderBy(col("user_id"))
+  }
+}
