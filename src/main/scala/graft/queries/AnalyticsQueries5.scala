@@ -151,6 +151,100 @@ object AnalyticsQueries5 extends QueryPack {
         .orderBy(col("ta"), col("tb"))
     },
 
+    // ENTITY-RESOLUTION CLUSTERS: the q196 fuzzy-match pairs become
+    // an edge list and min-label connected components (the q72
+    // operator — per-round localCheckpoint loop on the edge-connected
+    // subgraph only) resolve transitive matches into entities; output
+    // is the per-cluster rollup for clusters of ≥ 2 documents. The
+    // oracle re-derives the same components with a recursive CTE —
+    // feasible exactly because blocking keeps the edge list tiny,
+    // which is also why the Spark loop converges in a few rounds.
+    "q200_fuzzy_clusters" -> { (s, dir) =>
+      val edges = queries("q196_fuzzy_match")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val nodes = Tables.table(s, dir, "documents")
+        .select(col("doc_id").as("id"))
+      graft.operators.Components.connectedComponents(nodes, edges)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("id_sum"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("comp"))
+    },
+
+    // JOIN-CARDINALITY ESTIMATION: |A ⋈ A| on a key = Σ cnt(k)² — the
+    // number that predicts pair-explosion cost before you run a
+    // self-join (q185/q191/q196 all needed it). Exact value next to a
+    // deterministic 1/64 key-sample estimate (keys whose universal
+    // hash ≡ 0 mod 64, scaled ×64) — the sketch a planner consults
+    // when the exact pass is itself too expensive. Per column: one
+    // hash agg builds the key histogram; both numbers reduce from it.
+    "q201_join_cardinality" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(20100)
+      def card(name: String, df: DataFrame, k: String): DataFrame =
+        df.select(col(k).as("key")).groupBy(col("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("exact_pairs"),
+            sum(when(pmod(lit(ha) * pmod(col("key"), lit(4294967291L)) + lit(hb),
+                lit(4294967291L)) % 64 === 0, col("cnt") * col("cnt"))
+              .otherwise(lit(0L)) * 64).as("est_pairs"),
+            count(when(pmod(lit(ha) * pmod(col("key"), lit(4294967291L)) + lit(hb),
+              lit(4294967291L)) % 64 === 0, lit(1))).as("n_sampled"))
+          .select(lit(name).as("col_name"), col("exact_pairs"),
+            col("est_pairs"), col("n_sampled"))
+      val li = Tables.table(s, dir, "lineitem")
+      card("lineitem.l_partkey", li, "l_partkey")
+        .union(card("lineitem.l_suppkey", li, "l_suppkey"))
+        .union(card("orders.o_custkey", Tables.table(s, dir, "orders"), "o_custkey"))
+        .union(card("events.user_id", Tables.events(s, dir), "user_id"))
+        .orderBy(col("col_name"))
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE: the per-type rollup (count, cents
+    // sum, distinct users) maintained as state ⊕ delta — the base
+    // half of the corpus is the "stored" aggregate, the second half
+    // the arriving delta, and the merge is purely algebraic: counts
+    // and sums add, the distinct-user count merges through the q198
+    // sparse bitmap (bit_or is the mergeable form distinct-count
+    // lacks). Each output row carries the incrementally-merged AND
+    // the fully-recomputed value side by side — equal by construction,
+    // which is exactly what the oracle pins. This is the production
+    // shape at 100 TB: never re-scan history, fold the delta in.
+    "q202_ivm_rollup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ns"),
+          cents(col("value")).as("c"))
+      val Array(lo, hi) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 1-row scalar
+      val b = lo + (hi - lo) / 2
+      def bitmap(df: DataFrame): DataFrame = df
+        .select(col("event_type"), expr("user_id DIV 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("mask"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(bit_or(col("mask")).as("bits"))
+      def scalars(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+      val base = ev.filter(col("ts_ns") < b).persist()
+      val delta = ev.filter(col("ts_ns") >= b).persist()
+      // merge: scalar halves add; bitmap halves re-OR per word
+      val mergedScalars = scalars(base).union(scalars(delta))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_merged"), sum(col("sum_c")).as("sum_merged"))
+      val mergedNdv = bitmap(base).union(bitmap(delta))
+        .groupBy(col("event_type"), col("word"))
+        .agg(bit_or(col("bits")).as("bits"))
+        .groupBy(col("event_type"))
+        .agg(sum(bit_count(col("bits")).cast("long")).as("ndv_merged"))
+      val full = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_full"), sum(col("c")).as("sum_full"),
+          countDistinct(col("user_id")).as("ndv_full"))
+      mergedScalars.join(mergedNdv, Seq("event_type"))
+        .join(full, Seq("event_type"))
+        .select(col("event_type"), col("n_merged"), col("n_full"),
+          col("sum_merged"), col("sum_full"), col("ndv_merged"), col("ndv_full"))
+        .orderBy(col("event_type"))
+    },
+
     // TRANSFORM-WITH-STATE RUNNING TIMELINE: per-user (n, first,
     // last, max_gap, sum_cents) via Spark 4's StatefulProcessor +
     // typed ValueState on the RocksDB store, driven across two
@@ -240,6 +334,71 @@ object AnalyticsQueries5 extends QueryPack {
         |  coalesce(ex.n_exact, 0) AS n_exact
         |FROM inter LEFT JOIN ex ON inter.ta = ex.ta AND inter.tb = ex.tb
         |ORDER BY inter.ta, inter.tb""".stripMargin,
+
+    // The recursive label propagation enumerates (node, reachable
+    // label) pairs — bounded and fast precisely because blocking kept
+    // the edge list tiny; min per node is the same component label
+    // the Spark min-label loop converges to.
+    "q200_fuzzy_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, split_part(text, ' ', 1) AS t1,
+        |    substr(text, 1, 40) AS p FROM documents),
+        |e0 AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.t1 = b.t1
+        |    AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.p, b.p) <= 15),
+        |e AS (SELECT ia AS a, ib AS b FROM e0
+        |  UNION ALL SELECT ib, ia FROM e0),
+        |r AS (SELECT DISTINCT a AS node, a AS label FROM e
+        |  UNION
+        |  SELECT e.b, r.label FROM r JOIN e ON e.a = r.node),
+        |lab AS (SELECT node, min(label) AS comp FROM r GROUP BY node)
+        |SELECT comp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(node) AS BIGINT) AS id_sum
+        |FROM lab GROUP BY comp HAVING count(*) >= 2 ORDER BY comp""".stripMargin,
+
+    "q201_join_cardinality" -> {
+      val uh = Q.uhashSql("20100", "(key % 4294967291)")
+      def card(name: String, table: String, keyExpr: String) =
+        s"""SELECT '$name' AS col_name,
+          |  CAST(sum(cnt*cnt) AS BIGINT) AS exact_pairs,
+          |  CAST(sum(CASE WHEN $uh % 64 = 0 THEN cnt*cnt*64 ELSE 0 END) AS BIGINT)
+          |    AS est_pairs,
+          |  CAST(count(CASE WHEN $uh % 64 = 0 THEN 1 END) AS BIGINT) AS n_sampled
+          |FROM (SELECT $keyExpr AS key, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        card("lineitem.l_partkey", "lineitem", "l_partkey"),
+        card("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        card("orders.o_custkey", "orders", "o_custkey"),
+        card("events.user_id", "events", "user_id"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q202_ivm_rollup" ->
+      """WITH b AS (SELECT min(epoch_ns(ts)) +
+        |    (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS bd FROM events),
+        |e AS (SELECT event_type, user_id, epoch_ns(ts) AS ns,
+        |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |half AS (SELECT e.*, CASE WHEN ns < bd THEN 0 ELSE 1 END AS h FROM e, b),
+        |sc AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s FROM half GROUP BY 1, 2),
+        |ms AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_merged,
+        |    CAST(sum(s) AS BIGINT) AS sum_merged FROM sc GROUP BY 1),
+        |bm AS (SELECT event_type, h, user_id // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM half GROUP BY 1, 2, 3),
+        |mb AS (SELECT event_type, w, bit_or(bits) AS bits FROM bm GROUP BY 1, 2),
+        |mn AS (SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS ndv_merged
+        |  FROM mb GROUP BY 1),
+        |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
+        |    CAST(sum(c) AS BIGINT) AS sum_full,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_full
+        |  FROM e GROUP BY 1)
+        |SELECT ms.event_type, ms.n_merged, f.n_full, ms.sum_merged, f.sum_full,
+        |  mn.ndv_merged, f.ndv_full
+        |FROM ms JOIN mn ON ms.event_type = mn.event_type
+        |  JOIN f ON ms.event_type = f.event_type
+        |ORDER BY ms.event_type""".stripMargin,
 
     "q199_tws_timeline" ->
       """WITH g AS (SELECT user_id, epoch_ns(ts) AS ns, event_id,

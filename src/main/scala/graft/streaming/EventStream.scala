@@ -278,8 +278,13 @@ object EventStream {
       }
     }
     val schema = spark.read.parquet(streamDir.toString).schema
+    // 2 files per trigger: batch 0 = real data + sentinel 1 (so the
+    // watermark computed at its end already exceeds every real
+    // click's eviction bound), batch 1 = sentinel 2 (applies it and
+    // drains the state). One fewer batch round per source than
+    // 1-file pacing, same deterministic drain.
     def src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .option("maxFilesPerTrigger", "2").parquet(streamDir.toString)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
         col("ets").as("cets"))
@@ -293,13 +298,25 @@ object EventStream {
         col("vets") >= col("cets") - expr("INTERVAL 1 HOUR") &&
         col("vets") <= col("cets"),
       "leftOuter")
-    withStatePartitions(spark, 8) {
+    // No-data micro-batches exist to evict state when the watermark
+    // advances with nothing arriving — here eviction is driven by the
+    // sentinel BATCHES themselves (batch N+1 applies batch N's
+    // watermark), so the extra empty batches only add state-store
+    // commit rounds. Disabling them halves the batch count without
+    // touching the drained answer.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    try withStatePartitions(spark, 2) {
       val q = joined
         .select(col("click_id"), col("c_uid").as("user_id"),
           col("view_id"), col("value_c"))
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
+    } finally oldNoData match {
+      case Some(v) => spark.conf.set(noDataKey, v)
+      case None => spark.conf.unset(noDataKey)
     }
     spark.table(name)
       .filter(col("click_id") >= 0)
