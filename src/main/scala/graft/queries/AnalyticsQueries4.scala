@@ -109,6 +109,7 @@ object AnalyticsQueries4 extends QueryPack {
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .persist() // both sides of the pair join read it
       val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") =!= col("pk2"))
         .groupBy(col("pk").as("src"), col("pk2").as("dst"))

@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.AnalyticsQueries6
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for q203/q204: the power iterate against a local
+  * BigInt recompute from the raw parquet, and k-anonymity monotonicity
+  * plus a direct risk recount. */
+class AnalyticsQueries6Spec extends SparkSpec {
+
+  test("q203 equals a local exact recompute from the raw embeddings") {
+    val rows = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = 64
+    // HALF_UP away from zero, matching Spark/DuckDB round() (plain
+    // math.round would send -0.5 to 0 instead of -1)
+    val q = rows.map(_.map(x => BigDecimal(x.toDouble * 1024)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt))
+    val g = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      g(i)(j) = q.iterator.map(r => r(i) * r(j)).sum
+    def mul(v: Array[BigInt]) =
+      Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val v2 = mul(mul(Array.fill(d)(BigInt(1))))
+    val got = AnalyticsQueries6.queries("q203_power_iteration")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until d).foreach(i => assert(got(i.toLong) == v2(i).toString, s"dim $i"))
+  }
+
+  test("q204 risk counts are monotone in k and match a direct recount") {
+    val got = AnalyticsQueries6.queries("q204_kanon_audit")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(2L, 5L, 10L, 20L))
+    assert(got.map(_._4).distinct.length == 1, "n_groups_total constant")
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted, "groups_below monotone")
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted, "docs_at_risk monotone")
+    val groups = spark.read.parquet(s"$sf001/documents.parquet")
+      .groupBy(col("lang"), col("source"), expr("n_chars DIV 256"))
+      .agg(count(lit(1)).as("cnt")).collect().map(_.getLong(3))
+    got.foreach { case (k, below, risk, total) =>
+      assert(below == groups.count(_ < k))
+      assert(risk == groups.filter(_ < k).sum)
+      assert(total == groups.length)
+    }
+  }
+}
