@@ -15,7 +15,88 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries6 extends QueryPack {
   import Q._
 
+  /** Count-min sketch geometry (q205): 4 hash rows × 2048 counters. */
+  private val CmsRows = 4
+  private val CmsW = 2048L
+
+  /** q206's noise ladder: thresholds over the uhash range [0, P) for
+    * a two-sided geometric(p=1/2) noise variable truncated to ±16.
+    * mass(0)=1/3, mass(±k)=2⁻ᵏ/3 — all dyadic-over-3 rationals, so
+    * every threshold floor(P·CDF(k)) is EXACT in BigInt. One builder
+    * emits the CASE for BOTH engines, so parity holds by
+    * construction. */
+  private def geomNoiseCaseSql(uExpr: String): String = {
+    val P = BigInt(4294967291L)
+    val den = BigInt(3) * BigInt(65536) // 3·2^16
+    var cum = BigInt(0)
+    val arms = (-16 to 15).map { k =>
+      val mass = if (k == 0) BigInt(65536) else BigInt(1) << (16 - math.abs(k))
+      cum += mass
+      s"WHEN $uExpr < ${(P * cum) / den} THEN CAST($k AS BIGINT)"
+    }
+    arms.mkString("CASE ", " ", " ELSE CAST(16 AS BIGINT) END")
+  }
+
   val queries = Map[String, Fn](
+
+    // COUNT-MIN SKETCH, audited: 4×2048 integer counters over the
+    // token stream (bucket = oracled universal hash of the oracled
+    // rolling hash — every ingredient already hash-matched to
+    // DuckDB), built by one hash agg whose map-side combine bounds
+    // every partition's contribution at 8192 running sums — the
+    // mergeable-sketch scale shape, like q194's bitmap but for
+    // FREQUENCIES. The exact top-20 tokens then read their estimate
+    // back (min over the 4 rows) next to their exact count: CMS can
+    // only overestimate, and the row shows by how much.
+    "q205_countmin" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .persist()
+      def buckets(df: DataFrame): DataFrame = df
+        .withColumn("ph", expr("rolling_hash(tok) % 4294967291"))
+        .select(col("*"), explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+        .withColumn("bucket", expr(
+          "pmod((pmod((20500 + r)*2654435761, 1073741824)*2+1) * ph + " +
+            "pmod((20500 + r)*40503+778797, 1073741824), 4294967291) % " + CmsW))
+      val cms = buckets(toks)
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as("counter"))
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_cnt").desc, col("tok"))).cast("long"))
+        .filter(col("rk") <= 20)
+      buckets(top).join(cms, Seq("r", "bucket"))
+        .groupBy(col("rk"), col("tok"), col("exact_cnt"))
+        .agg(min(col("counter")).as("cms_est"))
+        .select(col("rk"), col("tok"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("rk"))
+    },
+
+    // DIFFERENTIALLY-PRIVATE-STYLE NOISED RELEASE: the per-(type,
+    // day) count series plus two-sided geometric(1/2) noise drawn
+    // deterministically per cell from the oracled hash through an
+    // EXACT dyadic threshold ladder (the q159 pinned-inverse-CDF
+    // pattern; ladder literals generated once for both engines).
+    // True and noised counts ship side by side because this is the
+    // mechanism's engine test, not a privacy release — a real
+    // release drops n_true and derives the noise seed from a secret.
+    "q206_dp_release" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n_true"))
+      val cellHash = "pmod(day * 1000003 + rolling_hash(event_type), 4294967291)"
+      val u = "(pmod((pmod(20600*2654435761, 1073741824)*2+1) * " +
+        s"$cellHash + pmod(20600*40503+778797, 1073741824), 4294967291))"
+      cells
+        .withColumn("noise", expr(geomNoiseCaseSql(u)))
+        .select(col("event_type"), col("day"), col("n_true"), col("noise"),
+          greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
 
     // PCA POWER ITERATION, integer-exact: embeddings quantized to
     // 1/1024 steps (round-half-up, bit-identical on both engines),
@@ -70,6 +151,44 @@ object AnalyticsQueries6 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q205_countmin" -> {
+      val ph = Q.polyHashSql("tok")
+      def bucket(iExpr: String) =
+        s"(${Q.uhashSql(iExpr, "ph")} % $CmsW)"
+      s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        |    FROM documents),
+        |tb AS (SELECT tok, $ph % 4294967291 AS ph FROM toks),
+        |cms AS (SELECT rr.r AS r, ${bucket("(20500 + rr.r)")} AS bucket,
+        |    CAST(count(*) AS BIGINT) AS counter
+        |  FROM tb, range(0, $CmsRows) rr(r)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+        |top AS (SELECT tok, exact_cnt,
+        |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS BIGINT) AS rk
+        |  FROM ex QUALIFY rk <= 20),
+        |tt AS (SELECT top.rk, top.tok, top.exact_cnt, rr.r AS r,
+        |    ${bucket("(20500 + rr.r)")} AS bucket
+        |  FROM (SELECT top.*, $ph % 4294967291 AS ph FROM top) top, range(0, $CmsRows) rr(r))
+        |SELECT tt.rk, tt.tok, tt.exact_cnt,
+        |  CAST(min(cms.counter) AS BIGINT) AS cms_est
+        |FROM tt JOIN cms ON cms.r = tt.r AND cms.bucket = tt.bucket
+        |GROUP BY 1, 2, 3 ORDER BY tt.rk""".stripMargin
+    },
+
+    "q206_dp_release" -> {
+      val cellHash = s"((day * 1000003 + ${Q.polyHashSql("event_type")}) % 4294967291)"
+      val u = Q.uhashSql("20600", cellHash)
+      s"""WITH cells AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, n_true,
+        |    ${geomNoiseCaseSql(u)} AS noise
+        |  FROM cells)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, n_true, noise,
+        |  greatest(n_true + noise, 0) AS n_released
+        |FROM n ORDER BY event_type, day""".stripMargin
+    },
 
     // range(1,65) indexes both axes; HUGEINT keeps every product
     // exact (v₂ ≤ ~2e21 « int128). The same quantized integers feed

@@ -28,6 +28,36 @@ class AnalyticsQueries6Spec extends SparkSpec {
     (0 until d).foreach(i => assert(got(i.toLong) == v2(i).toString, s"dim $i"))
   }
 
+  test("q205 CMS never underestimates and is exact when no bucket collides") {
+    val got = AnalyticsQueries6.queries("q205_countmin")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    assert(got.map(_._1).toSeq == (1L to 20L))
+    got.foreach { case (_, tok, exact, est) =>
+      assert(est >= exact, s"CMS underestimated '$tok': $est < $exact")
+    }
+    // ranks descend by exact count with token tie-break
+    val ordered = got.sortBy(_._1).map(t => (-t._3, t._2)).toSeq
+    assert(ordered == ordered.sorted)
+  }
+
+  test("q206 noise is bounded, deterministic, and n_released clamps at zero") {
+    val a = AnalyticsQueries6.queries("q206_dp_release")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    val b = AnalyticsQueries6.queries("q206_dp_release")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "noise must be deterministic per cell")
+    AnalyticsQueries6.queries("q206_dp_release")(spark, sf001).collect().foreach { r =>
+      val (nTrue, noise, rel) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(noise >= -16 && noise <= 16)
+      assert(rel == math.max(nTrue + noise, 0L))
+    }
+    // the ladder actually draws from both tails on this corpus
+    val noises = AnalyticsQueries6.queries("q206_dp_release")(spark, sf001)
+      .collect().map(_.getLong(3))
+    assert(noises.exists(_ < 0) && noises.exists(_ > 0))
+  }
+
   test("q204 risk counts are monotone in k and match a direct recount") {
     val got = AnalyticsQueries6.queries("q204_kanon_audit")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
