@@ -98,6 +98,80 @@ object AnalyticsQueries6 extends QueryPack {
     },
 
 
+    // WINNOWING FINGERPRINTS (the MOSS document-fingerprinting
+    // scheme): 5-gram rolling hashes per document, then each sliding
+    // window of 4 grams contributes its MINIMUM hash — the winnowed
+    // fingerprint set (distinct window minima) is guaranteed to
+    // sample every run of ≥ 8 shared tokens, at a fraction of the
+    // full gram set's size. Gram hashes build from per-token hashes
+    // with lead() (one window pass per doc — no string re-hashing per
+    // gram), fingerprints bucket-join into candidate pairs, and pairs
+    // sharing ≥ 2 fingerprints come out with their share count. The
+    // corpus never self-joins: candidates exist only where a
+    // fingerprint bucket collides.
+    "q207_winnowing" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tk")))
+        .select(col("doc_id"), col("pos"),
+          expr("rolling_hash(tk) % 1000000007").as("th"))
+      val g = tok
+        .withColumn("t1", lead(col("th"), 1).over(w))
+        .withColumn("t2", lead(col("th"), 2).over(w))
+        .withColumn("t3", lead(col("th"), 3).over(w))
+        .withColumn("t4", lead(col("th"), 4).over(w))
+        .filter(col("t4").isNotNull)
+        .select(col("doc_id"), col("pos"), expr(
+          "((((((((th*31 + t1) % 1000000007)*31 + t2) % 1000000007)*31 + t3)" +
+            " % 1000000007)*31 + t4) % 1000000007)").as("gh"))
+      val frame = w.rowsBetween(0, 3)
+      val fps = g
+        .withColumn("fp", min(col("gh")).over(frame))
+        .withColumn("wn", count(lit(1)).over(frame))
+        .filter(col("wn") === 4)
+        .select(col("doc_id"), col("fp")).distinct()
+        .persist()
+      fps.select(col("doc_id").as("ia"), col("fp"))
+        .join(fps.select(col("doc_id").as("ib"), col("fp")), Seq("fp"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= 2)
+        .orderBy(col("ia"), col("ib"))
+    },
+
+    // DISTRIBUTION DRIFT AUDIT: the events value histogram compared
+    // between the first and second half of the time span (the
+    // train-vs-serve drift check); a bucket is flagged when its share
+    // moved by more than 0.5 percentage points — decided by integer
+    // cross-multiplication (|n₁N₂ − n₂N₁|·200 > N₁N₂), never a float
+    // ratio. Two hash aggs and a 1-row broadcast of the half totals.
+    "q208_drift_audit" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("ts_ns"), least(expr("CAST(round(value*100) AS BIGINT) DIV 2500"),
+          lit(23L)).as("bucket"))
+      val Array(lo, hi) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 1-row scalar
+      val b = lo + (hi - lo) / 2
+      val halves = ev
+        .withColumn("h", when(col("ts_ns") < b, lit(0L)).otherwise(lit(1L)))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("h") === 0, lit(1L)).otherwise(lit(0L))).as("n_first"),
+          sum(col("h")).as("n_second"))
+      val totals = halves.agg(sum(col("n_first")).as("tot_first"),
+        sum(col("n_second")).as("tot_second"))
+      halves.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("n_first"), col("n_second"),
+          when(abs(col("n_first") * col("tot_second") -
+              col("n_second") * col("tot_first")) * 200 >
+            col("tot_first") * col("tot_second"), lit(1L)).otherwise(lit(0L))
+            .as("drifted"))
+        .orderBy(col("bucket"))
+    },
+
     // PCA POWER ITERATION, integer-exact: embeddings quantized to
     // 1/1024 steps (round-half-up, bit-identical on both engines),
     // then ONE distributed pass builds the 64×64 Gram matrix — the
@@ -189,6 +263,51 @@ object AnalyticsQueries6 extends QueryPack {
         |  greatest(n_true + noise, 0) AS n_released
         |FROM n ORDER BY event_type, day""".stripMargin
     },
+
+    // Token positions via the q188 struct_pack-over-range trick
+    // (DuckDB has no WITH ORDINALITY); gram/winnow windows mirror the
+    // Spark plan frame for frame.
+    "q207_winnowing" -> {
+      val ph = Q.polyHashSql("p.tk")
+      s"""WITH toks0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        |    FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+        |    wpi -> struct_pack(pos := wpi, tk := l[CAST(wpi AS INT)]))) AS p
+        |  FROM toks0),
+        |tok AS (SELECT doc_id, p.pos AS pos, $ph % 1000000007 AS th FROM tok0),
+        |g AS (SELECT doc_id, pos,
+        |    ((((((((th*31 + t1) % 1000000007)*31 + t2) % 1000000007)*31 + t3)
+        |      % 1000000007)*31 + t4) % 1000000007) AS gh
+        |  FROM (SELECT doc_id, pos, th,
+        |      lead(th,1) OVER w AS t1, lead(th,2) OVER w AS t2,
+        |      lead(th,3) OVER w AS t3, lead(th,4) OVER w AS t4
+        |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        |  WHERE t4 IS NOT NULL),
+        |wmin AS (SELECT doc_id, min(gh) OVER wf AS fp, count(*) OVER wf AS wn
+        |  FROM g WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE wn = 4)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY ia, ib""".stripMargin
+    },
+
+    "q208_drift_audit" ->
+      """WITH bd AS (SELECT min(epoch_ns(ts)) +
+        |    (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS b FROM events),
+        |e AS (SELECT least(CAST(round(value*100) AS BIGINT) // 2500, 23) AS bucket,
+        |    CASE WHEN epoch_ns(ts) < bd.b THEN 0 ELSE 1 END AS h
+        |  FROM events, bd),
+        |halves AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |    CAST(sum(h) AS BIGINT) AS n_second
+        |  FROM e GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_first) AS BIGINT) AS tf,
+        |    CAST(sum(n_second) AS BIGINT) AS ts FROM halves)
+        |SELECT bucket, n_first, n_second,
+        |  CAST(CASE WHEN abs(n_first * tot.ts - n_second * tot.tf) * 200 >
+        |      tot.tf * tot.ts THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM halves, tot ORDER BY bucket""".stripMargin,
 
     // range(1,65) indexes both axes; HUGEINT keeps every product
     // exact (v₂ ≤ ~2e21 « int128). The same quantized integers feed

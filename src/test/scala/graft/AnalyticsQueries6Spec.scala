@@ -58,6 +58,34 @@ class AnalyticsQueries6Spec extends SparkSpec {
     assert(noises.exists(_ < 0) && noises.exists(_ > 0))
   }
 
+  test("q207 identical documents share their whole fingerprint set; disjoint ones none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = graft.queries.Q.scratchDir(spark, "analytics6w")
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (31 to 60).map(i => s"w$i").mkString(" ")
+    Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.AnalyticsQueries6.queries("q207_winnowing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1 && got(0)._1 == 1L && got(0)._2 == 2L)
+    // shared count == the winnowed fingerprint set size of the text
+    // (identical docs agree on every window minimum)
+    assert(got(0)._3 >= 2 && got(0)._3 <= 26 - 4 + 1)
+  }
+
+  test("q208 halves partition the corpus and the drift gate is the integer cross-multiply") {
+    val got = AnalyticsQueries6.queries("q208_drift_audit")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(got.map(t => t._2 + t._3).sum == n, "every event lands in exactly one half")
+    val (tf, ts) = (got.map(_._2).sum, got.map(_._3).sum)
+    got.foreach { case (_, n1, n2, d) =>
+      val expect = if (math.abs(n1 * ts - n2 * tf) * 200 > tf * ts) 1L else 0L
+      assert(d == expect)
+    }
+  }
+
   test("q204 risk counts are monotone in k and match a direct recount") {
     val got = AnalyticsQueries6.queries("q204_kanon_audit")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -64,7 +64,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q172_cusum_changepoint" -> 3,
     // q188's total-token count is a 1-row broadcast scalar attached
     // to the min-support bigram survivors — the q85/q86 shape.
-    "q188_collocation_lift" -> 1)
+    "q188_collocation_lift" -> 1,
+    // q208 attaches the 1-row half-totals aggregate to the ≤24-row
+    // bucket table — the q85/q86 scalar shape; the halves themselves
+    // are one hash agg.
+    "q208_drift_audit" -> 1)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
