@@ -202,6 +202,78 @@ object AnalyticsQueries6 extends QueryPack {
         .toDF("dim", "v2").orderBy(col("dim"))
     },
 
+    // VOCABULARY GROWTH CURVE (the Heaps'-law profile a corpus report
+    // plots): docs ranked by id, each token attributed to the decile
+    // where it FIRST appears (min rank per token — one hash agg over
+    // the exploded stream), then the 10-row decile table carries new
+    // and cumulative vocabulary next to cumulative docs. The growth
+    // shape tells you whether more data still buys vocabulary — and
+    // it reduces to two aggs plus a 10-row window, at any corpus
+    // size.
+    "q209_vocab_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w10 = W.orderBy(col("decile")).rowsBetween(W.unboundedPreceding, 0)
+      // rank = doc_id + 1: ids are dense 0..N−1 in this corpus (the
+      // generator's contract, asserted by the count==max+1 guard
+      // below), so the ingestion-order rank needs NO global window —
+      // the one plan shape that cannot scale. A sparse-id corpus
+      // would rank via Enumerate.globalRowNumber (q90's operator).
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("rank", col("doc_id") + 1)
+        .persist()
+      val n = docs.agg(count(lit(1)), max(col("doc_id"))).collect()(0) // 1-row scalar
+      require(n.getLong(0) == n.getLong(1) + 1, "doc_id not dense")
+      val nDocs = n.getLong(0)
+      // nonneg operands ≪ 2^52, so double-divide + truncating cast
+      // ≡ integer floor division (the oracle's `//`)
+      def decile(rank: Column): Column =
+        least((((rank - 1) * 10) / lit(nDocs)).cast("long") + 1, lit(10L))
+      val docsPerDecile = docs.select(decile(col("rank")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+      val firstSeen = docs
+        .select(col("rank"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("rank")).as("fa"))
+        .select(decile(col("fa")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_tokens"))
+      docsPerDecile.join(firstSeen, Seq("decile"), "left")
+        .select(col("decile"), col("n_docs"),
+          coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+        .withColumn("docs_cum", sum(col("n_docs")).over(w10))
+        .withColumn("vocab_cum", sum(col("new_tokens")).over(w10))
+        .orderBy(col("decile"))
+    },
+
+    // CANONICAL SELECTION over entity clusters: the q200 fuzzy
+    // clusters resolved to a disposition — each cluster keeps its
+    // longest document (ties to the smallest id) and reports what the
+    // dedup pass would remove. Labels come from the same q72
+    // component loop; the pick is one max_by per cluster. This is the
+    // last step that turns near-dup DETECTION into an actionable
+    // retention decision (the q77 pipeline's shape, entity-level).
+    "q210_canonical_pick" -> { (s, dir) =>
+      val edges = AnalyticsQueries5.queries("q196_fuzzy_match")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val labels = graft.operators.Components
+        .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .join(docs, col("id") === col("doc_id"))
+        .select(col("comp"), col("doc_id"), col("n_chars"))
+      val sized = labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nid")))
+            .as("canonical_id"),
+          sum(col("n_chars")).as("chars_total"),
+          max(col("n_chars")).as("chars_kept"))
+        .filter(col("n_docs") >= 2)
+      sized.select(col("comp"), col("canonical_id"),
+          (col("n_docs") - 1).as("n_removed"),
+          (col("chars_total") - col("chars_kept")).as("chars_removed"))
+        .orderBy(col("comp"))
+    },
+
     // K-ANONYMITY AUDIT: quasi-identifier = (lang, source, length
     // bucket); for each candidate k, how many QI groups fall below it
     // and how many documents those groups expose. One hash agg builds
@@ -325,6 +397,58 @@ object AnalyticsQueries6 extends QueryPack {
         |  FROM g JOIN v1 ON g.j = v1.j GROUP BY g.i)
         |SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(v AS VARCHAR) AS v2
         |FROM v2 ORDER BY dim""".stripMargin,
+
+    "q209_vocab_growth" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |docs AS (SELECT doc_id + 1 AS rank, text FROM documents),
+        |dd AS (SELECT least(((rank - 1) * 10) // nn.n + 1, 10) AS decile
+        |  FROM docs, nn),
+        |dpd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM dd GROUP BY 1),
+        |tk AS (SELECT rank, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM docs),
+        |fs0 AS (SELECT tok, min(rank) AS fa FROM tk GROUP BY tok),
+        |fs AS (SELECT least(((fa - 1) * 10) // nn.n + 1, 10) AS decile,
+        |    CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fs0, nn GROUP BY 1)
+        |SELECT CAST(dpd.decile AS BIGINT) AS decile, dpd.n_docs,
+        |  coalesce(fs.new_tokens, 0) AS new_tokens,
+        |  CAST(sum(dpd.n_docs) OVER wc AS BIGINT) AS docs_cum,
+        |  CAST(sum(coalesce(fs.new_tokens, 0)) OVER wc AS BIGINT) AS vocab_cum
+        |FROM dpd LEFT JOIN fs ON dpd.decile = fs.decile
+        |WINDOW wc AS (ORDER BY dpd.decile
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
+
+    "q210_canonical_pick" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, split_part(text, ' ', 1) AS t1,
+        |    substr(text, 1, 40) AS p FROM documents),
+        |e0 AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.t1 = b.t1
+        |    AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.p, b.p) <= 15),
+        |e AS (SELECT ia AS a, ib AS b FROM e0
+        |  UNION ALL SELECT ib, ia FROM e0),
+        |r AS (SELECT DISTINCT a AS node, a AS label FROM e
+        |  UNION
+        |  SELECT e.b, r.label FROM r JOIN e ON e.a = r.node),
+        |lab0 AS (SELECT node, min(label) AS comp FROM r GROUP BY node),
+        |lab AS (SELECT dd.doc_id, coalesce(lab0.comp, dd.doc_id) AS comp,
+        |    dd.n_chars
+        |  FROM documents dd LEFT JOIN lab0 ON lab0.node = dd.doc_id),
+        |pick AS (SELECT comp, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY comp
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM lab),
+        |agg AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |    CAST(max(n_chars) AS BIGINT) AS chars_kept
+        |  FROM lab GROUP BY comp)
+        |SELECT agg.comp, pick.doc_id AS canonical_id,
+        |  agg.n_docs - 1 AS n_removed,
+        |  agg.chars_total - agg.chars_kept AS chars_removed
+        |FROM agg JOIN pick ON pick.comp = agg.comp AND pick.rk = 1
+        |WHERE agg.n_docs >= 2 ORDER BY agg.comp""".stripMargin,
 
     "q204_kanon_audit" ->
       """WITH g AS (SELECT lang, source, n_chars // 256 AS len_bucket,

@@ -86,6 +86,34 @@ class AnalyticsQueries6Spec extends SparkSpec {
     }
   }
 
+  test("q209 deciles tile the corpus and vocab_cum ends at the distinct token count") {
+    import org.apache.spark.sql.functions._
+    val got = AnalyticsQueries6.queries("q209_vocab_growth")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(got.map(_._2).sum == nDocs)
+    assert(got.last._4 == nDocs)
+    val vocab = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .distinct().count()
+    assert(got.map(_._3).sum == vocab && got.last._5 == vocab)
+  }
+
+  test("q210 canonical is the longest member and removals add up") {
+    import org.apache.spark.sql.functions._
+    val clusters = AnalyticsQueries6.queries("q210_canonical_pick")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(clusters.nonEmpty)
+    val sizes = graft.queries.AnalyticsQueries5.queries("q200_fuzzy_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters.foreach { case (comp, canon, removed, charsRemoved) =>
+      assert(sizes(comp) == removed + 1, s"cluster $comp size mismatch")
+      assert(charsRemoved >= 0)
+      assert(canon >= comp, "canonical is a member (comp is the min id)")
+    }
+  }
+
   test("q204 risk counts are monotone in k and match a direct recount") {
     val got = AnalyticsQueries6.queries("q204_kanon_audit")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
