@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.AnalyticsQueries7
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for q211/q212: the union-sort anti join against the
+  * naive pair-join plan, and leaderboard invariants. */
+class AnalyticsQueries7Spec extends SparkSpec {
+
+  test("q211 union-sort plan equals the naive anti-join plan") {
+    val hourNs = 3600L * 1000000000L
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts_ns").as("vns"),
+        round(col("value") * 100).cast("long").as("c"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_ns").as("cns"))
+    val naive = v.join(c, col("cu") === col("u") && col("cns") > col("vns") &&
+        col("cns") <= col("vns") + lit(hourNs), "left_anti")
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_unanswered"), sum(col("c")).as("unanswered_value_c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = AnalyticsQueries7.queries("q211_temporal_antijoin")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    got.foreach { case (u, n, vc) =>
+      val (en, evc) = naive.getOrElse(u, (0L, 0L))
+      assert(n == en && vc == evc, s"user $u: got ($n,$vc) expected ($en,$evc)")
+    }
+    // totals also agree (users absent from naive have zero unanswered)
+    assert(got.map(_._2).sum == naive.values.map(_._1).sum)
+  }
+
+  test("q211 plans no join at all — one window over the unioned timeline") {
+    val plan = AnalyticsQueries7.queries("q211_temporal_antijoin")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the union-sort plan must not join")
+    assert(plan.contains("Window"))
+  }
+
+  test("q212 ranks are 1..10 per half and revenue orders them") {
+    val got = AnalyticsQueries7.queries("q212_leaderboard_churn")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val firsts = got.filter(_._2 > 0)
+    val seconds = got.filter(_._3 > 0)
+    assert(firsts.map(_._2).sorted.toSeq == (1L to 10L))
+    assert(seconds.map(_._3).sorted.toSeq == (1L to 10L))
+    // rank 1 has the max revenue within its half
+    assert(firsts.maxBy(_._4)._2 == 1L)
+    assert(seconds.maxBy(_._5)._3 == 1L)
+  }
+}
