@@ -87,9 +87,133 @@ object AnalyticsQueries7 extends QueryPack {
           coalesce(col("rev_second_c"), lit(0L)).as("rev_second_c"))
         .orderBy(col("pk"))
     }
+,
+
+    // A/B EXPERIMENT READOUT, exact: users hash into two arms (the
+    // q49 deterministic-assignment policy), conversion = any purchase
+    // event, and the 2×2 table decides significance by the χ²
+    // statistic — compared against the 3.84 critical value ENTIRELY
+    // in integers: N(ad−bc)²·100 > 384·(a+b)(c+d)(a+c)(b+d), solved
+    // in BigInt on the driver (the collect is the 2×2 table; row
+    // count irrelevant) with the exact χ² rational shipped as
+    // strings. No float ever decides the verdict.
+    "q213_ab_test" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(21300)
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+          .as("conv"))
+        .withColumn("arm", pmod(lit(ha) * pmod(col("user_id"), lit(4294967291L)) +
+          lit(hb), lit(4294967291L)) % 2)
+      val t = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("cv"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (nC, cvC) = t.getOrElse(0L, (0L, 0L))
+      val (nT, cvT) = t.getOrElse(1L, (0L, 0L))
+      val (a, b2, c, d) =
+        (BigInt(cvT), BigInt(nT - cvT), BigInt(cvC), BigInt(nC - cvC))
+      val n = a + b2 + c + d
+      val num = n * (a * d - b2 * c).pow(2)
+      val den = (a + b2) * (c + d) * (a + c) * (b2 + d)
+      val sig = if (den != 0 && num * 100 > den * 384) 1L else 0L
+      s.createDataFrame(Seq((nC, cvC, nT, cvT, num.toString, den.toString, sig)))
+        .toDF("n_control", "conv_control", "n_treat", "conv_treat",
+          "chi2_num", "chi2_den", "significant")
+    },
+
+    // FUNNEL STAGE LATENCY: per user the SEQUENTIAL funnel first
+    // view → first click after it → first purchase after that; per
+    // stage gap, exact ORDER STATISTICS instead of interpolated
+    // percentiles (median bracket + the 0-based ⌊(n−1)·9/10⌋ p90
+    // pick — integer selections, no float interpolation to disagree
+    // on). The rank window runs on the per-user gap table (≤ |users|
+    // rows), never the event stream.
+    "q214_funnel_latency" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns")).persist()
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("fv"))
+      val fc = ev.filter(col("event_type") === "click").join(fv, Seq("user_id"))
+        .filter(col("ts_ns") > col("fv"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("fc"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, Seq("user_id")).filter(col("ts_ns") > col("fc"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("fp"))
+      val gaps = fv.join(fc, Seq("user_id"))
+        .select(col("user_id"), (col("fc") - col("fv")).as("g"),
+          lit("view_to_click").as("stage"))
+        .union(fc.join(fp, Seq("user_id"))
+          .select(col("user_id"), (col("fp") - col("fc")).as("g"),
+            lit("click_to_purchase").as("stage")))
+      val w = Window.partitionBy(col("stage")).orderBy(col("g"), col("user_id"))
+      val wn = Window.partitionBy(col("stage"))
+      gaps
+        .withColumn("rk", row_number().over(w).cast("long") - 1)
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rk") === expr("(n - 1) DIV 2") ||
+          col("rk") === expr("n DIV 2") ||
+          col("rk") === expr("((n - 1) * 9) DIV 10"))
+        .groupBy(col("stage"))
+        .agg(max(col("n")).as("n_users"),
+          min(when(col("rk") === expr("(n - 1) DIV 2"), col("g"))).as("median_lo"),
+          min(when(col("rk") === expr("n DIV 2"), col("g"))).as("median_hi"),
+          min(when(col("rk") === expr("((n - 1) * 9) DIV 10"), col("g"))).as("p90"))
+        .orderBy(col("stage"))
+    }
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q213_ab_test" -> {
+      val uh = Q.uhashSql("21300", "(user_id % 4294967291)")
+      s"""WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    $uh % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_c,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS HUGEINT) AS cv_c,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_t,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS HUGEINT) AS cv_t
+        |  FROM pu),
+        |x AS (SELECT n_c, cv_c, n_t, cv_t,
+        |    cv_t AS a, n_t - cv_t AS b, cv_c AS c, n_c - cv_c AS d FROM t),
+        |y AS (SELECT n_c, cv_c, n_t, cv_t,
+        |    (a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS num,
+        |    (a + b) * (c + d) * (a + c) * (b + d) AS den
+        |  FROM x)
+        |SELECT CAST(n_c AS BIGINT) AS n_control, CAST(cv_c AS BIGINT) AS conv_control,
+        |  CAST(n_t AS BIGINT) AS n_treat, CAST(cv_t AS BIGINT) AS conv_treat,
+        |  CAST(num AS VARCHAR) AS chi2_num, CAST(den AS VARCHAR) AS chi2_den,
+        |  CAST(CASE WHEN den <> 0 AND num * 100 > den * 384 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS significant
+        |FROM y""".stripMargin
+    },
+
+    "q214_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+        |fv AS (SELECT user_id, min(ns) AS fv FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT ev.user_id, min(ns) AS fc FROM ev JOIN fv USING (user_id)
+        |  WHERE event_type = 'click' AND ns > fv GROUP BY ev.user_id),
+        |fp AS (SELECT ev.user_id, min(ns) AS fp FROM ev JOIN fc USING (user_id)
+        |  WHERE event_type = 'purchase' AND ns > fc GROUP BY ev.user_id),
+        |gaps AS (SELECT fv.user_id, fc.fc - fv.fv AS g, 'view_to_click' AS stage
+        |    FROM fv JOIN fc USING (user_id)
+        |  UNION ALL
+        |  SELECT fc.user_id, fp.fp - fc.fc AS g, 'click_to_purchase' AS stage
+        |    FROM fc JOIN fp USING (user_id)),
+        |rk AS (SELECT stage, g,
+        |    CAST(row_number() OVER (PARTITION BY stage ORDER BY g, user_id)
+        |      AS BIGINT) - 1 AS rk,
+        |    CAST(count(*) OVER (PARTITION BY stage) AS BIGINT) AS n
+        |  FROM gaps)
+        |SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(min(CASE WHEN rk = (n - 1) // 2 THEN g END) AS BIGINT) AS median_lo,
+        |  CAST(min(CASE WHEN rk = n // 2 THEN g END) AS BIGINT) AS median_hi,
+        |  CAST(min(CASE WHEN rk = ((n - 1) * 9) // 10 THEN g END) AS BIGINT) AS p90
+        |FROM rk WHERE rk = (n - 1) // 2 OR rk = n // 2 OR rk = ((n - 1) * 9) // 10
+        |GROUP BY stage ORDER BY stage""".stripMargin,
 
     "q211_temporal_antijoin" ->
       """WITH v AS (SELECT user_id, epoch_ns(ts) AS ns, event_id,

@@ -37,6 +37,33 @@ class AnalyticsQueries7Spec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("q213 chi-square identity holds and arms partition the users") {
+    val r = AnalyticsQueries7.queries("q213_ab_test")(spark, sf001).collect()(0)
+    val (nC, cvC, nT, cvT) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nUsers = graft.sources.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(nC + nT == nUsers)
+    assert(cvC <= nC && cvT <= nT)
+    val (a, b, c, d) = (BigInt(cvT), BigInt(nT - cvT), BigInt(cvC), BigInt(nC - cvC))
+    assert(BigInt(r.getString(4)) == (a + b + c + d) * (a * d - b * c).pow(2))
+    assert(BigInt(r.getString(5)) == (a + b) * (c + d) * (a + c) * (b + d))
+    val sig = if (BigInt(r.getString(4)) * 100 > BigInt(r.getString(5)) * 384) 1L else 0L
+    assert(r.getLong(6) == sig)
+  }
+
+  test("q214 order statistics bracket correctly and the funnel is sequential") {
+    val got = AnalyticsQueries7.queries("q214_funnel_latency")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq("click_to_purchase", "view_to_click"))
+    got.foreach { case (_, n, lo, hi, p90) =>
+      assert(n > 0 && lo > 0 && hi >= lo && p90 >= hi)
+    }
+    val Some((_, nV2C, _, _, _)) = got.find(_._1 == "view_to_click")
+    val Some((_, nC2P, _, _, _)) = got.find(_._1 == "click_to_purchase")
+    assert(nC2P <= nV2C, "each funnel stage can only lose users")
+  }
+
   test("q212 ranks are 1..10 per half and revenue orders them") {
     val got = AnalyticsQueries7.queries("q212_leaderboard_churn")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
