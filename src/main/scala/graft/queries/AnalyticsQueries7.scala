@@ -121,6 +121,41 @@ object AnalyticsQueries7 extends QueryPack {
           "chi2_num", "chi2_den", "significant")
     },
 
+    // CHECKPOINTED STREAM RESUME: the per-type rollup computed by TWO
+    // StreamingQuery lifetimes over one checkpoint — stop after the
+    // first half, restart, process the second half from the recovered
+    // offset log + state store. The complete-mode answer after the
+    // restart must equal the batch aggregate of the whole corpus: the
+    // crash-recovery contract, under the oracle gate
+    // (streaming/TwsTimeline.resumeRollup).
+    "q215_stream_resume" -> { (s, dir) =>
+      graft.streaming.TwsTimeline.resumeRollup(s, dir)
+    },
+
+    // TIME-WEIGHTED AVERAGE (TWAP): per user, each observation holds
+    // until the next one; the mean weighted by holding time is the
+    // exact rational Σ cents·gap_s / Σ gap_s with gap_s the gap
+    // TRUNCATED to whole seconds — the same floor division on both
+    // engines, so the rational is bit-equal however ragged the
+    // sub-second parts are. One lead() window per user, rationals
+    // shipped as num/den.
+    "q216_twap" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          cents(col("value")).as("c"))
+        .withColumn("nxt", lead(col("ts_ns"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("c"),
+          expr("(nxt - ts_ns) DIV 1000000000").as("gap_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("c") * col("gap_s")).as("twap_num"),
+          sum(col("gap_s")).as("twap_den"))
+        .orderBy(col("user_id"))
+    },
+
     // FUNNEL STAGE LATENCY: per user the SEQUENTIAL funnel first
     // view → first click after it → first purchase after that; per
     // stage gap, exact ORDER STATISTICS instead of interpolated
@@ -189,6 +224,25 @@ object AnalyticsQueries7 extends QueryPack {
         |    AS BIGINT) AS significant
         |FROM y""".stripMargin
     },
+
+    // The stream's restart-recovered answer converges to the plain
+    // batch aggregate — which is exactly what the oracle computes.
+    "q215_stream_resume" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q216_twap" ->
+      """WITH o AS (SELECT user_id, epoch_ns(ts) AS ns, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS c,
+        |    lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        |  CAST(sum(c * ((nxt - ns) // 1000000000)) AS BIGINT) AS twap_num,
+        |  CAST(sum((nxt - ns) // 1000000000) AS BIGINT) AS twap_den
+        |FROM o WHERE nxt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q214_funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),

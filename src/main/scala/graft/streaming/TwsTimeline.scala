@@ -56,6 +56,66 @@ object TwsTimeline {
     }
   }
 
+  /** CHECKPOINTED RESTART (q215): the same aggregation run as TWO
+    * SEPARATE StreamingQuery lifetimes against one checkpoint
+    * location — the first lifetime processes the first half of the
+    * corpus and stops; the second starts from the offset log and
+    * state files the first left behind, sees only the second-half
+    * drop as new data, and its complete-mode output must equal the
+    * batch aggregate of the WHOLE corpus. This is the
+    * crash-recovery/exactly-once contract a production stream lives
+    * on, driven deterministically. */
+  def resumeRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.Q
+    val name = "graft_stream_resume_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val root = java.nio.file.Paths.get(Q.scratchDir(spark, "graft_stream_resume"))
+    val streamDir = root.resolve("stream")
+    val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(streamDir)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"), col("ts_ns"))
+    val Array(lo, hi) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 1-row scalar
+    val b = lo + (hi - lo) / 2
+    def drop(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = root.resolve(s"tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val files = java.nio.file.Files.list(tmp).iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.toString.endsWith(".parquet")) {
+          val dst = streamDir.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.move(f, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+      }
+    }
+    drop(ev.filter(col("ts_ns") < b).drop("ts_ns"), 0)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    def runLifetime(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val oldShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "2")
+    try {
+      runLifetime() // lifetime 1: first half only
+      drop(ev.filter(col("ts_ns") >= b).drop("ts_ns"), 1)
+      runLifetime() // lifetime 2: resumes from the checkpoint, sees drop 1
+    } finally spark.conf.set(shuffleKey, oldShuffle)
+    spark.table(name)
+      .select(col("event_type"), col("n"), col("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** Runs the processor over a two-drop time-split replay of events
     * and returns the drained per-user rows (q199). */
   def runningTimeline(spark: SparkSession, sfDir: String): DataFrame = {

@@ -64,6 +64,44 @@ class AnalyticsQueries7Spec extends SparkSpec {
     assert(nC2P <= nV2C, "each funnel stage can only lose users")
   }
 
+  test("q215 restart-recovered stream equals the batch aggregate") {
+    import graft.sources.Tables
+    val batch = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_c"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    val got = AnalyticsQueries7.queries("q215_stream_resume")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(got == batch)
+  }
+
+  test("q216 weighted sums are consistent: num/den bound the per-user cents range") {
+    val got = AnalyticsQueries7.queries("q216_twap")(spark, sf001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, num, den) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && den > 0 && num >= 0)
+      // TWAP lies within [0, max cents]: num <= den * maxCents bound
+      assert(num <= den * 100000L)
+    }
+    // truncated whole-second gaps: per user, the summed holding time
+    // is ≤ the span and loses < 1 s per gap to truncation
+    import graft.sources.Tables
+    val spans = Tables.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        ((max(col("ts_ns")) - min(col("ts_ns"))) / lit(1000000000L)).cast("long").as("span"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val (u, d) = (r.getLong(0), r.getLong(3))
+      val (n, span) = spans(u)
+      assert(d <= span + 1, s"user $u holding time $d exceeds span $span")
+      assert(d >= span - n, s"user $u lost more than 1 s per gap")
+    }
+  }
+
   test("q212 ranks are 1..10 per half and revenue orders them") {
     val got = AnalyticsQueries7.queries("q212_leaderboard_churn")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
