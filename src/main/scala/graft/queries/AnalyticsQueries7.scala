@@ -156,6 +156,56 @@ object AnalyticsQueries7 extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // INCREMENTAL SESSIONIZATION: sessions computed on each half of
+    // the corpus INDEPENDENTLY (the stored-batch shape — history is
+    // never re-scanned), then merged: because the split is
+    // time-ordered, the ONLY sessions that can bridge are each user's
+    // last-of-A and first-of-B, so the merge is one per-user join and
+    // an O(1) adjustment — not a re-sessionization. Output carries
+    // the merged count next to the full single-pass recompute; the
+    // row is its own audit (equal by the bridging argument).
+    "q217_incremental_sessions" -> { (s, dir) =>
+      val gapNs = 1800L * 1000000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id")).persist()
+      val Array(lo, hi) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 1-row scalar
+      val b = lo + (hi - lo) / 2
+      def sessions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        df.withColumn("prev", lag(col("ts_ns"), 1).over(w))
+          .withColumn("fresh", when(col("prev").isNull ||
+            col("ts_ns") - col("prev") > gapNs, lit(1L)).otherwise(lit(0L)))
+          .withColumn("sid", sum(col("fresh")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts_ns")).as("sb"), max(col("ts_ns")).as("se"),
+            count(lit(1)).as("n"))
+      }
+      val a = sessions(ev.filter(col("ts_ns") < b))
+      val b2 = sessions(ev.filter(col("ts_ns") >= b))
+      val aStats = a.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("na"), max(col("se")).as("last_end"))
+      val bStats = b2.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nb"), min(col("sb")).as("first_start"))
+      val merged = aStats.join(bStats, Seq("user_id"), "fullOuter")
+        .select(col("user_id"),
+          (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+            when(col("last_end").isNotNull && col("first_start").isNotNull &&
+              col("first_start") - col("last_end") <= gapNs, lit(1L))
+              .otherwise(lit(0L))).as("n_merged"),
+          when(col("last_end").isNotNull && col("first_start").isNotNull &&
+            col("first_start") - col("last_end") <= gapNs, lit(1L))
+            .otherwise(lit(0L)).as("bridged"))
+      val full = sessions(ev).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_full"), sum(col("n")).as("n_events"))
+      merged.join(full, Seq("user_id"))
+        .select(col("user_id"), col("n_full"), col("n_merged"),
+          col("bridged"), col("n_events"))
+        .orderBy(col("user_id"))
+    },
+
     // FUNNEL STAGE LATENCY: per user the SEQUENTIAL funnel first
     // view → first click after it → first purchase after that; per
     // stage gap, exact ORDER STATISTICS instead of interpolated
@@ -243,6 +293,47 @@ object AnalyticsQueries7 extends QueryPack {
         |  CAST(sum((nxt - ns) // 1000000000) AS BIGINT) AS twap_den
         |FROM o WHERE nxt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q217_incremental_sessions" ->
+      """WITH bd AS (SELECT min(epoch_ns(ts)) +
+        |    (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS b FROM events),
+        |e AS (SELECT user_id, epoch_ns(ts) AS ns, event_id,
+        |    CASE WHEN epoch_ns(ts) < bd.b THEN 0 ELSE 1 END AS h
+        |  FROM events, bd),
+        |marks AS (SELECT user_id, h, ns,
+        |    CASE WHEN lag(ns) OVER wh IS NULL
+        |      OR ns - lag(ns) OVER wh > 1800000000000 THEN 1 ELSE 0 END AS fresh
+        |  FROM e WINDOW wh AS (PARTITION BY user_id, h ORDER BY ns, event_id)),
+        |sess AS (SELECT user_id, h, ns,
+        |    sum(fresh) OVER (PARTITION BY user_id, h ORDER BY ns
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marks),
+        |sg AS (SELECT user_id, h, sid, min(ns) AS sb, max(ns) AS se
+        |  FROM sess GROUP BY 1, 2, 3),
+        |astat AS (SELECT user_id, CAST(count(*) AS BIGINT) AS na,
+        |    max(se) AS last_end FROM sg WHERE h = 0 GROUP BY 1),
+        |bstat AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nb,
+        |    min(sb) AS first_start FROM sg WHERE h = 1 GROUP BY 1),
+        |mg AS (SELECT coalesce(astat.user_id, bstat.user_id) AS user_id,
+        |    coalesce(na, 0) + coalesce(nb, 0) -
+        |      CASE WHEN last_end IS NOT NULL AND first_start IS NOT NULL
+        |        AND first_start - last_end <= 1800000000000 THEN 1 ELSE 0 END
+        |      AS n_merged,
+        |    CAST(CASE WHEN last_end IS NOT NULL AND first_start IS NOT NULL
+        |      AND first_start - last_end <= 1800000000000 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS bridged
+        |  FROM astat FULL OUTER JOIN bstat ON astat.user_id = bstat.user_id),
+        |fmarks AS (SELECT user_id, ns,
+        |    CASE WHEN lag(ns) OVER wf IS NULL
+        |      OR ns - lag(ns) OVER wf > 1800000000000 THEN 1 ELSE 0 END AS fresh
+        |  FROM e WINDOW wf AS (PARTITION BY user_id ORDER BY ns, event_id)),
+        |full0 AS (SELECT user_id, CAST(sum(fresh) AS BIGINT) AS n_full,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM fmarks GROUP BY user_id)
+        |SELECT full0.user_id, full0.n_full, CAST(mg.n_merged AS BIGINT) AS n_merged,
+        |  mg.bridged, full0.n_events
+        |FROM full0 JOIN mg ON full0.user_id = mg.user_id
+        |ORDER BY full0.user_id""".stripMargin,
 
     "q214_funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),

@@ -102,6 +102,37 @@ class AnalyticsQueries7Spec extends SparkSpec {
     }
   }
 
+  test("q217 merged session count equals the full recompute for every user") {
+    val got = AnalyticsQueries7.queries("q217_incremental_sessions")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (u, full, merged, bridged) =>
+      assert(full == merged, s"user $u: merged $merged != full $full")
+      assert(bridged == 0L || bridged == 1L)
+    }
+    // the bridge case, exercised on a constructed corpus: user 1's
+    // events straddle the midpoint 10 min apart (one session that the
+    // split cuts in two — must re-merge); user 2's straddle 2 h apart
+    // (two genuine sessions — must NOT merge)
+    import spark.implicits._
+    val m = 60L * 1000000L
+    val dir = graft.queries.Q.scratchDir(spark, "analytics7s")
+    Seq(
+      (1L, 0L, 1L), (2L, 55 * m, 1L), (3L, 65 * m, 1L),
+      (4L, 120 * m, 1L),
+      (5L, 0L, 2L), (6L, 0L, 2L), (7L, 120 * m, 2L))
+      .toDF("event_id", "us", "user_id")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // global midpoint = 60 min: user 1 has events at 55' and 65' (gap
+    // 10' — bridges), user 2 at 0' and 120' (gap 2 h — no bridge)
+    val small = AnalyticsQueries7.queries("q217_incremental_sessions")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(small.toSeq == Seq((1L, 3L, 3L, 1L), (2L, 2L, 2L, 0L)))
+  }
+
   test("q212 ranks are 1..10 per half and revenue orders them") {
     val got = AnalyticsQueries7.queries("q212_leaderboard_churn")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
