@@ -4,11 +4,16 @@ import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-12 pack, part 4: temporal ANTI join computed by the
-  * union-sort plan (one partition-local sort instead of a pair join —
-  * the shape that survives hub users), and leaderboard churn between
-  * the two halves of the order history (rank-movement analytics where
-  * every window runs on the aggregate, never the fact table).
+/** Round-12 pack, part 4: temporal ANTI join by the union-sort plan
+  * (one partition-local sort instead of a pair join — the shape that
+  * survives hub users); leaderboard churn (rank windows on the
+  * aggregate, never the fact table); the exact chi-square A/B readout
+  * (BigInt on the driver, integer cross-multiplied verdict);
+  * checkpointed stream resume (two StreamingQuery lifetimes, one
+  * checkpoint — the crash-recovery contract under the oracle gate);
+  * exact TWAP rationals; funnel stage latency by exact order
+  * statistics; and incremental sessionization with the O(1)-per-user
+  * boundary-session merge.
   */
 object AnalyticsQueries7 extends QueryPack {
   import Q._
