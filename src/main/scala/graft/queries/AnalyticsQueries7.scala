@@ -211,6 +211,66 @@ object AnalyticsQueries7 extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // GROUP K-FOLD ASSIGNMENT with leakage audit: folds hash from the
+    // USER (the grouping key), so no user's events can straddle a
+    // train/validation boundary — the leakage mode that silently
+    // inflates every metric. Per-fold composition rows plus one audit
+    // row (fold −1) counting users observed in more than one fold —
+    // which the construction forces to zero, and the oracle verifies
+    // from scratch. The audit is a second agg over the per-user fold
+    // set, not a trusted constant.
+    "q218_group_kfold" -> { (s, dir) =>
+      val (ha, hb) = graft.operators.Dedup.affine(21800)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .withColumn("fold", pmod(lit(ha) * pmod(col("user_id"), lit(4294967291L)) +
+          lit(hb), lit(4294967291L)) % 5)
+      val perFold = ev.groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+            .as("n_purchases"))
+      val audit = ev.groupBy(col("user_id"))
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg(sum(when(col("nf") > 1, lit(1L)).otherwise(lit(0L))).as("leaked"))
+        .select(lit(-1L).as("fold"), col("leaked").as("n_users"),
+          lit(0L).as("n_events"), lit(0L).as("n_purchases"))
+      perFold.union(audit).orderBy(col("fold"))
+    },
+
+    // WATERMARK LATENESS PROFILE: how out-of-order does this stream
+    // ARRIVE — the operational question behind every watermark delay
+    // choice (q76/q193's "1 minute" is a CLAIM; this query measures
+    // the corpus). Arrival model: ingest batches hourly and loses
+    // intra-batch order (the micro-batch reality), so arrival order =
+    // (hour, jitter key from props, id); lateness of an event = how
+    // far the per-user event-time high-water mark had already passed
+    // it on arrival. One running-max window per user, then a fixed
+    // bucket histogram — integers end to end.
+    "q219_lateness_profile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("hour"), col("k"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          expr("ts_ns DIV 3600000000000").as("hour"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        .withColumn("hwm", max(col("ts_ns")).over(w))
+        .withColumn("late_ns", greatest(coalesce(col("hwm") - col("ts_ns"),
+          lit(0L)), lit(0L)))
+        .select(
+          when(col("late_ns") === 0, lit(0L))
+            .when(col("late_ns") < 60L * 1000000000L, lit(1L))
+            .when(col("late_ns") < 600L * 1000000000L, lit(2L))
+            .when(col("late_ns") < 3600L * 1000000000L, lit(3L))
+            .otherwise(lit(4L)).as("bucket"),
+          col("late_ns"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"), max(col("late_ns")).as("max_late_ns"),
+          sum(expr("late_ns DIV 1000000000")).as("late_s_sum"))
+        .orderBy(col("bucket"))
+    },
+
     // FUNNEL STAGE LATENCY: per user the SEQUENTIAL funnel first
     // view → first click after it → first purchase after that; per
     // stage gap, exact ORDER STATISTICS instead of interpolated
@@ -298,6 +358,46 @@ object AnalyticsQueries7 extends QueryPack {
         |  CAST(sum((nxt - ns) // 1000000000) AS BIGINT) AS twap_den
         |FROM o WHERE nxt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q218_group_kfold" -> {
+      val uh = Q.uhashSql("21800", "(user_id % 4294967291)")
+      s"""WITH ev AS (SELECT user_id, event_type, $uh % 5 AS fold FROM events),
+        |pf AS (SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases
+        |  FROM ev GROUP BY fold),
+        |au AS (SELECT CAST(-1 AS BIGINT) AS fold,
+        |    CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+        |    CAST(0 AS BIGINT) AS n_events, CAST(0 AS BIGINT) AS n_purchases
+        |  FROM (SELECT user_id, count(DISTINCT fold) AS nf FROM ev GROUP BY user_id))
+        |SELECT CAST(fold AS BIGINT) AS fold, n_users, n_events, n_purchases FROM pf
+        |UNION ALL SELECT fold, n_users, n_events, n_purchases FROM au
+        |ORDER BY fold""".stripMargin
+    },
+
+    "q219_lateness_profile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ns,
+        |    epoch_ns(ts) // 3600000000000 AS hour,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |l AS (SELECT user_id, ns,
+        |    max(ns) OVER (PARTITION BY user_id ORDER BY hour, k, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |lt AS (SELECT greatest(coalesce(hwm - ns, 0), 0) AS late_ns FROM l),
+        |bk AS (SELECT late_ns,
+        |    CASE WHEN late_ns = 0 THEN 0
+        |         WHEN late_ns < 60000000000 THEN 1
+        |         WHEN late_ns < 600000000000 THEN 2
+        |         WHEN late_ns < 3600000000000 THEN 3
+        |         ELSE 4 END AS bucket
+        |  FROM lt)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(late_ns) AS BIGINT) AS max_late_ns,
+        |  CAST(sum(late_ns // 1000000000) AS BIGINT) AS late_s_sum
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q217_incremental_sessions" ->
       """WITH bd AS (SELECT min(epoch_ns(ts)) +

@@ -133,6 +133,33 @@ class AnalyticsQueries7Spec extends SparkSpec {
     assert(small.toSeq == Seq((1L, 3L, 3L, 1L), (2L, 2L, 2L, 0L)))
   }
 
+  test("q218 folds partition users and the leakage audit row is zero") {
+    val got = AnalyticsQueries7.queries("q218_group_kfold")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val audit = got.find(_._1 == -1L).get
+    assert(audit._2 == 0L, "group k-fold must never split a user across folds")
+    val folds = got.filter(_._1 >= 0)
+    assert(folds.map(_._1).sorted.toSeq == (0L to 4L))
+    val nUsers = graft.sources.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(folds.map(_._2).sum == nUsers)
+    val nEvents = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(folds.map(_._3).sum == nEvents)
+  }
+
+  test("q219 lateness is bounded by the hourly batch model and buckets tile events") {
+    val got = AnalyticsQueries7.queries("q219_lateness_profile")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nEvents = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(got.map(_._2).sum == nEvents)
+    // intra-batch reordering can never exceed the batch width
+    got.foreach { case (bucket, _, maxLate) =>
+      assert(maxLate < 3600L * 1000000000L)
+      assert(bucket >= 0 && bucket <= 3, "bucket 4 (≥1h) is impossible by construction")
+    }
+    assert(got.exists(t => t._1 > 0 && t._2 > 0), "profile must be non-degenerate")
+  }
+
   test("q212 ranks are 1..10 per half and revenue orders them") {
     val got = AnalyticsQueries7.queries("q212_leaderboard_churn")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
