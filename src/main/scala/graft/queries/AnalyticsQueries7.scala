@@ -271,6 +271,29 @@ object AnalyticsQueries7 extends QueryPack {
         .orderBy(col("bucket"))
     },
 
+    // RETENTION/TTL PURGE PLAN: what a 7-day retention policy would
+    // delete, per event type — row counts, value mass, payload bytes
+    // (props length as the stored-size proxy), and the affected-user
+    // count — with "now" pinned to the corpus' max event time so the
+    // plan is deterministic. This is the governance dry-run every
+    // deletion pipeline executes before it mutates anything; one
+    // filter + one hash agg, partition-prunable on a date-partitioned
+    // layout.
+    "q220_ttl_purge_plan" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ns"),
+          cents(col("value")).as("c"), length(col("props")).cast("long").as("pb"))
+      val maxNs = ev.agg(max(col("ts_ns"))).collect()(0).getLong(0) // 1-row scalar
+      val cutoff = maxNs - 7L * 86400L * 1000000000L
+      ev.filter(col("ts_ns") < cutoff)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("c")).as("value_c"),
+          sum(col("pb")).as("payload_bytes"))
+        .orderBy(col("event_type"))
+    },
+
     // FUNNEL STAGE LATENCY: per user the SEQUENTIAL funnel first
     // view → first click after it → first purchase after that; per
     // stage gap, exact ORDER STATISTICS instead of interpolated
@@ -358,6 +381,16 @@ object AnalyticsQueries7 extends QueryPack {
         |  CAST(sum((nxt - ns) // 1000000000) AS BIGINT) AS twap_den
         |FROM o WHERE nxt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q220_ttl_purge_plan" ->
+      """WITH mx AS (SELECT max(epoch_ns(ts)) AS m FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  CAST(sum(length(props)) AS BIGINT) AS payload_bytes
+        |FROM events, mx
+        |WHERE epoch_ns(ts) < mx.m - 604800000000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q218_group_kfold" -> {
       val uh = Q.uhashSql("21800", "(user_id % 4294967291)")
