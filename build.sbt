@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim instead of routing it
+// via sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks downstream parsers that expect the Bench/Verify
+// contract line to start at column 0 (BENCH_r09 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,6 +29,12 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Queries persist() intermediates their returned plan reads more
+        // than once; there is no in-query point to unpersist (the action
+        // happens here). Drop the cache between queries so ~20 cached
+        // frames don't accumulate across the 200+-query dump (Bench does
+        // the same).
+        spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries5 extends QueryPack {
   import Q._
 
-  val queries = Map[String, Fn](
+  val queries: Map[String, Fn] = Map(
 
     // U-SHAPED MULTI-TOUCH ATTRIBUTION: each purchase credits the
     // user's clicks in the prior 7 days — 100% to a lone click,
@@ -104,8 +104,15 @@ object AnalyticsQueries5 extends QueryPack {
           max(col("cnt")).as("top_cnt"))
           .select(lit(name).as("col_name"), col("n_rows"), col("ndv"),
             col("top_key"), col("top_cnt"),
-            expr("top_cnt * 1000000 DIV n_rows").as("top1_ppm"),
-            expr("top_cnt * ndv * 1000000 DIV n_rows").as("skew_ppm"))
+            // Products widen through DECIMAL(38,0) so they cannot wrap
+            // at large sf (top_cnt·ndv·1e6 can pass 2^63 long before the
+            // QUOTIENTS do: top1_ppm ≤ 1e6 and skew_ppm ≤ ndv·1e6, both
+            // BIGINT-safe at any plausible scale). DuckDB widens the
+            // same way through HUGEINT.
+            expr("CAST(CAST(top_cnt AS DECIMAL(38,0)) * 1000000 DIV n_rows AS BIGINT)")
+              .as("top1_ppm"),
+            expr("CAST(CAST(top_cnt AS DECIMAL(38,0)) * ndv * 1000000 DIV n_rows AS BIGINT)")
+              .as("skew_ppm"))
       }
       val li = Tables.table(s, dir, "lineitem")
       audit("lineitem.l_partkey", li, "l_partkey")
@@ -183,10 +190,17 @@ object AnalyticsQueries5 extends QueryPack {
       def card(name: String, df: DataFrame, k: String): DataFrame =
         df.select(col(k).as("key")).groupBy(col("key"))
           .agg(count(lit(1)).as("cnt"))
-          .agg(sum(col("cnt") * col("cnt")).as("exact_pairs"),
+          // cnt² accumulates through DECIMAL(38,0) (a 3e9-row hot key
+          // would wrap cnt² in 64-bit); the final counts are emitted as
+          // BIGINT — valid while Σcnt² < 2^63, i.e. until a single key
+          // carries ~3e9 rows, the same bound the oracle's HUGEINT path
+          // makes explicit rather than silent.
+          .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt"))
+            .cast("long").as("exact_pairs"),
             sum(when(pmod(lit(ha) * pmod(col("key"), lit(4294967291L)) + lit(hb),
-                lit(4294967291L)) % 64 === 0, col("cnt") * col("cnt"))
-              .otherwise(lit(0L)) * 64).as("est_pairs"),
+                lit(4294967291L)) % 64 === 0,
+                col("cnt").cast("decimal(38,0)") * col("cnt"))
+              .otherwise(lit(0L)) * 64).cast("long").as("est_pairs"),
             count(when(pmod(lit(ha) * pmod(col("key"), lit(4294967291L)) + lit(hb),
               lit(4294967291L)) % 64 === 0, lit(1))).as("n_sampled"))
           .select(lit(name).as("col_name"), col("exact_pairs"),
@@ -298,8 +312,8 @@ object AnalyticsQueries5 extends QueryPack {
     "q197_skew_audit" -> {
       def audit(name: String, table: String, k: String, keyExpr: String) =
         s"""SELECT '$name' AS col_name, n_rows, ndv, top_key, top_cnt,
-          |  top_cnt * 1000000 // n_rows AS top1_ppm,
-          |  top_cnt * ndv * 1000000 // n_rows AS skew_ppm
+          |  CAST(CAST(top_cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+          |  CAST(CAST(top_cnt AS HUGEINT) * ndv * 1000000 // n_rows AS BIGINT) AS skew_ppm
           |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
           |    CAST(count(*) AS BIGINT) AS ndv,
           |    CAST(max(cnt) AS BIGINT) AS top_cnt,
@@ -360,8 +374,8 @@ object AnalyticsQueries5 extends QueryPack {
       val uh = Q.uhashSql("20100", "(key % 4294967291)")
       def card(name: String, table: String, keyExpr: String) =
         s"""SELECT '$name' AS col_name,
-          |  CAST(sum(cnt*cnt) AS BIGINT) AS exact_pairs,
-          |  CAST(sum(CASE WHEN $uh % 64 = 0 THEN cnt*cnt*64 ELSE 0 END) AS BIGINT)
+          |  CAST(sum(CAST(cnt AS HUGEINT)*cnt) AS BIGINT) AS exact_pairs,
+          |  CAST(sum(CASE WHEN $uh % 64 = 0 THEN CAST(cnt AS HUGEINT)*cnt*64 ELSE 0 END) AS BIGINT)
           |    AS est_pairs,
           |  CAST(count(CASE WHEN $uh % 64 = 0 THEN 1 END) AS BIGINT) AS n_sampled
           |FROM (SELECT $keyExpr AS key, CAST(count(*) AS BIGINT) AS cnt
