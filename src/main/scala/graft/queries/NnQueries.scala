@@ -113,6 +113,115 @@ object NnQueries extends QueryPack {
     (t(0).toLong, t(1).toLong)
   }
 
+  // ------------------------------------------------------ q221 full S3FD
+
+  /** Weight store for the q221 FULL-NETWORK detect audit: integer
+    * delta kernels that make the real S3fdNet forward an exactly-known
+    * composition, so the whole path — all 15 VGG convs (incl. the
+    * dilated fc6/fc7), the ceil-mode pool, the L2Norm sources, the
+    * stride-2 extras, the 6 loc/conf heads with the head-0 max-out,
+    * PriorBox, decode, BOTH NMS passes and the conf_th prefix — runs
+    * for real and lands on a DuckDB-recomputable answer.
+    *
+    * Construction (reference model/faceDetector/s3fd/nets.py:28–174):
+    *  - every trunk conv copies input channel 0 through one unit tap;
+    *    vgg.2 taps (ky=1,kx=2) and vgg.7 taps (2,1) — DELIBERATE
+    *    off-center taps, so a transposed/reflected kernel index would
+    *    shift the receptive window and flip the answer for the docs
+    *    whose hot pixel sits on the clipped border;
+    *  - vgg.0 bias +123 undoes the preprocess mean on the B channel,
+    *    so the carried value is the raw blue byte (≥ 0 → relu is
+    *    identity and every activation stays an exact small integer);
+    *  - the three L2Norm scales are zero: shallow sources vanish and
+    *    their heads emit pure bias (exact even though the norm itself
+    *    divides by a sqrt), with conf.0's bias (10,10,10,0) driving
+    *    the REAL max-out background trick to a constant −10 logit gap
+    *    → every shallow prior fails the 0.05 conf gate;
+    *  - deep conf heads read the carried value M (the max of the
+    *    shifted raster window after five pools): conf.3 face logit =
+    *    M with bg bias 126, conf.4 = 3·M vs 397 (slope 3 makes the
+    *    score ORDER flip at M = 135.5 — never a tie on integers),
+    *    conf.5 = M vs 130. The hot range keeps every logit gap within
+    *    ±36: beyond |g| ≈ 36.7 the two-class softmax SATURATES to an
+    *    exact 1.0 double, distinct gaps collide, and NMS tie-breaking
+    *    (larger index first) silently reorders the keep list — found
+    *    by this very audit's first run;
+    *  - loc heads are zero → decode sees exp(0) = 1 and the boxes are
+    *    the priors themselves, exact binary fractions at imw = 32.
+    */
+  private[graft] object S3fdAuditStore extends graft.nn.WeightStore {
+    private def zeros(shape: Seq[Int]) =
+      Tensor(shape.toArray, new Array[Double](shape.product))
+    /** Unit tap on input channel 0 at (ky,kx) for every out channel. */
+    private def delta(shape: Seq[Int], ky: Int, kx: Int): Tensor = {
+      val Seq(oc, ic, kh, kw) = shape
+      val d = new Array[Double](oc * ic * kh * kw)
+      var o = 0
+      while (o < oc) { d(((o * ic) * kh + ky) * kw + kx) = 1.0; o += 1 }
+      Tensor(shape.toArray, d)
+    }
+    /** conf head: face channel (o=1) = slope × center tap of ch 0. */
+    private def confFace(shape: Seq[Int], slope: Double): Tensor = {
+      val Seq(_, ic, kh, kw) = shape
+      val d = new Array[Double](shape.product)
+      d(((1 * ic) * kh + kh / 2) * kw + kw / 2) = slope
+      Tensor(shape.toArray, d)
+    }
+    private def const(shape: Seq[Int], vs: Double*) =
+      Tensor(shape.toArray, vs.toArray)
+    override def tensor(name: String, shape: Int*): Tensor = name match {
+      case "vgg.0.weight"  => delta(shape, 1, 1)
+      case "vgg.0.bias"    => Tensor(shape.toArray, Array.fill(shape.product)(123.0))
+      case "vgg.2.weight"  => delta(shape, 1, 2) // x-shift tap
+      case "vgg.7.weight"  => delta(shape, 2, 1) // y-shift tap
+      case "vgg.33.weight" => delta(shape, 0, 0) // 1×1
+      case n if n.startsWith("vgg.") && n.endsWith(".weight") => delta(shape, 1, 1)
+      case "extras.0.weight" | "extras.2.weight" => delta(shape, 0, 0) // 1×1
+      case "extras.1.weight" | "extras.3.weight" => delta(shape, 1, 1)
+      case "conf.0.bias" => const(shape, 10, 10, 10, 0) // max-out bg wins
+      case "conf.1.bias" | "conf.2.bias" => const(shape, 10, 0)
+      case "conf.3.weight" => confFace(shape, 1.0)
+      case "conf.3.bias"   => const(shape, 126, 0)
+      case "conf.4.weight" => confFace(shape, 3.0)
+      case "conf.4.bias"   => const(shape, 397, 0)
+      case "conf.5.weight" => confFace(shape, 1.0)
+      case "conf.5.bias"   => const(shape, 130, 0)
+      case _ => zeros(shape) // remaining biases, loc/shallow-conf heads, L2Norm γ
+    }
+  }
+
+  /** q221 raster: 32×32 grey RGB, baseline (p·7) mod 50 with one hot
+    * pixel at p0 = (doc·733) mod 1024 of height 128 + (doc·7) mod 16.
+    * The shifted-window max the net computes is over rows 2..31 ×
+    * cols 1..31, so docs whose hot pixel lands on the clipped border
+    * (e.g. doc 32: x=0; doc 7: y=0) fall back to the baseline max 49
+    * and detect NOTHING — the rows that catch tap-direction bugs. */
+  private[graft] def q221Raster(doc: Long): Array[Int] = {
+    val p0 = ((doc * 733L) % 1024L).toInt
+    val hot = (128L + (doc * 7L) % 16L).toInt
+    val px = new Array[Int](1024 * 3)
+    var p = 0
+    while (p < 1024) {
+      val v = if (p == p0) hot else (p * 7) % 50
+      px(3 * p) = v; px(3 * p + 1) = v; px(3 * p + 2) = v
+      p += 1
+    }
+    px
+  }
+
+  /** The closed-form value the trunk must compute (spec cross-check). */
+  private[graft] def q221WindowMax(doc: Long): Int = {
+    val px = q221Raster(doc)
+    var m = 0
+    var y = 2
+    while (y < 32) {
+      var x = 1
+      while (x < 32) { m = math.max(m, px(3 * (y * 32 + x))); x += 1 }
+      y += 1
+    }
+    m
+  }
+
   val queries = Map[String, Fn](
     // CNN kernel audit: the real Tensor.conv2d/relu/maxPool2d/linear
     // chain on 32 deterministic 8×8 integer images, every value
@@ -144,6 +253,43 @@ object NnQueries extends QueryPack {
         })
         .toDF("doc_id", "t0", "t1")
         .orderBy(col("doc_id"))
+    },
+
+    // FULL S3FD NETWORK under the oracle gate: S3fdNet.forward — the
+    // real VGG16-with-dilated-fc7 trunk, L2Norm sources, extras and
+    // all six heads — runs per doc on the q221 raster with the
+    // integer delta-kernel AuditStore, then the REAL priors → softmax
+    // → decode → NMS(0.3) → conf_th prefix → nms_(0.1) chain picks
+    // the detections. DuckDB recomputes the composition (a windowed
+    // max + the integer gate/order decision tree + the exact prior
+    // boxes); any indexing error anywhere in the forward or the
+    // post-chain flips rows. This is q112 with the REAL trunk seated
+    // in front — the last NN surface the round-9 verdict flagged.
+    // (prefix gates at M≥128/133/132, score-order flip at M=135.5,
+    // survivor sets {128}, {128,512}, {256} — see the store scaladoc)
+    "q221_s3fd_forward" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey").cast("long")).orderBy(col("c_custkey")).limit(16)
+        .as[Long]
+        .repartition(16)
+        .mapPartitions { it =>
+          // one net per partition — the weights object is shared state
+          // exactly like a broadcast checkpoint at deployment scale.
+          // 16 docs: doc·7 mod 16 covers every hot height (all three
+          // survivor zones + the doc-7 clipped-border empty zone);
+          // more docs only re-prove the same cells while the 32²
+          // VGG forwards contend for memory bandwidth.
+          val net = new graft.nn.S3fdNet(S3fdAuditStore)
+          it.flatMap { doc =>
+            graft.nn.S3fdNet.detectImage(net, q221Raster(doc), 32, 32, confTh = 0.8)
+              .map { case (x1, y1, x2, y2, _) =>
+                (doc, math.round(x2 - x1), x1, y1, x2, y2)
+              }
+          }
+        }
+        .toDF("doc_id", "scale_px", "x1", "y1", "x2", "y2")
+        .orderBy(col("doc_id"), col("scale_px"))
     },
 
     // Distributed model scoring: the 2-layer integer MLP over EVERY
@@ -235,6 +381,42 @@ object NnQueries extends QueryPack {
          |  CAST(MAX(CASE WHEN cls = 0 THEN t END) AS BIGINT) AS t0,
          |  CAST(MAX(CASE WHEN cls = 1 THEN t END) AS BIGINT) AS t1
          |FROM lin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The relational recomputation of the q221 composition. mx = the
+    // max the shifted trunk window carries to the deep 1×1 sources
+    // (rows 2..31 × cols 1..31 of the raster — the vgg.2/vgg.7 taps
+    // clip row 0–1 / col 0); the CASE ladder is the integer-exact
+    // gate + score-order + double-NMS decision tree derived in the
+    // Spark-side scaladoc (prefix gates at M≥104/124/128, order flip
+    // at M=133.5, survivor sets {128}, {128,512}, {256}); the boxes
+    // are the priors themselves (loc ≡ 0 ⇒ decode is exact).
+    "q221_s3fd_forward" ->
+      s"""WITH docs AS (
+         |  SELECT c_custkey AS doc FROM customer ORDER BY c_custkey LIMIT 16),
+         |m AS (
+         |  SELECT d.doc,
+         |    MAX(CASE WHEN y.range*32 + x.range = (d.doc*733) % 1024
+         |      THEN 128 + (d.doc*7) % 16
+         |      ELSE ((y.range*32 + x.range)*7) % 50 END) AS mx
+         |  FROM docs d, range(2, 32) y, range(1, 32) x
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT doc, unnest(CASE
+         |    WHEN mx >= 136 THEN [256]
+         |    WHEN mx >= 132 THEN [128, 512]
+         |    WHEN mx >= 128 THEN [128]
+         |    ELSE [] END) AS ms
+         |  FROM m),
+         |geo AS (
+         |  SELECT * FROM (VALUES
+         |    (128, CAST(0.5 AS DOUBLE), CAST(4.0 AS DOUBLE)),
+         |    (256, CAST(1.0 AS DOUBLE), CAST(8.0 AS DOUBLE)),
+         |    (512, CAST(2.0 AS DOUBLE), CAST(16.0 AS DOUBLE))) g(ms, cx, w))
+         |SELECT k.doc AS doc_id, CAST(k.ms AS BIGINT) AS scale_px,
+         |  (g.cx - g.w/2) * 32 AS x1, (g.cx - g.w/2) * 32 AS y1,
+         |  ((g.cx - g.w/2) + g.w) * 32 AS x2, ((g.cx - g.w/2) + g.w) * 32 AS y2
+         |FROM kept k JOIN geo g ON g.ms = k.ms
+         |ORDER BY doc_id, scale_px""".stripMargin,
 
     "q133_nn_mlp" ->
       s"""WITH qi AS (
