@@ -112,4 +112,17 @@ object ModelWeights {
     val cached = fetchIfMissing(uri, name, cacheDir, fetcher, sha256)
     spark.sparkContext.broadcast(java.nio.file.Files.readAllBytes(cached))
   }
+
+  /** Fetch-if-missing + parse a `.pth`/`.model` torch-zip checkpoint
+    * into a [[graft.nn.MapWeights]] ready to seat S3fdNet/TalkNet —
+    * the complete reference contract (gdown-then-torch.load,
+    * demoTalkNet.py:58–61) in one call. Parse on the driver, then
+    * broadcast the small `params` map (or the raw bytes via [[load]])
+    * for executor-side nets. */
+  def loadCheckpoint(uri: String, name: String, cacheDir: String,
+      fetcher: Fetcher = fileFetcher,
+      sha256: Option[String] = None): graft.nn.MapWeights = {
+    val cached = fetchIfMissing(uri, name, cacheDir, fetcher, sha256)
+    graft.nn.TorchCheckpoint.toWeights(cached.toString)
+  }
 }
