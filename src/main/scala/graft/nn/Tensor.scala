@@ -478,27 +478,33 @@ object Tensor {
     * mode, no dropout, no masks): query T_q×D, key/value T_k×D;
     * packed in-proj weight 3D×D (+bias 3D), out-proj D×D. Scaling is
     * 1/√headDim applied to Q before QKᵀ. */
-  def multiheadAttention(query: Tensor, key: Tensor, value: Tensor,
-      nHead: Int, wIn: Tensor, bIn: Array[Double],
-      wOut: Tensor, bOut: Array[Double]): Tensor = {
+  /** In-proj slice `off` (0 = Q, d = K, 2d = V) applied to x. */
+  private def inProj(x: Tensor, off: Int, d: Int,
+      wIn: Tensor, bIn: Array[Double]): Tensor = {
+    val w = Tensor(Array(d, d),
+      java.util.Arrays.copyOfRange(wIn.data, off * d, (off + d) * d))
+    val b = java.util.Arrays.copyOfRange(bIn, off, off + d)
+    linear(x, w, Some(b))
+  }
+
+  /** Per-head scaled QKᵀ alignment scores — the tensor the attention
+    * softmax normalizes, extracted so the q222 audit pins the packed
+    * in-proj slicing (rows 0..d−1 = W_q, d..2d−1 = W_k) and the GEMM
+    * against DuckDB on the SAME code path multiheadAttention runs.
+    * Returns one T_q×T_k tensor per head. With head_dim a power of 4
+    * the 1/√hd scale is an exact binary fraction, so integer weights
+    * give exact scores. */
+  def attentionScores(query: Tensor, key: Tensor, nHead: Int,
+      wIn: Tensor, bIn: Array[Double]): Array[Tensor] = {
     val d = query.shape(1)
     require(d % nHead == 0, "d_model not divisible by nhead")
     val hd = d / nHead
     val tq = query.shape(0)
     val tk = key.shape(0)
-    def proj(x: Tensor, off: Int): Tensor = {
-      val w = Tensor(Array(d, d),
-        java.util.Arrays.copyOfRange(wIn.data, off * d, (off + d) * d))
-      val b = java.util.Arrays.copyOfRange(bIn, off, off + d)
-      linear(x, w, Some(b))
-    }
-    val q = proj(query, 0)
-    val k = proj(key, d)
-    val v = proj(value, 2 * d)
+    val q = inProj(query, 0, d, wIn, bIn)
+    val k = inProj(key, d, d, wIn, bIn)
     val scale = 1.0 / math.sqrt(hd.toDouble)
-    val ctx = new Array[Double](tq * d)
-    var h = 0
-    while (h < nHead) {
+    Array.tabulate(nHead) { h =>
       val sc = new Array[Double](tq * tk)
       var i = 0
       while (i < tq) {
@@ -512,8 +518,25 @@ object Tensor {
         }
         i += 1
       }
-      val at = softmaxRows(Tensor(Array(tq, tk), sc))
-      i = 0
+      Tensor(Array(tq, tk), sc)
+    }
+  }
+
+  def multiheadAttention(query: Tensor, key: Tensor, value: Tensor,
+      nHead: Int, wIn: Tensor, bIn: Array[Double],
+      wOut: Tensor, bOut: Array[Double]): Tensor = {
+    val d = query.shape(1)
+    require(d % nHead == 0, "d_model not divisible by nhead")
+    val hd = d / nHead
+    val tq = query.shape(0)
+    val tk = key.shape(0)
+    val v = inProj(value, 2 * d, d, wIn, bIn)
+    val scores = attentionScores(query, key, nHead, wIn, bIn)
+    val ctx = new Array[Double](tq * d)
+    var h = 0
+    while (h < nHead) {
+      val at = softmaxRows(scores(h))
+      var i = 0
       while (i < tq) {
         var e = 0
         while (e < hd) {

@@ -292,6 +292,54 @@ object NnQueries extends QueryPack {
         .orderBy(col("doc_id"), col("scale_px"))
     },
 
+    // ATTENTION ALIGNMENT under the oracle gate (the q132 trick on the
+    // TalkNet attention stack, model/attentionLayer.py:6–36 /
+    // talkNetModel.py:29–63): Tensor.attentionScores — the SAME code
+    // multiheadAttention normalizes, packed in-proj slicing included
+    // (rows 0..d−1 = W_q, d..2d−1 = W_k) — runs on integer token
+    // sequences with closed-form integer weights. head_dim = 4 makes
+    // the 1/√hd scale an exact 0.5, so every QKᵀ score is an exact
+    // half-integer; the output is each query's ARGMAX key (softmax is
+    // monotone — the alignment is what it decides) plus 2·score as an
+    // exact BIGINT. DuckDB recomputes the projections as join-sums and
+    // the argmax with the same lowest-index tie-break. Swapped q/k
+    // slices, transposed GEMMs or head-dim mis-slicing all flip rows.
+    "q222_attention_align" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .groupByKey(_._1 / 8)
+        .flatMapGroups { (seq, it) =>
+          val toks = it.toArray.sortBy(_._1)
+          val d = 16
+          val x = Tensor(Array(toks.length, d),
+            toks.flatMap(t => t._2.take(d).map(f => math.floor(f.toDouble * 32.0))))
+          val wIn = Tensor(Array(3 * d, d), Array.tabulate(3 * d * d) { i =>
+            ((i / d) * 13 + (i % d) * 7) % 9 - 4
+          }.map(_.toDouble))
+          val bIn = Array.tabulate(3 * d)(r => (r % 5 - 2).toDouble)
+          val heads = Tensor.attentionScores(x, x, nHead = 4, wIn, bIn)
+          for {
+            h <- heads.indices.iterator
+            i <- 0 until toks.length
+          } yield {
+            val tk = toks.length
+            var best = 0
+            var j = 1
+            while (j < tk) {
+              if (heads(h).data(i * tk + j) > heads(h).data(i * tk + best)) best = j
+              j += 1
+            }
+            (seq, h.toLong, i.toLong, best.toLong,
+              (2.0 * heads(h).data(i * tk + best)).toLong)
+          }
+        }
+        .toDF("seq", "head", "qpos", "kpos", "s2")
+        .orderBy(col("seq"), col("head"), col("qpos"))
+    },
+
     // Distributed model scoring: the 2-layer integer MLP over EVERY
     // embedding row — per-partition inference (the weights are built
     // inside the partition, nothing is shuffled but the output sort).
@@ -417,6 +465,40 @@ object NnQueries extends QueryPack {
          |  ((g.cx - g.w/2) + g.w) * 32 AS x2, ((g.cx - g.w/2) + g.w) * 32 AS y2
          |FROM kept k JOIN geo g ON g.ms = k.ms
          |ORDER BY doc_id, scale_px""".stripMargin,
+
+    // q222: tokens = floor(32·embedding[0..15]) over vec_id 0..63 in
+    // 8-token sequences; Q/K projections as join-sums over the SAME
+    // closed-form in-proj formulas (K rows offset by d=16 — the packed
+    // layout); 2·score = Σ_head-dims qv·kv; argmax per (seq, head,
+    // qpos) with the lowest-kpos tie-break attentionScores' strict->
+    // scan implements.
+    "q222_attention_align" ->
+      s"""WITH tok AS (
+         |  SELECT vec_id // 8 AS seq, vec_id % 8 AS pos, i.range AS e,
+         |    CAST(floor(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) * 32)
+         |      AS BIGINT) AS xv
+         |  FROM embeddings, range(16) i WHERE vec_id < 64),
+         |qp AS (
+         |  SELECT t.seq, t.pos, r.range AS r,
+         |    SUM(t.xv * ((r.range*13 + t.e*7) % 9 - 4)) + (r.range % 5 - 2) AS qv
+         |  FROM tok t, range(16) r GROUP BY t.seq, t.pos, r.range),
+         |kp AS (
+         |  SELECT t.seq, t.pos, r.range - 16 AS r,
+         |    SUM(t.xv * ((r.range*13 + t.e*7) % 9 - 4)) + (r.range % 5 - 2) AS kv
+         |  FROM tok t, range(16, 32) r GROUP BY t.seq, t.pos, r.range),
+         |sc AS (
+         |  SELECT q.seq, q.r // 4 AS head, q.pos AS qpos, k.pos AS kpos,
+         |    SUM(q.qv * k.kv) AS s2
+         |  FROM qp q JOIN kp k ON k.seq = q.seq AND k.r = q.r
+         |  GROUP BY q.seq, q.r // 4, q.pos, k.pos),
+         |best AS (
+         |  SELECT seq, head, qpos, kpos, s2,
+         |    row_number() OVER (PARTITION BY seq, head, qpos
+         |      ORDER BY s2 DESC, kpos) AS rn
+         |  FROM sc)
+         |SELECT seq, CAST(head AS BIGINT) AS head, CAST(qpos AS BIGINT) AS qpos,
+         |  CAST(kpos AS BIGINT) AS kpos, CAST(s2 AS BIGINT) AS s2
+         |FROM best WHERE rn = 1 ORDER BY seq, head, qpos""".stripMargin,
 
     "q133_nn_mlp" ->
       s"""WITH qi AS (
