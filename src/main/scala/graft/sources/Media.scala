@@ -52,15 +52,61 @@ object Media {
   }
 
   /** Decoder-seat resolution for FrameSource's `decoder` option:
-    * "stub" (default), "avi:<root>" for [[AviFileFrameDecoder]], or
+    * "stub" (default), "avi:<root>" for [[AviFileFrameDecoder]],
     * "ffmpeg:<root>" for the shelling [[FfmpegFrameDecoder]] (any
-    * container the executor's ffmpeg can read — mp4/h264/…). */
+    * container the executor's ffmpeg can read — mp4/h264/…), or
+    * "auto:<root>" for per-file magic-byte dispatch between them. */
   def resolveDecoder(spec: String): FrameDecoder = spec match {
     case null | "" | "stub" => StubFrameDecoder
     case s if s.startsWith("avi:") => new AviFileFrameDecoder(s.substring(4))
     case s if s.startsWith("ffmpeg:") => new FfmpegFrameDecoder(s.substring(7))
+    case s if s.startsWith("auto:") => new AutoFrameDecoder(s.substring(5))
     case other => throw new IllegalArgumentException(
-      s"unknown frame decoder '$other' (want 'stub', 'avi:<root>' or 'ffmpeg:<root>')")
+      s"unknown frame decoder '$other' (want 'stub', 'avi:<root>', " +
+        "'ffmpeg:<root>' or 'auto:<root>')")
+  }
+
+  /** `root/<name>`, falling back to `root/<name>.avi` — the shared
+    * resolution of the file-backed decoders. */
+  private[sources] def resolveVideoPath(root: String, name: String): java.nio.file.Path = {
+    val bare = java.nio.file.Paths.get(root, name)
+    if (java.nio.file.Files.exists(bare)) bare
+    else java.nio.file.Paths.get(root, name + ".avi")
+  }
+
+  /** Container sniff from the first 12 bytes (the magic every demuxer
+    * keys on): RIFF/AVI, ISO BMFF (mp4/mov ftyp at offset 4), EBML
+    * (mkv/webm), MPEG-TS sync byte — anything else is "unknown". */
+  def sniffContainer(path: java.nio.file.Path): String = {
+    val in = java.nio.file.Files.newInputStream(path)
+    val h = try in.readNBytes(12) finally in.close()
+    def at(i: Int, s: String): Boolean =
+      h.length >= i + s.length && s.indices.forall(k => (h(i + k) & 0xff) == s.charAt(k).toInt)
+    if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(4, "ftyp")) "mp4"
+    else if (h.length >= 4 && (h(0) & 0xff) == 0x1a && (h(1) & 0xff) == 0x45 &&
+      (h(2) & 0xff) == 0xdf && (h(3) & 0xff) == 0xa3) "mkv"
+    else if (h.length >= 1 && (h(0) & 0xff) == 0x47) "mpegts"
+    else "unknown"
+  }
+
+  /** Decoder dispatch by CONTENT, not extension (demoTalkNet.py:
+    * 486–494 accepts any container its ffmpeg can read): AVI magic →
+    * the pure-JVM idx1-seek [[AviFileFrameDecoder]]; every other
+    * container → the ffmpeg seat. The sniff costs one 12-byte read
+    * per (file, task) — noise next to the decode itself — and removes
+    * the manual `decoder=` choice for mixed corpora. */
+  final class AutoFrameDecoder(root: String) extends FrameDecoder {
+    override def decode(video: VideoMeta, fps: Int,
+        range: Option[DecodeRange]): Iterator[Frame] = {
+      val path = resolveVideoPath(root, video.name)
+      require(java.nio.file.Files.isReadable(path), s"auto decoder: unreadable $path")
+      val inner: FrameDecoder = sniffContainer(path) match {
+        case "avi" => new AviFileFrameDecoder(root)
+        case _ => new FfmpegFrameDecoder(root)
+      }
+      inner.decode(video, fps, range)
+    }
   }
 
   /** Byte-payload checksum for REAL decoded frames: the same 31-base
@@ -90,9 +136,7 @@ object Media {
   final class AviFileFrameDecoder(root: String) extends FrameDecoder {
     override def decode(video: VideoMeta, fps: Int,
         range: Option[DecodeRange]): Iterator[Frame] = {
-      val bare = java.nio.file.Paths.get(root, video.name)
-      val path = if (java.nio.file.Files.exists(bare)) bare
-        else java.nio.file.Paths.get(root, video.name + ".avi")
+      val path = resolveVideoPath(root, video.name)
       val lo = range.map(_.startFrame).getOrElse(0L)
       val hi = range.map(_.endFrame).getOrElse(Long.MaxValue - 1)
       graft.operators.AviCodec.decodeRangeFile(path, lo, hi)

@@ -28,9 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options:
   *   videos   semicolon list of `key:durationSec` (name = v%05d of key)
   *   fps      normalized frame rate, default 25
-  *   decoder  "stub" (default) or "avi:<root>" — the REAL MJPG/PNG AVI
+  *   decoder  "stub" (default), "avi:<root>" — the REAL MJPG/PNG AVI
   *            decoder (Media.AviFileFrameDecoder), which honors the
-  *            same range pushdown via the container's idx1 index
+  *            same range pushdown via the container's idx1 index —
+  *            "ffmpeg:<root>" (any container, shelling seat), or
+  *            "auto:<root>" — per-file magic-byte dispatch between
+  *            the AVI and ffmpeg decoders (Media.AutoFrameDecoder)
   */
 class FrameSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
