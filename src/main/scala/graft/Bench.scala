@@ -22,6 +22,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
 
+    // Sink/roundtrip scratch → tmpfs when available: this VM's disk
+    // has a burst-bucket throttle (ARCHITECTURE.md "disk-throttle
+    // tail") that can stall late file-writing queries (q46/q54/q67/
+    // q68/q71) at 10× their plan cost once the token bucket drains
+    // over a long run. /dev/shm takes the disk out of the BENCH
+    // measurement — the queries' plans are unchanged, and correctness
+    // runs (Verify) keep the default tmpdir contract.
+    if (spark.conf.getOption("graft.scratch.dir").isEmpty) {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        spark.conf.set("graft.scratch.dir", shm.resolve("graft-bench").toString)
+    }
+
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
