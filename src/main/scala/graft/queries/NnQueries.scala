@@ -36,25 +36,36 @@ object NnQueries extends QueryPack {
   private[queries] def pixel(docId: Long, p: Int): Double =
     ((docId * 2654435761L + p.toLong * 40503L + 97L) % 251L).toDouble
 
-  /** conv(4,1,3,3) w/ bias → relu → maxpool 2×2/2 → linear(64→3):
-    * weights from closed-form integer formulas (mirrored in SQL). */
-  private[queries] def convForward(docId: Long): (Long, Long, Long, Long) = {
-    val img = Tensor(Array(1, 8, 8), Array.tabulate(64)(pixel(docId, _)))
+  /** The q132/q223 weight set, as closed-form integer formulas
+    * (mirrored term-for-term in the oracle SQL). */
+  private[queries] object ConvNetParams {
     // flat i = o*9 + ky*3 + kx (C=1) — the SQL kernel formula's index
-    val w1 = Tensor(Array(4, 1, 3, 3),
-      Array.tabulate(36)(i => ((i.toLong * 7L) % 5L - 2L).toDouble))
-    val b1 = Array.tabulate(4)(o => (o % 3 - 1).toDouble)
-    val act = Tensor.relu(Tensor.conv2d(img, w1, Some(b1), padH = 1, padW = 1))
+    val w1: Array[Double] = Array.tabulate(36)(i => ((i.toLong * 7L) % 5L - 2L).toDouble)
+    val b1: Array[Double] = Array.tabulate(4)(o => (o % 3 - 1).toDouble)
+    val w2: Array[Double] = Array.tabulate(192)(i => ((i.toLong * 11L) % 7L - 3L).toDouble)
+    val b2: Array[Double] = Array.tabulate(3)(c => (c - 1).toDouble)
+  }
+
+  /** conv(4,1,3,3) w/ bias → relu → maxpool 2×2/2 → linear(64→3) with
+    * caller-supplied parameters (q132 feeds the formulas directly,
+    * q223 the same values round-tripped through a torch checkpoint). */
+  private[queries] def convForwardW(docId: Long, w1: Array[Double], b1: Array[Double],
+      w2: Array[Double], b2: Array[Double]): (Long, Long, Long, Long) = {
+    val img = Tensor(Array(1, 8, 8), Array.tabulate(64)(pixel(docId, _)))
+    val act = Tensor.relu(Tensor.conv2d(img, Tensor(Array(4, 1, 3, 3), w1),
+      Some(b1), padH = 1, padW = 1))
     val pooled = Tensor.maxPool2d(act, 2, 2, 2, 2) // 4×4×4, flat = o*16+y*4+x
-    val w2 = Tensor(Array(3, 64),
-      Array.tabulate(192)(i => ((i.toLong * 11L) % 7L - 3L).toDouble))
-    val b2 = Array.tabulate(3)(c => (c - 1).toDouble)
-    val s = Tensor.linear(Tensor(Array(1, 64), pooled.data), w2, Some(b2)).data
+    val s = Tensor.linear(Tensor(Array(1, 64), pooled.data),
+      Tensor(Array(3, 64), w2), Some(b2)).data
     var best = 0
     var c = 1
     while (c < 3) { if (s(c) > s(best)) best = c; c += 1 } // tie → lowest class
     (s(0).toLong, s(1).toLong, s(2).toLong, best.toLong)
   }
+
+  private[queries] def convForward(docId: Long): (Long, Long, Long, Long) =
+    convForwardW(docId, ConvNetParams.w1, ConvNetParams.b1,
+      ConvNetParams.w2, ConvNetParams.b2)
 
   // ---------------------------------------------------------- q133 mlp
 
@@ -292,6 +303,48 @@ object NnQueries extends QueryPack {
         .orderBy(col("doc_id"), col("scale_px"))
     },
 
+    // CHECKPOINT-DRIVEN INFERENCE under the oracle gate: the q132
+    // weights are written as a REAL torch-zip checkpoint
+    // (TorchCheckpointWriter), fetched + parsed through the FULL
+    // production seam — ModelWeights.loadCheckpoint → pickle VM →
+    // storage decode → MapWeights — broadcast, and the forward runs
+    // from the PARSED tensors. The oracle recomputes from the weight
+    // FORMULAS, so the hash matches iff every byte survives
+    // pickle→zip→fetch→parse→float32→forward intact: the "real
+    // forwards run real weights" contract, end to end, under the
+    // gate. (Distinct doc subset from q132: doc_id ≡ 3 mod 7.)
+    "q223_checkpoint_infer" -> { (s, dir) =>
+      import s.implicits._
+      val ck = graft.nn.TorchCheckpointWriter.write(Seq(
+        "conv.weight" -> ((Seq(4, 1, 3, 3), ConvNetParams.w1)),
+        "conv.bias" -> ((Seq(4), ConvNetParams.b1)),
+        "fc.weight" -> ((Seq(3, 64), ConvNetParams.w2)),
+        "fc.bias" -> ((Seq(3), ConvNetParams.b2))))
+      val scratch = Q.scratchDir(s, "graft_ckpt")
+      val src = java.nio.file.Paths.get(scratch, "model.pth")
+      java.nio.file.Files.write(src, ck)
+      // the reference contract: artifact fetch-if-missing (+ checksum
+      // pin), then torch.load — demoTalkNet.py:58–61 made real
+      val ws = graft.pipeline.ModelWeights.loadCheckpoint(
+        s"file:$src", "model.pth", s"$scratch/cache",
+        sha256 = Some(graft.pipeline.ModelWeights.sha256Hex(ck)))
+      val bc = s.sparkContext.broadcast(ws.params)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 7 === 3)
+        .orderBy(col("doc_id")).limit(24)
+        .as[Long]
+        .mapPartitions { it =>
+          val p = bc.value
+          it.map { id =>
+            val (s0, s1, s2, pred) = convForwardW(id,
+              p("conv.weight"), p("conv.bias"), p("fc.weight"), p("fc.bias"))
+            (id, s0, s1, s2, pred)
+          }
+        }
+        .toDF("doc_id", "s0", "s1", "s2", "pred")
+        .orderBy(col("doc_id"))
+    },
+
     // ATTENTION ALIGNMENT under the oracle gate (the q132 trick on the
     // TalkNet attention stack, model/attentionLayer.py:6–36 /
     // talkNetModel.py:29–63): Tensor.attentionScores — the SAME code
@@ -361,9 +414,10 @@ object NnQueries extends QueryPack {
     },
   )
 
-  val oracle = Map(
-    "q132_nn_conv" ->
-      s"""WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
+  /** The conv/pool/linear oracle restatement over a docs CTE (q132 +
+    * the q223 checkpoint roundtrip run the same network). */
+  private def convSql(docsCte: String): String =
+    s"""WITH docs AS ($docsCte),
          |px AS (
          |  SELECT d.doc_id, y.range AS y, x.range AS x,
          |    (d.doc_id*2654435761 + (y.range*8 + x.range)*40503 + 97) % 251 AS v
@@ -401,7 +455,16 @@ object NnQueries extends QueryPack {
          |  CAST(s2 AS BIGINT) AS s2,
          |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
          |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT) AS pred
-         |FROM piv ORDER BY doc_id""".stripMargin,
+         |FROM piv ORDER BY doc_id""".stripMargin
+
+  val oracle = Map(
+    "q132_nn_conv" ->
+      convSql("SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32"),
+
+    // Same network, weights round-tripped through the checkpoint.
+    "q223_checkpoint_infer" ->
+      convSql("SELECT doc_id FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id LIMIT 24"),
+
 
     "q134_nn_deep" ->
       s"""WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32),
