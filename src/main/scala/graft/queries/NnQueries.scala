@@ -124,6 +124,32 @@ object NnQueries extends QueryPack {
     (t(0).toLong, t(1).toLong)
   }
 
+  // ---------------------------------------------------------- q225 conv3d
+
+  /** The TalkNet visual stem's kernel family in miniature (reference
+    * model/visualEncoder.py:101–110: Conv3d (5,7,7)/(1,2,2)/(2,3,3)
+    * then MaxPool3d (1,3,3)/(1,2,2)/(0,1,1)) — conv3d + relu +
+    * maxPool3d with the SAME stride/pad semantics on a 1×4×8×8 integer
+    * voxel grid, exact under the q132 integer-weight oracle. Covers
+    * the 3-D code paths (depth axis indexing, 5-D weight layout,
+    * pool's exclude-padding max) that the conv2d audits can't reach. */
+  private[queries] def conv3dForward(docId: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    val vox = Tensor(Array(1, 4, 8, 8), Array.tabulate(256) { p =>
+      ((docId * 2654435761L + p.toLong * 40503L + 97L) % 251L).toDouble
+    })
+    // flat = o*27 + kd*9 + ky*3 + kx (C=1)
+    val w = Tensor(Array(2, 1, 3, 3, 3),
+      Array.tabulate(54)(i => ((i.toLong * 7L) % 5L - 2L).toDouble))
+    val b = Array.tabulate(2)(o => (o * 2 - 1).toDouble)
+    val conv = Tensor.relu(Tensor.conv3d(vox, w, Some(b),
+      strideD = 1, strideH = 2, strideW = 2, padD = 1, padH = 1, padW = 1))
+    val pooled = Tensor.maxPool3d(conv, 1, 3, 3, 1, 2, 2, 0, 1, 1) // 2×4×2×2
+    for {
+      o <- 0 until 2; d <- 0 until 4; y <- 0 until 2; x <- 0 until 2
+    } yield (o.toLong, d.toLong, y.toLong, x.toLong,
+      pooled.data(((o * 4 + d) * 2 + y) * 2 + x).toLong)
+  }
+
   // ------------------------------------------------------ q221 full S3FD
 
   /** Weight store for the q221 FULL-NETWORK detect audit: integer
@@ -301,6 +327,23 @@ object NnQueries extends QueryPack {
         }
         .toDF("doc_id", "scale_px", "x1", "y1", "x2", "y2")
         .orderBy(col("doc_id"), col("scale_px"))
+    },
+
+    // 3-D CONV/POOL kernel audit: the TalkNet visual-stem ops
+    // (conv3d stride (1,2,2) + exclude-padding maxPool3d) on 16
+    // integer voxel grids, every pooled cell hash-matched against the
+    // DuckDB restatement — the depth-axis indexing q132/q134 can't see.
+    "q225_nn_conv3d" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 5 === 1)
+        .orderBy(col("doc_id")).limit(16)
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          conv3dForward(id).map { case (o, d, y, x, v) => (id, o, d, y, x, v) }
+        })
+        .toDF("doc_id", "o", "d", "y", "x", "v")
+        .orderBy(col("doc_id"), col("o"), col("d"), col("y"), col("x"))
     },
 
     // CHECKPOINT-DRIVEN INFERENCE under the oracle gate: the q132
@@ -528,6 +571,40 @@ object NnQueries extends QueryPack {
          |  ((g.cx - g.w/2) + g.w) * 32 AS x2, ((g.cx - g.w/2) + g.w) * 32 AS y2
          |FROM kept k JOIN geo g ON g.ms = k.ms
          |ORDER BY doc_id, scale_px""".stripMargin,
+
+    // q225: conv cell (o,cd,cy,cx) = Σ taps over the padded voxel
+    // grid; relu; pool max over the (1,3,3)/(1,2,2)/(0,1,1) window
+    // with out-of-bounds cells EXCLUDED (PyTorch pads pooling with
+    // −inf, not 0 — the BETWEEN join reproduces exactly that).
+    "q225_nn_conv3d" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 5 = 1
+         |  ORDER BY doc_id LIMIT 16),
+         |conv AS (
+         |  SELECT d.doc_id, o.range AS o, cd.range AS cd,
+         |         cy.range AS cy, cx.range AS cx,
+         |    SUM(CASE WHEN cd.range-1+kd.range BETWEEN 0 AND 3
+         |          AND cy.range*2-1+ky.range BETWEEN 0 AND 7
+         |          AND cx.range*2-1+kx.range BETWEEN 0 AND 7 THEN
+         |      ((d.doc_id*2654435761 +
+         |        ((cd.range-1+kd.range)*64 + (cy.range*2-1+ky.range)*8
+         |          + (cx.range*2-1+kx.range))*40503 + 97) % 251)
+         |      * ((o.range*27 + kd.range*9 + ky.range*3 + kx.range)*7 % 5 - 2)
+         |      ELSE 0 END) + (o.range*2 - 1) AS cv
+         |  FROM docs d, range(2) o, range(4) cd, range(4) cy, range(4) cx,
+         |       range(3) kd, range(3) ky, range(3) kx
+         |  GROUP BY d.doc_id, o.range, cd.range, cy.range, cx.range),
+         |pool AS (
+         |  SELECT c.doc_id, c.o, c.cd AS d, py.range AS py, px.range AS px,
+         |    MAX(GREATEST(c.cv, 0)) AS v
+         |  FROM conv c, range(2) py, range(2) px
+         |  WHERE c.cy BETWEEN py.range*2 - 1 AND py.range*2 + 1
+         |    AND c.cx BETWEEN px.range*2 - 1 AND px.range*2 + 1
+         |  GROUP BY c.doc_id, c.o, c.cd, py.range, px.range)
+         |SELECT doc_id, CAST(o AS BIGINT) AS o, CAST(d AS BIGINT) AS d,
+         |  CAST(py AS BIGINT) AS y, CAST(px AS BIGINT) AS x,
+         |  CAST(v AS BIGINT) AS v
+         |FROM pool ORDER BY doc_id, o, d, y, x""".stripMargin,
 
     // q222: tokens = floor(32·embedding[0..15]) over vec_id 0..63 in
     // 8-token sequences; Q/K projections as join-sums over the SAME
