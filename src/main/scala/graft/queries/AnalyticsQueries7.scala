@@ -18,7 +18,51 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries7 extends QueryPack {
   import Q._
 
+  /** q224's rank-of-first-one ladder: rho(w) = 25 − bitlength(w) for
+    * a 24-bit w (HLL's leading-zero rank), as a CASE ladder of integer
+    * comparisons — shared verbatim by both engines, so no engine's
+    * log2/float rounding can disagree at the power-of-two boundaries. */
+  private def rhoCase(wExpr: String): String =
+    (1 to 24).map(r => s"WHEN ($wExpr) >= ${1L << (24 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 25 END")
+
   val queries = Map[String, Fn](
+
+    // HYPERLOGLOG REGISTER SKETCH, audited: the 256-register HLL over
+    // events.user_id — reg = h mod 256, rho = leading-zero rank of
+    // the remaining 24 hash bits, register = MAX(rho) (mergeable: the
+    // 256-value vector is the state a 1000-executor deployment ships
+    // instead of user sets; bit_or/max make it associative like the
+    // q194 linear-counting bitmap). Output = every register, the RAW
+    // HLL estimate (alpha_256·m²/Σ2^−M — all dyadic terms, so the sum
+    // is EXACT and order-independent; the division is one identical
+    // IEEE op in both engines), and the exact distinct count beside
+    // it. No small-range correction branch: it needs ln(), which
+    // differs by 1 ulp across libms (the q182 lesson) — q194 covers
+    // the linear-counting regime separately.
+    "q224_hll_registers" -> { (s, dir) =>
+      val uh = Q.uhashSql("22400", "(user_id % 4294967291)")
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val regs = ev
+        .withColumn("h", expr(uh))
+        .withColumn("reg", expr("h % 256"))
+        .withColumn("rho", expr(rhoCase("h DIV 256")))
+        .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+      val all = s.range(256).toDF("reg")
+        .join(regs, Seq("reg"), "left")
+        .select(col("reg").cast("long").as("reg"),
+          coalesce(col("rho"), lit(0)).cast("int").as("rho"))
+      val est = all
+        .agg(sum(expr("1.0D / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)"))
+          .as("ssum"))
+        .select(lit(-1L).as("reg"),
+          expr("0.7213D / (1.0D + 1.079D / 256.0D) * 256.0D * 256.0D / ssum").as("v"))
+      val exact = ev.agg(countDistinct(col("user_id")).cast("double").as("v"))
+        .select(lit(-2L).as("reg"), col("v"))
+      all.select(col("reg"), col("rho").cast("double").as("v"))
+        .union(est).union(exact)
+        .orderBy(col("reg"))
+    },
 
     // TEMPORAL ANTI JOIN: views with NO click in the following hour,
     // per user — the "unanswered impression" feed. The naive plan
@@ -336,6 +380,21 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q224_hll_registers" -> {
+      val uh = Q.uhashSql("22400", "(user_id % 4294967291)")
+      s"""WITH h AS (SELECT $uh AS h FROM events),
+        |r AS (SELECT h % 256 AS reg, ${rhoCase("h // 256")} AS rho FROM h),
+        |regs AS (SELECT reg, MAX(rho) AS rho FROM r GROUP BY reg),
+        |allr AS (SELECT g.range AS reg, COALESCE(regs.rho, 0) AS rho
+        |  FROM range(256) g LEFT JOIN regs ON regs.reg = g.range),
+        |est AS (SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 /
+        |    SUM(1.0 / CAST((1 << rho) AS DOUBLE)) AS v FROM allr)
+        |SELECT CAST(reg AS BIGINT) AS reg, CAST(rho AS DOUBLE) AS v FROM allr
+        |UNION ALL SELECT -1, v FROM est
+        |UNION ALL SELECT -2, CAST(count(DISTINCT user_id) AS DOUBLE) FROM events
+        |ORDER BY reg""".stripMargin
+    },
 
     "q213_ab_test" -> {
       val uh = Q.uhashSql("21300", "(user_id % 4294967291)")
