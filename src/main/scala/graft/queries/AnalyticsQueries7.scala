@@ -64,6 +64,44 @@ object AnalyticsQueries7 extends QueryPack {
         .orderBy(col("reg"))
     },
 
+    // SMALL-FILE COMPACTION (table maintenance — the lakehouse
+    // OPTIMIZE/bin-pack operation every 100 TB deployment schedules):
+    // the events table is first materialized as a 64-file small-file
+    // storm, then compacted by bin-packing into ceil(n/25000)
+    // round-robin files. The audit row carries the ACTUAL filesystem
+    // file counts (storm + compacted — deterministic because
+    // round-robin leaves no empty partitions and AQE does not
+    // override an explicit numbered repartition) plus the
+    // order-independent content checksum and cents mass of the
+    // COMPACTED table, which the oracle recomputes from the logical
+    // source — rows may move between files, but nothing may be lost,
+    // duplicated, or mutated. The one count() is a driver scalar.
+    "q226_compact_files" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      val scratch = scratchDir(s, "graft_compact")
+      val small = s"$scratch/small"
+      val packed = s"$scratch/packed"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("c"))
+        .repartition(64).write.mode("overwrite").parquet(small)
+      val back = s.read.parquet(small)
+      val n = back.count()
+      val k = ((n + 24999L) / 25000L).toInt
+      back.repartition(k).write.mode("overwrite").parquet(packed)
+      def parts(d: String): Long =
+        new java.io.File(d).listFiles.count(_.getName.startsWith("part-")).toLong
+      val (fSmall, fPacked) = (parts(small), parts(packed))
+      s.read.parquet(packed)
+        .select(concat_ws("|", col("event_id"), col("user_id"),
+          col("event_type"), col("c")).as("rs"), col("c"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("rolling_hash(rs)")).as("checksum"),
+          sum(col("c")).as("value_c"))
+        .select(col("n_rows"), col("checksum"), col("value_c"),
+          lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
+    },
+
     // TEMPORAL ANTI JOIN: views with NO click in the following hour,
     // per user — the "unanswered impression" feed. The naive plan
     // pair-joins views×clicks then anti-filters; this one UNIONS the
@@ -380,6 +418,17 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q226_compact_files" -> {
+      val rs = "concat_ws('|', event_id, user_id, event_type, " +
+        "CAST(round(value*100) AS BIGINT))"
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(${Q.polyHashSql(rs)}) AS BIGINT) AS checksum,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  CAST(64 AS BIGINT) AS files_small,
+        |  CAST((count(*) + 24999) // 25000 AS BIGINT) AS files_packed
+        |FROM events""".stripMargin
+    },
 
     "q224_hll_registers" -> {
       val uh = Q.uhashSql("22400", "(user_id % 4294967291)")
