@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +63,65 @@ object AnalyticsQueries7 extends QueryPack {
       all.select(col("reg"), col("rho").cast("double").as("v"))
         .union(est).union(exact)
         .orderBy(col("reg"))
+    },
+
+    // KMV / THETA SKETCH set expressions: per event type, the k=64
+    // MINIMUM distinct hash values of its user set (the
+    // order-statistics sketch family — distinct from q224's HLL
+    // registers and q194's linear-counting bitmap). Per type pair:
+    // distinct-count estimates for A, B and A∪B from the k-th
+    // minimum ((k−1)·P DIV h_k — pure integer arithmetic), the
+    // inclusion-exclusion intersection estimate, and the EXACT
+    // intersection beside them. Scale shape: the per-type top-k runs
+    // as a rank-filter window Spark rewrites to WindowGroupLimit
+    // (map-side partial top-k, no full sort); everything downstream
+    // operates on ≤ 5·64 sketch rows — the whole point of shipping
+    // sketches instead of user sets.
+    "q228_kmv_sketch" -> { (s, dir) =>
+      val uh = Q.uhashSql("22800", "(user_id % 4294967291)")
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val hashes = ev.distinct()
+        .withColumn("h", expr(uh))
+        .select(col("event_type").as("t"), col("h")).distinct()
+      val w = Window.partitionBy(col("t")).orderBy(col("h"))
+      val kmv = hashes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 64)
+        .select(col("t"), col("h"), col("rk"))
+      def kth(df: DataFrame, t: String, h: String) = df
+        .filter(col("rk") === 64)
+        .select(col("t").as(t), col("h").as(h))
+      val est = kth(kmv, "t", "hk")
+        .select(col("t"), expr("63 * 4294967291 DIV hk").as("est"))
+      // union sketch per pair: the 64 smallest of the merged sets
+      val a = kmv.select(col("t").as("ta"), col("h"))
+      val b = kmv.select(col("t").as("tb"), col("h"))
+      val merged = a.crossJoin(b.select(col("tb")).distinct())
+        .filter(col("ta") < col("tb"))
+        .select(col("ta"), col("tb"), col("h"))
+        .union(b.crossJoin(a.select(col("ta")).distinct())
+          .filter(col("ta") < col("tb"))
+          .select(col("ta"), col("tb"), col("h")))
+        .distinct() // 10 pairs × ≤128 sketch rows
+      val wu = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+      val estU = merged.withColumn("rk", row_number().over(wu))
+        .filter(col("rk") === 64)
+        .select(col("ta"), col("tb"), expr("63 * 4294967291 DIV h").as("est_union"))
+      // exact intersection per pair from the distinct (user, type) set
+      val ut = ev.distinct()
+      val exact = ut.select(col("event_type").as("ta"), col("user_id"))
+        .join(ut.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      estU
+        .join(est.select(col("t").as("ta"), col("est").as("est_a")), Seq("ta"))
+        .join(est.select(col("t").as("tb"), col("est").as("est_b")), Seq("tb"))
+        .join(exact, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
+          col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+          col("exact_inter"))
+        .orderBy(col("ta"), col("tb"))
     },
 
     // SMALL-FILE COMPACTION (table maintenance — the lakehouse
@@ -418,6 +478,32 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q228_kmv_sketch" -> {
+      val uh = Q.uhashSql("22800", "(user_id % 4294967291)")
+      s"""WITH ut AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |h AS (SELECT DISTINCT t, $uh AS h FROM ut),
+        |kmv AS (SELECT t, h,
+        |    row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+        |  FROM h QUALIFY rk <= 64),
+        |est AS (SELECT t, 63 * 4294967291 // h AS est FROM kmv WHERE rk = 64),
+        |types AS (SELECT DISTINCT t FROM kmv),
+        |pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a, types b WHERE a.t < b.t),
+        |mh AS (SELECT DISTINCT p.ta, p.tb, k.h
+        |  FROM pairs p JOIN kmv k ON k.t = p.ta OR k.t = p.tb),
+        |mu AS (SELECT ta, tb, h,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk FROM mh),
+        |eu AS (SELECT ta, tb, 63 * 4294967291 // h AS est_union
+        |  FROM mu WHERE rk = 64),
+        |ex AS (SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT eu.ta, eu.tb, ea.est AS est_a, eb.est AS est_b, eu.est_union,
+        |  ea.est + eb.est - eu.est_union AS est_inter, ex.exact_inter
+        |FROM eu JOIN est ea ON ea.t = eu.ta JOIN est eb ON eb.t = eu.tb
+        |JOIN ex ON ex.ta = eu.ta AND ex.tb = eu.tb
+        |ORDER BY eu.ta, eu.tb""".stripMargin
+    },
 
     "q226_compact_files" -> {
       val rs = "concat_ws('|', event_id, user_id, event_type, " +

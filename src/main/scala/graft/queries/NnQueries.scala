@@ -150,6 +150,30 @@ object NnQueries extends QueryPack {
       pooled.data(((o * 4 + d) * 2 + y) * 2 + x).toLong)
   }
 
+  // ---------------------------------------------------------- q227 conv1d
+
+  /** The V-TCN's kernel family in miniature (reference
+    * model/visualEncoder.py:133–147 DSConv1d: depthwise k3 conv1d →
+    * PReLU → pointwise 1×1): depthwise-grouped conv1d + PReLU (alpha
+    * 2, inputs span negative values so BOTH branches execute) +
+    * pointwise channel mix on integer series — exact under the q132
+    * integer-weight oracle. Covers the 1-D/grouped/pointwise paths
+    * and the PReLU negative branch that relu-only audits miss. */
+  private[queries] def conv1dForward(docId: Long): Seq[(Long, Long, Long)] = {
+    val x = Tensor(Array(4, 16), Array.tabulate(64) { p =>
+      (((docId * 2654435761L + p.toLong * 40503L + 97L) % 251L) - 125L).toDouble
+    })
+    val dw = Tensor.conv1d(x,
+      Tensor(Array(4, 1, 3), Array.tabulate(12)(i => ((i.toLong * 7L) % 5L - 2L).toDouble)),
+      Some(Array.tabulate(4)(c => (c % 3 - 1).toDouble)), pad = 1, groups = 4)
+    val pr = Tensor.prelu(dw, 2.0)
+    val pw = Tensor.conv1d(pr,
+      Tensor(Array(2, 4, 1), Array.tabulate(8)(i => ((i.toLong * 11L) % 7L - 3L).toDouble)),
+      Some(Array.tabulate(2)(o => (o - 1).toDouble)))
+    for { o <- 0 until 2; t <- 0 until 16 }
+      yield (o.toLong, t.toLong, pw.data(o * 16 + t).toLong)
+  }
+
   // ------------------------------------------------------ q221 full S3FD
 
   /** Weight store for the q221 FULL-NETWORK detect audit: integer
@@ -327,6 +351,23 @@ object NnQueries extends QueryPack {
         }
         .toDF("doc_id", "scale_px", "x1", "y1", "x2", "y2")
         .orderBy(col("doc_id"), col("scale_px"))
+    },
+
+    // 1-D DEPTHWISE/POINTWISE conv + PReLU audit (the V-TCN DSConv
+    // kernel family): exact integer forward per doc, hash-matched
+    // against the DuckDB restatement — grouped channel slicing on the
+    // 1-D path and the PReLU negative branch included.
+    "q227_nn_conv1d" -> { (s, dir) =>
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+        .orderBy(col("doc_id")).limit(16)
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          conv1dForward(id).map { case (o, t, v) => (id, o, t, v) }
+        })
+        .toDF("doc_id", "o", "t", "v")
+        .orderBy(col("doc_id"), col("o"), col("t"))
     },
 
     // 3-D CONV/POOL kernel audit: the TalkNet visual-stem ops
@@ -571,6 +612,34 @@ object NnQueries extends QueryPack {
          |  ((g.cx - g.w/2) + g.w) * 32 AS x2, ((g.cx - g.w/2) + g.w) * 32 AS y2
          |FROM kept k JOIN geo g ON g.ms = k.ms
          |ORDER BY doc_id, scale_px""".stripMargin,
+
+    // q227: depthwise conv as a per-channel tap sum (weights indexed
+    // c*3+k — the grouped layout), PReLU as the v>=0 CASE with alpha
+    // 2, pointwise mix as a channel join-sum.
+    "q227_nn_conv1d" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+         |  ORDER BY doc_id LIMIT 16),
+         |dw AS (
+         |  SELECT d.doc_id, c.range AS c, t.range AS t,
+         |    SUM(CASE WHEN t.range-1+k.range BETWEEN 0 AND 15 THEN
+         |      (((d.doc_id*2654435761
+         |         + (c.range*16 + t.range-1+k.range)*40503 + 97) % 251) - 125)
+         |      * ((c.range*3 + k.range)*7 % 5 - 2)
+         |      ELSE 0 END) + (c.range % 3 - 1) AS v
+         |  FROM docs d, range(4) c, range(16) t, range(3) k
+         |  GROUP BY d.doc_id, c.range, t.range),
+         |pr AS (
+         |  SELECT doc_id, c, t, CASE WHEN v >= 0 THEN v ELSE 2*v END AS v
+         |  FROM dw),
+         |pw AS (
+         |  SELECT p.doc_id, o.range AS o, p.t,
+         |    SUM(p.v * ((o.range*4 + p.c)*11 % 7 - 3)) + (o.range - 1) AS v
+         |  FROM pr p, range(2) o
+         |  GROUP BY p.doc_id, o.range, p.t)
+         |SELECT doc_id, CAST(o AS BIGINT) AS o, CAST(t AS BIGINT) AS t,
+         |  CAST(v AS BIGINT) AS v
+         |FROM pw ORDER BY doc_id, o, t""".stripMargin,
 
     // q225: conv cell (o,cd,cy,cx) = Σ taps over the padded voxel
     // grid; relu; pool max over the (1,3,3)/(1,2,2)/(0,1,1) window
