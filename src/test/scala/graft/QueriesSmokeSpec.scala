@@ -7,7 +7,11 @@ package graft
   * nested-loop joins (a join that lost its equi-keys). */
 class QueriesSmokeSpec extends SparkSpec {
 
-  private val mayBeEmpty = Set("q08_customers_without_orders")
+  // q228's union sketch emits a pair row only once BOTH type sketches
+  // are full (k = 64 distinct users) — at sf0.001 the per-type user
+  // sets are smaller than k, so an empty result is the sketch
+  // semantics, not a bug (the sf0.01/sf0.1 oracle runs pin 10 rows).
+  private val mayBeEmpty = Set("q08_customers_without_orders", "q228_kmv_sketch")
 
   /** Queries where a broadcast nested-loop join is the DESIGN, not a
     * lost equi-key: q27 is the exact brute-force ANN baseline — every
@@ -49,6 +53,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q145_temperature_mix" -> 3,
     // q150's min-class-size is a 1-row broadcast scalar.
     "q150_label_balance" -> 1,
+    // q228 pairs each type's 64-row KMV sketch with the ~5-row type
+    // list to build union sketches — both sides are O(k·types)
+    // sketch-sized by construction (never the events table), the
+    // exact point of shipping sketches; the exact-intersection join
+    // itself is user_id-keyed hash.
+    "q228_kmv_sketch" -> 2,
     // q147's df cap compares against a 1-row corpus count — the same
     // scalar shape, inlined into the 4 references of the capped
     // postings; its postings/norm joins must stay hash.
