@@ -162,6 +162,38 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // SNAPSHOT DIFF (the migration/backfill audit next to q167's
+    // MERGE-apply and q202's IVM): two table versions — v1 lacks the
+    // "later-inserted" rows (event_id ≡ 5 mod 11), v2 lacks the
+    // "deleted" ones (≡ 2 mod 13) and carries value+1 updates
+    // (≡ 0 mod 7) — compared by ONE full-outer hash join on the key
+    // with a cents compare, rolled up into added/removed/changed/
+    // unchanged counts and the net value delta. This is the detect
+    // side of change management (q167 is the apply side): rows may
+    // not silently differ between snapshots without landing in
+    // exactly one category.
+    "q229_snapshot_diff" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), cents(col("value")).as("c"))
+      val v1 = ev.filter(col("event_id") % 11 =!= 5)
+        .select(col("event_id"), col("c").as("c1"))
+      val v2 = ev.filter(col("event_id") % 13 =!= 2)
+        .select(col("event_id"),
+          (col("c") + when(col("event_id") % 7 === 0, lit(100L)).otherwise(lit(0L)))
+            .as("c2"))
+      v1.join(v2, Seq("event_id"), "fullOuter")
+        .select(
+          when(col("c1").isNull, lit("added"))
+            .when(col("c2").isNull, lit("removed"))
+            .when(col("c1") =!= col("c2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("category"),
+          coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+        .toDF("category", "delta_c")
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("delta_c")).as("net_delta_c"))
+        .orderBy(col("category"))
+    },
+
     // TEMPORAL ANTI JOIN: views with NO click in the following hour,
     // per user — the "unanswered impression" feed. The naive plan
     // pair-joins views×clicks then anti-filters; this one UNIONS the
@@ -478,6 +510,24 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q229_snapshot_diff" ->
+      s"""WITH ev AS (SELECT event_id,
+        |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |v1 AS (SELECT event_id, c AS c1 FROM ev WHERE event_id % 11 <> 5),
+        |v2 AS (SELECT event_id,
+        |    c + CASE WHEN event_id % 7 = 0 THEN 100 ELSE 0 END AS c2
+        |  FROM ev WHERE event_id % 13 <> 2),
+        |d AS (
+        |  SELECT CASE WHEN v1.event_id IS NULL THEN 'added'
+        |              WHEN v2.event_id IS NULL THEN 'removed'
+        |              WHEN v1.c1 <> v2.c2 THEN 'changed'
+        |              ELSE 'unchanged' END AS category,
+        |    COALESCE(v2.c2, 0) - COALESCE(v1.c1, 0) AS delta_c
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
+        |SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(delta_c) AS BIGINT) AS net_delta_c
+        |FROM d GROUP BY category ORDER BY category""".stripMargin,
 
     "q228_kmv_sketch" -> {
       val uh = Q.uhashSql("22800", "(user_id % 4294967291)")
