@@ -162,6 +162,81 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // BENFORD FIRST-DIGIT AUDIT (fraud / data-quality drift): the
+    // leading digit of every order total vs Benford's law. The
+    // expected shares are FIXED ppm constants (log10(1+1/d) is data-
+    // independent — embedding the table dodges any runtime log, the
+    // q182 libm lesson), digits come off the cents integer's decimal
+    // string, observed shares are integer DIV ppm, and the flag is an
+    // integer comparison. One hash agg over orders; 9 output rows.
+    "q230_benford_audit" -> { (s, dir) =>
+      val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val expDf = s.createDataFrame(
+        expected.zipWithIndex.map { case (ppm, i) => (i + 1L, ppm) })
+        .toDF("digit", "expected_ppm")
+      val d = Tables.table(s, dir, "orders")
+        .select(cents(col("o_totalprice")).as("c"))
+        .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("tot"))
+      d.crossJoin(tot) // 1-row scalar attach
+        .join(expDf, Seq("digit"))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 DIV tot").as("observed_ppm"),
+          col("expected_ppm"))
+        .withColumn("dev_ppm",
+          abs(col("observed_ppm") - col("expected_ppm")))
+        .withColumn("flagged",
+          when(col("dev_ppm") > 10000, lit(1L)).otherwise(lit(0L)))
+        .orderBy(col("digit"))
+    },
+
+    // PEAK-CONCURRENCY SWEEP LINE (occupancy profiling): sessionize
+    // events per user (30-min gaps), turn each session into +1/−1
+    // boundaries, and report each hour's peak concurrent session
+    // count. The running count NEVER uses a global single-partition
+    // window: within-hour prefix sums run partitioned by hour, and
+    // the cross-hour carry is a cumulative sum over the tiny hour
+    // table (the q217 incremental pattern) — peak_h = carry_h +
+    // max(within-hour prefix). Ties order starts before ends
+    // (delta DESC), and the per-hour MAX is invariant to permutations
+    // within equal (ts, delta) groups, which is what makes the
+    // two-phase plan equal to the oracle's naive global sweep.
+    "q231_peak_concurrency" -> { (s, dir) =>
+      val gap = 1800L * 1000000000L
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ns"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      val sessions = ev
+        .withColumn("newSess",
+          when(col("ts_ns") - lag(col("ts_ns"), 1).over(wU) > gap, 1)
+            .when(lag(col("ts_ns"), 1).over(wU).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("newSess")).over(wU))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+      val bounds = sessions
+        .select(col("start_ns").as("ts"), lit(1L).as("delta"))
+        .union(sessions.select(col("end_ns").as("ts"), lit(-1L).as("delta")))
+        .withColumn("hour", expr("ts DIV 3600000000000"))
+      val wH = Window.partitionBy(col("hour"))
+        .orderBy(col("ts"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perHour = bounds
+        .withColumn("run", sum(col("delta")).over(wH))
+        .groupBy(col("hour"))
+        .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
+          sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"),
+          max(col("run")).as("m"),
+          sum(col("delta")).as("net"))
+      val wC = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perHour
+        .withColumn("carry", coalesce(sum(col("net")).over(wC), lit(0L)))
+        .select(col("hour"), col("n_starts"), col("n_ends"),
+          (col("carry") + col("m")).as("peak"))
+        .orderBy(col("hour"))
+    },
+
     // SNAPSHOT DIFF (the migration/backfill audit next to q167's
     // MERGE-apply and q202's IVM): two table versions — v1 lacks the
     // "later-inserted" rows (event_id ≡ 5 mod 11), v2 lacks the
@@ -510,6 +585,48 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q230_benford_audit" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT SUM(n) AS tot FROM g),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) ex(digit, expected_ppm))
+        |SELECT g.digit, g.n,
+        |  CAST(g.n * 1000000 // t.tot AS BIGINT) AS observed_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs(g.n * 1000000 // t.tot - e.expected_ppm) AS BIGINT) AS dev_ppm,
+        |  CAST(CASE WHEN abs(g.n * 1000000 // t.tot - e.expected_ppm) > 10000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM g CROSS JOIN t JOIN e ON e.digit = g.digit
+        |ORDER BY g.digit""".stripMargin,
+
+    // q231: the oracle runs the NAIVE global sweep (one window over
+    // every boundary); the Spark plan's within-hour prefix + tiny
+    // hour-table carry equals it exactly because hour boundaries
+    // align with the sweep order.
+    "q231_peak_concurrency" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+        |    OR ts_ns - lag(ts_ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS nsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)),
+        |g AS (SELECT *, sum(nsess) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |sess AS (SELECT user_id, sid, min(ts_ns) AS s, max(ts_ns) AS en
+        |  FROM g GROUP BY 1, 2),
+        |b AS (SELECT s AS ts, 1 AS delta FROM sess
+        |  UNION ALL SELECT en, -1 FROM sess),
+        |r AS (SELECT ts, delta, ts // 3600000000000 AS hour,
+        |    sum(delta) OVER (ORDER BY ts, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b)
+        |SELECT hour,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+        |  CAST(max(run) AS BIGINT) AS peak
+        |FROM r GROUP BY hour ORDER BY hour""".stripMargin,
 
     "q229_snapshot_diff" ->
       s"""WITH ev AS (SELECT event_id,
