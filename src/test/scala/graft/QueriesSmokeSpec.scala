@@ -53,6 +53,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q145_temperature_mix" -> 3,
     // q150's min-class-size is a 1-row broadcast scalar.
     "q150_label_balance" -> 1,
+    // q230 attaches the 1-row digit-count total — the q85/q86 scalar
+    // shape; the expected-ppm join is digit-keyed hash.
+    "q230_benford_audit" -> 1,
     // q228 pairs each type's 64-row KMV sketch with the ~5-row type
     // list to build union sketches — both sides are O(k·types)
     // sketch-sized by construction (never the events table), the
