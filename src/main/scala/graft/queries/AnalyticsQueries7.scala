@@ -162,6 +162,72 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // CONSISTENT-HASHING RESHARD AUDIT (the elasticity planning query
+    // behind any keyed 100 TB layout): a 64-vnode-per-shard hash ring
+    // with 4 shards vs the same ring grown to 5; every user key is
+    // assigned to its clockwise-successor vnode in both rings and the
+    // movement matrix comes out — consistent hashing's contract (keys
+    // only ever move TO the new shard, ~1/(N+1) of them) is then a
+    // visible property of the rows, not an assumption. Plan: the ring
+    // is 320 rows — each key scans it via a broadcast nested loop
+    // (O(vnodes) per key, no shuffle of the key set beyond the final
+    // rollup), the same bounded-small-side shape as q228's sketches.
+    "q232_consistent_hashing" -> { (s, dir) =>
+      val ringPos = Q.uhashSql("23200", "(s * 1000 + v)")
+      val keyHash = Q.uhashSql("23201", "(user_id % 4294967291)")
+      val ring = s.range(5).toDF("s").crossJoin(s.range(64).toDF("v"))
+        .select(col("s"), col("v"), expr(ringPos).as("pos"))
+      val keys = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("kh", expr(keyHash))
+      val dist = keys.crossJoin(broadcast(ring))
+        .withColumn("d",
+          expr("((pos - kh) % 4294967291 + 4294967291) % 4294967291"))
+      def assign(df: DataFrame, name: String) = df
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("d"), col("s"), col("v"))).as("m"))
+        .select(col("user_id"), col("m.s").as(name))
+      assign(dist.filter(col("s") <= 3), "shard_before")
+        .join(assign(dist, "shard_after"), Seq("user_id"))
+        .groupBy(col("shard_before"), col("shard_after"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("shard_before"), col("shard_after"))
+    },
+
+    // LARGEST-REMAINDER BUDGET ALLOCATION (exact proportional
+    // sampling-quota assignment — the integer version of "sample
+    // 10,000 docs proportional to each language's token mass"):
+    // base_i = B·w_i DIV W, then the B − Σbase leftover units go to
+    // the largest remainders (ties to the smaller lang string). Every
+    // number is integer arithmetic; Σ alloc = B by construction and
+    // the oracle re-derives the whole thing including the remainder
+    // ranking. The only window runs over the ≤ |langs| stratum table.
+    "q233_quota_allocation" -> { (s, dir) =>
+      val B = 10000L
+      val w = Tables.table(s, dir, "documents")
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+      val tot = w.agg(sum(col("w")).as("wt"))
+      val based = w.crossJoin(tot) // 1-row scalar attach
+        .select(col("lang"), col("w"),
+          // DECIMAL(38,0) product (HUGEINT on the oracle side): B·w
+          // passes 2^63 long before the QUOTIENT does
+          expr(s"CAST($B * CAST(w AS DECIMAL(38,0)) DIV wt AS BIGINT)").as("base"),
+          expr(s"($B * CAST(w AS DECIMAL(38,0))) % wt").as("rem"),
+          col("wt"))
+      val leftover = based
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .withColumn("left_units",
+          (lit(B) - sum(col("base")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing))))
+        .withColumn("extra",
+          when(col("rk") <= col("left_units"), lit(1L)).otherwise(lit(0L)))
+      leftover
+        .select(col("lang"), col("w"), col("base"), col("extra"),
+          (col("base") + col("extra")).as("alloc"))
+        .orderBy(col("lang"))
+    },
+
     // BENFORD FIRST-DIGIT AUDIT (fraud / data-quality drift): the
     // leading digit of every order total vs Benford's law. The
     // expected shares are FIXED ppm constants (log10(1+1/d) is data-
@@ -585,6 +651,42 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q232_consistent_hashing" -> {
+      val ringPos = Q.uhashSql("23200", "(s.range * 1000 + v.range)")
+      val keyHash = Q.uhashSql("23201", "(user_id % 4294967291)")
+      s"""WITH ring AS (SELECT s.range AS s, v.range AS v, $ringPos AS pos
+        |  FROM range(5) s, range(64) v),
+        |kh AS (SELECT user_id, $keyHash AS kh
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |d AS (SELECT k.user_id, r.s, r.v,
+        |    ((r.pos - k.kh) % 4294967291 + 4294967291) % 4294967291 AS d
+        |  FROM kh k CROSS JOIN ring r),
+        |b AS (SELECT user_id, s AS shard_before FROM d WHERE s <= 3
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY d, s, v) = 1),
+        |a AS (SELECT user_id, s AS shard_after FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY d, s, v) = 1)
+        |SELECT b.shard_before, a.shard_after,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM b JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q233_quota_allocation" ->
+      s"""WITH w AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(w) AS wt FROM w),
+        |b AS (SELECT lang, w,
+        |    10000 * CAST(w AS HUGEINT) // wt AS base,
+        |    (10000 * CAST(w AS HUGEINT)) % wt AS rem
+        |  FROM w CROSS JOIN t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    10000 - SUM(base) OVER () AS left_units FROM b)
+        |SELECT lang, w, CAST(base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rk <= left_units THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base + CASE WHEN rk <= left_units THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
 
     "q230_benford_audit" ->
       s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100)

@@ -56,6 +56,14 @@ class QueriesSmokeSpec extends SparkSpec {
     // q230 attaches the 1-row digit-count total — the q85/q86 scalar
     // shape; the expected-ppm join is digit-keyed hash.
     "q230_benford_audit" -> 1,
+    // q232 scans the 320-row broadcast hash RING per key — O(vnodes)
+    // per key by design, the q228 bounded-small-side shape; the dist
+    // subtree is referenced by both ring assignments (before ×1,
+    // after ×1) and each inlines the ring build's 5×64 range cross
+    // (×2) → 4 bounded nested loops, zero over the key set itself.
+    "q232_consistent_hashing" -> 4,
+    // q233 attaches the 1-row stratum-mass total — the scalar shape.
+    "q233_quota_allocation" -> 1,
     // q228 pairs each type's 64-row KMV sketch with the ~5-row type
     // list to build union sketches — both sides are O(k·types)
     // sketch-sized by construction (never the events table), the
