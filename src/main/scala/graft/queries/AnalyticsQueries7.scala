@@ -162,6 +162,33 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // EXACT GINI COEFFICIENT per market segment (the inequality
+    // metric next to q183's HHI): gini = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)
+    // over the value-sorted orders of each segment. The rank window
+    // is SEGMENT-partitioned (never global), the numerator folds to
+    // 2·Σ(rank·x) − (n+1)·Σx — pure integers on cents, tie-order
+    // invariant (equal x ⇒ the coefficient sum over the tie group is
+    // permutation-free) — and the ppm quotient widens through
+    // DECIMAL(38,0)/HUGEINT like q197.
+    "q234_gini" -> { (s, dir) =>
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          cents(col("o_totalprice")).as("x"))
+      val c = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("x"), col("ok"))
+      o.join(c, Seq("ck"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("rn") * col("x")).as("srx"))
+        .select(col("seg"), col("n"), col("sx"),
+          expr("CAST((2 * CAST(srx AS DECIMAL(38,0)) - (n + 1) * sx) " +
+            "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)")
+            .as("gini_ppm"))
+        .orderBy(col("seg"))
+    },
+
     // CONSISTENT-HASHING RESHARD AUDIT (the elasticity planning query
     // behind any keyed 100 TB layout): a 64-vnode-per-shard hash ring
     // with 4 shards vs the same ring grown to 5; every user key is
@@ -651,6 +678,22 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q234_gini" ->
+      s"""WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderkey AS ok,
+        |    CAST(round(o.o_totalprice*100) AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |r AS (SELECT seg, x,
+        |    row_number() OVER (PARTITION BY seg ORDER BY x, ok) AS rn
+        |  FROM j),
+        |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(rn AS HUGEINT) * x) AS srx
+        |  FROM r GROUP BY seg)
+        |SELECT seg, n, sx,
+        |  CAST((2 * srx - (n + 1) * CAST(sx AS HUGEINT)) * 1000000
+        |    // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY seg""".stripMargin,
 
     "q232_consistent_hashing" -> {
       val ringPos = Q.uhashSql("23200", "(s.range * 1000 + v.range)")
