@@ -162,6 +162,39 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // SPEARMAN RANK CORRELATION of order value vs the customer's
+    // account balance — rank-transform + Pearson-on-ranks. Both rank
+    // passes run through Enumerate.globalRowNumber (range-partition +
+    // per-partition offsets — the scale-safe global enumeration, the
+    // q90 machinery), NEVER a single-task global window; ranks are
+    // positions in a deterministic TOTAL order (value, orderkey — the
+    // near-unique-values Spearman variant, pinned rather than
+    // averaged ties). Sufficient statistics are exact integer sums of
+    // rank products (n ≤ 2^31 keeps n·Σr² inside DECIMAL(38,0)); the
+    // only doubles are the final identical-expression-tree
+    // num/sqrt(vx)·sqrt(vy) — the q120 Pearson policy.
+    "q235_spearman" -> { (s, dir) =>
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          cents(col("o_totalprice")).as("x"))
+      val c = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), cents(col("c_acctbal")).as("y"))
+      val j = o.join(c, Seq("ck")).select(col("ok"), col("x"), col("y"))
+      val rx = graft.operators.Enumerate.globalRowNumber(j, "rx", col("x"), col("ok"))
+      val rxy = graft.operators.Enumerate.globalRowNumber(rx, "ry", col("y"), col("ok"))
+      val agg = rxy.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"))
+      agg.select(col("n").cast("long").as("n"),
+        expr("CAST(CAST(n*sxy - sx*sy AS DOUBLE) / " +
+          "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * " +
+          "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS DOUBLE)").as("rho"))
+    },
+
     // EXACT GINI COEFFICIENT per market segment (the inequality
     // metric next to q183's HHI): gini = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)
     // over the value-sorted orders of each segment. The rank window
@@ -678,6 +711,28 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // q235: ranks re-derived as row_number over the identical total
+    // orders; same decimal sufficient stats, same final IEEE tree.
+    "q235_spearman" ->
+      s"""WITH j AS (SELECT o.o_orderkey AS ok,
+        |    CAST(round(o.o_totalprice*100) AS BIGINT) AS x,
+        |    CAST(round(c.c_acctbal*100) AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |r AS (SELECT ok,
+        |    row_number() OVER (ORDER BY x, ok) AS rx,
+        |    row_number() OVER (ORDER BY y, ok) AS ry FROM j),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS DOUBLE) AS rho
+        |FROM g""".stripMargin,
 
     "q234_gini" ->
       s"""WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderkey AS ok,
