@@ -162,6 +162,62 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // LINEAR-INTERPOLATION GRID RESAMPLE (two-sided — the q168 LOCF
+    // sibling and the interp1d shape of demoTalkNet.py:168–175 at
+    // corpus scale): per user, every hour boundary gets the exact
+    // RATIONAL linear blend of its surrounding observations — num =
+    // y0·(t1−t0) + (y1−y0)·(g−t0), den = t1−t0, whole-second
+    // timestamps so products stay ≤ ~2.6e11 (exact BIGINT); boundary
+    // grid points carry/backfill with den = 1. Grid size = span ×
+    // users (independent of event count, the q168 property); the
+    // surrounding observations come from ONE last/first IGNORE-NULLS
+    // window pair per user over the merged obs+grid timeline — no
+    // self-joins, no per-gap scans. Same-second ties: obs sort before
+    // their hour's grid point, so an observation exactly on the
+    // boundary is t0 with g−t0 = 0 (the exact hit).
+    "q236_grid_interp" -> { (s, dir) =>
+      val ob = Tables.events(s, dir)
+        .withColumn("hr", expr("ts_ns DIV 3600000000000"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(max(struct(col("ts_ns"), col("event_id"),
+          cents(col("value")).as("cents"))).as("m"))
+        .select(col("user_id"), col("hr"),
+          expr("m.ts_ns DIV 1000000000").as("t"), col("m.cents").as("y"))
+        .persist() // bounds agg AND the merged timeline read it
+      val grid = ob.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+        .select(col("user_id"), col("hr"), (col("hr") * 3600).as("time"),
+          lit(1).as("kind"), lit(null).cast("long").as("t"),
+          lit(null).cast("long").as("y"))
+      val merged = ob
+        .select(col("user_id"), col("hr"), col("t").as("time"),
+          lit(0).as("kind"), col("t"), col("y"))
+        .union(grid)
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("time"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("time"), col("kind"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      merged
+        .withColumn("t0", last(col("t"), ignoreNulls = true).over(wPrev))
+        .withColumn("y0", last(col("y"), ignoreNulls = true).over(wPrev))
+        .withColumn("t1", first(col("t"), ignoreNulls = true).over(wNext))
+        .withColumn("y1", first(col("y"), ignoreNulls = true).over(wNext))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("hr"),
+          when(col("t0").isNull, col("y1"))
+            .when(col("t1").isNull, col("y0"))
+            .when(col("t1") === col("t0"), col("y0"))
+            .otherwise(col("y0") * (col("t1") - col("t0")) +
+              (col("y1") - col("y0")) * (col("time") - col("t0"))).as("num"),
+          when(col("t0").isNull || col("t1").isNull ||
+            col("t1") === col("t0"), lit(1L))
+            .otherwise(col("t1") - col("t0")).as("den"))
+        .orderBy(col("user_id"), col("hr"))
+    },
+
     // SPEARMAN RANK CORRELATION of order value vs the customer's
     // account balance — rank-transform + Pearson-on-ranks. Both rank
     // passes run through Enumerate.globalRowNumber (range-partition +
@@ -711,6 +767,41 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // q236: same merged-timeline windows; the per-hour compaction
+    // mirrors Spark's max_by struct (latest (ts, event_id) per hour).
+    "q236_grid_interp" ->
+      s"""WITH raw AS (SELECT user_id, epoch_ns(ts) AS ns, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS y,
+        |    epoch_ns(ts) // 3600000000000 AS hr FROM events),
+        |ob AS (SELECT user_id, hr, ns // 1000000000 AS t, y FROM raw
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, hr
+        |    ORDER BY ns DESC, event_id DESC) = 1),
+        |bounds AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi
+        |  FROM ob GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hr
+        |  FROM bounds),
+        |m AS (
+        |  SELECT user_id, hr, t AS tm, 0 AS kind, t, y FROM ob
+        |  UNION ALL
+        |  SELECT user_id, hr, hr*3600, 1, NULL, NULL FROM grid),
+        |w AS (SELECT *,
+        |    last_value(t IGNORE NULLS) OVER wp AS t0,
+        |    last_value(y IGNORE NULLS) OVER wp AS y0,
+        |    first_value(t IGNORE NULLS) OVER wn AS t1,
+        |    first_value(y IGNORE NULLS) OVER wn AS y1
+        |  FROM m WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY tm, kind
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY tm, kind
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hr,
+        |  CAST(CASE WHEN t0 IS NULL THEN y1 WHEN t1 IS NULL THEN y0
+        |    WHEN t1 = t0 THEN y0
+        |    ELSE y0*(t1-t0) + (y1-y0)*(tm-t0) END AS BIGINT) AS num,
+        |  CAST(CASE WHEN t0 IS NULL OR t1 IS NULL OR t1 = t0 THEN 1
+        |    ELSE t1-t0 END AS BIGINT) AS den
+        |FROM w WHERE kind = 1 ORDER BY user_id, hr""".stripMargin,
 
     // q235: ranks re-derived as row_number over the identical total
     // orders; same decimal sufficient stats, same final IEEE tree.
