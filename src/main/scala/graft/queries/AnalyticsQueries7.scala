@@ -5,16 +5,20 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-12 pack, part 4: temporal ANTI join by the union-sort plan
+/** Rounds 12–13, pack 4: temporal ANTI join by the union-sort plan
   * (one partition-local sort instead of a pair join — the shape that
   * survives hub users); leaderboard churn (rank windows on the
   * aggregate, never the fact table); the exact chi-square A/B readout
   * (BigInt on the driver, integer cross-multiplied verdict);
-  * checkpointed stream resume (two StreamingQuery lifetimes, one
-  * checkpoint — the crash-recovery contract under the oracle gate);
-  * exact TWAP rationals; funnel stage latency by exact order
-  * statistics; and incremental sessionization with the O(1)-per-user
-  * boundary-session merge.
+  * checkpointed stream resume; exact TWAP rationals; funnel stage
+  * latency by exact order statistics; incremental sessionization with
+  * the O(1)-per-user boundary-session merge. Round-13 additions: the
+  * audited HLL (q224) and KMV/theta (q228) sketches, small-file
+  * compaction (q226), snapshot diff (q229), Benford digit audit
+  * (q230), peak-concurrency sweep line (q231), consistent-hashing
+  * reshard audit (q232), largest-remainder quota allocation (q233),
+  * exact Gini (q234), Spearman via the scale-safe enumerator (q235),
+  * and the linear-interpolation grid resample (q236).
   */
 object AnalyticsQueries7 extends QueryPack {
   import Q._
