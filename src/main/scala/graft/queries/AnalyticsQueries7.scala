@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,34 @@ object AnalyticsQueries7 extends QueryPack {
           sum(col("c")).as("value_c"))
         .select(col("n_rows"), col("checksum"), col("value_c"),
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
+    },
+
+    // TIME-TRAVEL STATE RECONSTRUCTION (the lakehouse "read the table
+    // AS OF T" feature, generalizing q106's latest-record compaction
+    // from T = ∞ to multiple checkpoints in ONE pass): per customer
+    // and per reconstruction point T (the Δ/4 · {1,2,3} quantile
+    // instants of the order history — integer-derived identically in
+    // both engines), the state is the latest order with date ≤ T,
+    // rolled up per (T, status). The fact table is scanned ONCE: each
+    // row explodes into only the T lanes it qualifies for
+    // (array-local filter — no per-T re-scan, no cross join), then
+    // one hash agg picks the per-(customer, T) max_by. The min/max
+    // collect is a 1-row scalar.
+    "q237_time_travel" -> { (s, dir) =>
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+          col("o_orderstatus").as("st"), cents(col("o_totalprice")).as("pc"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val Row(lo: Long, hi: Long) = o.agg(min(col("us")), max(col("us"))).head()
+      val ts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+      o.withColumn("t", explode(
+          filter(array(ts.map(lit(_)): _*), t => col("us") <= t)))
+        .groupBy(col("ck"), col("t"))
+        .agg(max(struct(col("us"), col("ok"), col("st"), col("pc"))).as("m"))
+        .groupBy(col("t"), col("m.st").as("status"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m.ok")).as("okey_sum"), sum(col("m.pc")).as("price_c"))
+        .orderBy(col("t"), col("status"))
     },
 
     // LINEAR-INTERPOLATION GRID RESAMPLE (two-sided — the q168 LOCF
@@ -771,6 +799,26 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // q237: the oracle re-derives the reconstruction instants with
+    // the same integer arithmetic and re-picks per-(ck, T) latest
+    // rows via row_number over (us DESC, ok DESC).
+    "q237_time_travel" ->
+      s"""WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS pc,
+        |    CAST(epoch_us(o_orderdate) AS BIGINT) AS us FROM orders),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM o),
+        |ts AS (SELECT lo + (hi - lo) * k.range // 4 AS t
+        |  FROM b, range(1, 4) k),
+        |st AS (SELECT o.ck, t.t, o.ok, o.st, o.pc,
+        |    row_number() OVER (PARTITION BY o.ck, t.t
+        |      ORDER BY o.us DESC, o.ok DESC) AS rn
+        |  FROM o JOIN ts t ON o.us <= t.t)
+        |SELECT t, st AS status, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(ok) AS BIGINT) AS okey_sum,
+        |  CAST(sum(pc) AS BIGINT) AS price_c
+        |FROM st WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q236: same merged-timeline windows; the per-hour compaction
     // mirrors Spark's max_by struct (latest (ts, event_id) per hour).
