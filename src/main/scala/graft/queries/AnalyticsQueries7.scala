@@ -166,6 +166,48 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // EXACT KOLMOGOROV–SMIRNOV DRIFT DISTANCE per segment (the
+    // unbinned, exact big-brother of q208's histogram drift gate):
+    // order values of the time-split first vs second half compared by
+    // the max CDF gap, computed as max |c1·n2 − c2·n1| over the
+    // merged value-sorted sequence — pure integer cross-
+    // multiplication, no division until the final ppm. The gap is
+    // only evaluated where the next value differs (tied values step
+    // both CDFs atomically — the lead() gate), windows are SEGMENT-
+    // partitioned, and the time split derives from the 1-row min/max
+    // scalar like q237.
+    "q238_ks_drift" -> { (s, dir) =>
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+          cents(col("o_totalprice")).as("x"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val c = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      val Row(lo: Long, hi: Long) = o.agg(min(col("us")), max(col("us"))).head()
+      val mid = lo + (hi - lo) / 2
+      val j = o.join(c, Seq("ck"))
+        .withColumn("h", when(col("us") < mid, lit(1)).otherwise(lit(2)))
+      val ns = j.groupBy(col("seg"))
+        .agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("h") === 2, 1L).otherwise(0L)).as("n2"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("x"), col("h"), col("ok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy(col("seg")).orderBy(col("x"), col("h"), col("ok"))
+      j.select(col("seg"), col("x"), col("h"), col("ok"))
+        .withColumn("c1", sum(when(col("h") === 1, 1L).otherwise(0L)).over(w))
+        .withColumn("c2", sum(when(col("h") === 2, 1L).otherwise(0L)).over(w))
+        .withColumn("nx", lead(col("x"), 1).over(wl))
+        .filter(col("nx").isNull || col("nx") =!= col("x"))
+        .join(ns, Seq("seg"))
+        .groupBy(col("seg"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+        .select(col("seg"), col("n1"), col("n2"), col("d_num"),
+          expr("CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 DIV (n1 * n2) AS BIGINT)")
+            .as("ks_ppm"))
+        .orderBy(col("seg"))
+    },
+
     // TIME-TRAVEL STATE RECONSTRUCTION (the lakehouse "read the table
     // AS OF T" feature, generalizing q106's latest-record compaction
     // from T = ∞ to multiple checkpoints in ONE pass): per customer
@@ -799,6 +841,39 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // q238: identical integer KS machinery; the gap gate is the same
+    // lead()-differs condition.
+    "q238_ks_drift" ->
+      s"""WITH o AS (SELECT o.o_custkey AS ck, o.o_orderkey AS ok,
+        |    CAST(round(o.o_totalprice*100) AS BIGINT) AS x,
+        |    CAST(epoch_us(o.o_orderdate) AS BIGINT) AS us,
+        |    c.c_mktsegment AS seg
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM o),
+        |j AS (SELECT seg, x, ok,
+        |    CASE WHEN us < (SELECT lo + (hi - lo) // 2 FROM b)
+        |      THEN 1 ELSE 2 END AS h FROM o),
+        |ns AS (SELECT seg,
+        |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM j GROUP BY seg),
+        |r AS (SELECT seg, x, h, ok,
+        |    sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) OVER wr AS c1,
+        |    sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) OVER wr AS c2,
+        |    lead(x) OVER wo AS nx
+        |  FROM j WINDOW
+        |    wr AS (PARTITION BY seg ORDER BY x, h, ok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wo AS (PARTITION BY seg ORDER BY x, h, ok)),
+        |g AS (SELECT r.seg, ns.n1, ns.n2,
+        |    CAST(max(abs(r.c1 * ns.n2 - r.c2 * ns.n1)) AS BIGINT) AS d_num
+        |  FROM r JOIN ns ON ns.seg = r.seg
+        |  WHERE r.nx IS NULL OR r.nx <> r.x
+        |  GROUP BY r.seg, ns.n1, ns.n2)
+        |SELECT seg, n1, n2, d_num,
+        |  CAST(CAST(d_num AS HUGEINT) * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm
+        |FROM g ORDER BY seg""".stripMargin,
 
     // q237: the oracle re-derives the reconstruction instants with
     // the same integer arithmetic and re-picks per-(ck, T) latest
