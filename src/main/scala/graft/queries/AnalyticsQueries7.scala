@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,71 @@ object AnalyticsQueries7 extends QueryPack {
           sum(col("c")).as("value_c"))
         .select(col("n_rows"), col("checksum"), col("value_c"),
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
+    },
+
+    // RATIO-TO-PARENT ROLLUP (the BI staple grouping-sets don't give
+    // you: every nation's revenue as an exact ppm share of its
+    // region, every region's as a share of the world): three
+    // aggregation levels from ONE fact pass (nation agg, then two
+    // algebraic re-aggs of IT — region and world never re-scan the
+    // facts), shares by integer DIV with decimal-widened products.
+    "q239_ratio_to_parent" -> { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), cents(col("l_extendedprice")).as("rc"))
+      val sup = Tables.table(s, dir, "supplier")
+        .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
+      val nat = Tables.table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name").as("nation"),
+          col("n_regionkey").as("rk"))
+      val reg = Tables.table(s, dir, "region")
+        .select(col("r_regionkey").as("rk"), col("r_name").as("region"))
+      val byNation = li.join(sup, Seq("sk")).join(nat, Seq("nk"))
+        .join(reg, Seq("rk"))
+        .groupBy(col("region"), col("nation"))
+        .agg(sum(col("rc")).as("rev_c"))
+      val byRegion = byNation.groupBy(col("region"))
+        .agg(sum(col("rev_c")).as("region_c"))
+      val world = byRegion.agg(sum(col("region_c")).as("world_c"))
+      byNation.join(byRegion, Seq("region")).crossJoin(world)
+        .select(col("region"), col("nation"), col("rev_c"),
+          expr("CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000 DIV region_c AS BIGINT)")
+            .as("share_of_region_ppm"),
+          expr("CAST(CAST(region_c AS DECIMAL(38,0)) * 1000000 DIV world_c AS BIGINT)")
+            .as("region_share_ppm"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    // ANTI-ENTROPY REPAIR PLAN (Merkle-style digest compare — what a
+    // replicated 100 TB store runs to find WHICH ranges need repair
+    // without shipping rows): the two q229 snapshot versions are
+    // digested per key-range bucket (64 buckets, order-independent
+    // sum of per-row rolling hashes + count), buckets join on the
+    // digest pair, and only mismatched buckets surface — with their
+    // per-side counts, the row-level repair size bound, and the
+    // match verdict. Exchange = 2×64 digest rows, never the tables.
+    "q240_merkle_repair" -> { (s, dir) =>
+      graft.functions.RollingHash.register(s)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), cents(col("value")).as("c"))
+      def digest(df: DataFrame, cEx: Column) = df
+        .select(expr("event_id % 64").as("bucket"),
+          concat_ws("|", col("event_id"), cEx).as("rs"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(expr("rolling_hash(rs)")).as("dg"))
+      val v1 = digest(ev.filter(col("event_id") % 11 =!= 5), col("c"))
+      val v2 = digest(ev.filter(col("event_id") % 13 =!= 2),
+        col("c") + when(col("event_id") % 7 === 0, lit(100L)).otherwise(lit(0L)))
+      v1.select(col("bucket"), col("n").as("n1"), col("dg").as("dg1"))
+        .join(v2.select(col("bucket"), col("n").as("n2"), col("dg").as("dg2")),
+          Seq("bucket"), "fullOuter")
+        .select(col("bucket"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          when(coalesce(col("dg1"), lit(-1L)) === coalesce(col("dg2"), lit(-1L)) &&
+            coalesce(col("n1"), lit(0L)) === coalesce(col("n2"), lit(0L)), lit(0L))
+            .otherwise(lit(1L)).as("needs_repair"))
+        .filter(col("needs_repair") === 1)
+        .orderBy(col("bucket"))
     },
 
     // EXACT KOLMOGOROV–SMIRNOV DRIFT DISTANCE per segment (the
@@ -841,6 +906,46 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q239_ratio_to_parent" ->
+      s"""WITH bn AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  GROUP BY 1, 2),
+        |br AS (SELECT region, SUM(rev_c) AS region_c FROM bn GROUP BY region),
+        |w AS (SELECT SUM(region_c) AS world_c FROM br)
+        |SELECT bn.region, bn.nation, bn.rev_c,
+        |  CAST(CAST(bn.rev_c AS HUGEINT) * 1000000 // br.region_c AS BIGINT)
+        |    AS share_of_region_ppm,
+        |  CAST(CAST(br.region_c AS HUGEINT) * 1000000 // w.world_c AS BIGINT)
+        |    AS region_share_ppm
+        |FROM bn JOIN br ON br.region = bn.region CROSS JOIN w
+        |ORDER BY bn.region, bn.nation""".stripMargin,
+
+    "q240_merkle_repair" -> {
+      def digest(filt: String, cEx: String) =
+        s"""SELECT event_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(${Q.polyHashSql(
+                  s"concat_ws('|', event_id, $cEx)")}) AS BIGINT) AS dg
+           |  FROM (SELECT event_id,
+           |      CAST(round(value*100) AS BIGINT) AS c FROM events)
+           |  WHERE $filt GROUP BY 1""".stripMargin
+      s"""WITH v1 AS (${digest("event_id % 11 <> 5", "c")}),
+        |v2 AS (${digest("event_id % 13 <> 2",
+             "c + CASE WHEN event_id % 7 = 0 THEN 100 ELSE 0 END")})
+        |SELECT COALESCE(v1.bucket, v2.bucket) AS bucket,
+        |  COALESCE(v1.n, 0) AS n1, COALESCE(v2.n, 0) AS n2,
+        |  CAST(1 AS BIGINT) AS needs_repair
+        |FROM v1 FULL OUTER JOIN v2 ON v2.bucket = v1.bucket
+        |WHERE NOT (COALESCE(v1.dg, -1) = COALESCE(v2.dg, -1)
+        |  AND COALESCE(v1.n, 0) = COALESCE(v2.n, 0))
+        |ORDER BY bucket""".stripMargin
+    },
 
     // q238: identical integer KS machinery; the gap gate is the same
     // lead()-differs condition.

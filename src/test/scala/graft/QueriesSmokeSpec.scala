@@ -64,6 +64,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q232_consistent_hashing" -> 4,
     // q233 attaches the 1-row stratum-mass total — the scalar shape.
     "q233_quota_allocation" -> 1,
+    // q239 attaches the 1-row world total — the scalar shape; the
+    // nation/region shares themselves are equi-keyed hash joins.
+    "q239_ratio_to_parent" -> 1,
     // q228 pairs each type's 64-row KMV sketch with the ~5-row type
     // list to build union sketches — both sides are O(k·types)
     // sketch-sized by construction (never the events table), the
