@@ -166,6 +166,51 @@ object AnalyticsQueries7 extends QueryPack {
           lit(fSmall).as("files_small"), lit(fPacked).as("files_packed"))
     },
 
+    // PREFIX-FILTERED SET-SIMILARITY JOIN (the PPJoin family — THE
+    // classic similarity-join optimization, distinct from q40's LSH
+    // and q25's single-gram blocking): candidate pairs must share a
+    // token in each document's RARE-FIRST PREFIX (tokens ordered by
+    // global document frequency ascending; prefix length |d| DIV 2 + 1
+    // suffices for Jaccard ≥ 0.5 — a pair with NO prefix token in
+    // common provably cannot reach the threshold), then the exact
+    // Jaccard gate 3·|∩| ≥ |A|+|B| (⟺ |∩|/|∪| ≥ 1/2, integers only).
+    // Scale shape: frequent tokens never generate candidates — the
+    // pair explosion rides the rare tail, which is the whole point.
+    // The corpus slice (doc_id ≡ 1 mod 16) bounds the demo: this
+    // synthetic corpus is SATURATED with near-duplicates, so the TRUE
+    // pair count itself grows quadratically with the duplication
+    // factor (the q196 scale-ladder finding) — production composes
+    // exact dedup first.
+    "q241_prefix_simjoin" -> { (s, dir) =>
+      val toks = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 16 === 1)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+        .persist() // referenced by df/sized/ranked and BOTH verify sides
+      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val sized = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val ranked = toks.join(df, Seq("tok"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+        .join(sized, Seq("doc_id"))
+      val prefix = ranked.filter(col("rk") <= expr("sz DIV 2 + 1"))
+        .select(col("doc_id"), col("tok"))
+      val cand = prefix.select(col("doc_id").as("a"), col("tok"))
+        .join(prefix.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val ta = toks.select(col("doc_id").as("a"), col("tok"))
+      val tb = toks.select(col("doc_id").as("b"), col("tok"))
+      val inter = cand.join(ta, Seq("a")).join(tb, Seq("b", "tok"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sized.select(col("doc_id").as("a"), col("sz").as("na")), Seq("a"))
+        .join(sized.select(col("doc_id").as("b"), col("sz").as("nb")), Seq("b"))
+        .filter(col("inter") * 3 >= col("na") + col("nb"))
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // RATIO-TO-PARENT ROLLUP (the BI staple grouping-sets don't give
     // you: every nation's revenue as an exact ppm share of its
     // region, every region's as a share of the world): three
@@ -906,6 +951,36 @@ object AnalyticsQueries7 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q241_prefix_simjoin" ->
+      s"""WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id % 16 = 1)
+        |  WHERE tok <> ''),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+        |sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM toks GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok, s.sz,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rk
+        |  FROM toks t JOIN df d ON d.tok = t.tok
+        |  JOIN sized s ON s.doc_id = t.doc_id),
+        |pfx AS (SELECT doc_id, tok FROM ranked WHERE rk <= sz // 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+        |  FROM pfx p1 JOIN pfx p2 ON p2.tok = p1.tok AND p1.doc_id < p2.doc_id),
+        |i AS (
+        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.a
+        |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY c.a, c.b)
+        |SELECT i.a, i.b, i.inter, sa.sz AS na, sb.sz AS nb
+        |FROM i JOIN sized sa ON sa.doc_id = i.a
+        |JOIN sized sb ON sb.doc_id = i.b
+        |WHERE i.inter * 3 >= sa.sz + sb.sz
+        |ORDER BY i.a, i.b""".stripMargin,
 
     "q239_ratio_to_parent" ->
       s"""WITH bn AS (

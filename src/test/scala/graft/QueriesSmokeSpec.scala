@@ -11,7 +11,10 @@ class QueriesSmokeSpec extends SparkSpec {
   // are full (k = 64 distinct users) — at sf0.001 the per-type user
   // sets are smaller than k, so an empty result is the sketch
   // semantics, not a bug (the sf0.01/sf0.1 oracle runs pin 10 rows).
-  private val mayBeEmpty = Set("q08_customers_without_orders", "q228_kmv_sketch")
+  // q241's corpus slice leaves ~30 docs at sf0.001 — zero qualifying
+  // near-dup pairs there is the data, not a bug (oracled at sf0.01+).
+  private val mayBeEmpty = Set("q08_customers_without_orders", "q228_kmv_sketch",
+    "q241_prefix_simjoin")
 
   /** Queries where a broadcast nested-loop join is the DESIGN, not a
     * lost equi-key: q27 is the exact brute-force ANN baseline — every
