@@ -229,6 +229,12 @@ object TorchCheckpoint {
     * stride walk (handles permuted/transposed saves). */
   private def materialize(name: String, t: TensorStub, raw: Array[Byte]): Entry = {
     val w = dtypeWidth(t.storage.dtype)
+    // Byte offsets are computed as (idx*w).toInt over a single
+    // Array[Byte]: a storage at/above 2 GiB must fail LOUDLY here,
+    // not truncate offsets into corrupt tensors (ADVICE r10).
+    require(t.storage.numel * w < Int.MaxValue,
+      s"storage ${t.storage.key} ($name): ${t.storage.numel} x $w B " +
+        ">= 2 GiB exceeds the single-array loader; unsupported size")
     def elem(idx: Long): Double = {
       val o = (idx * w).toInt
       t.storage.dtype match {

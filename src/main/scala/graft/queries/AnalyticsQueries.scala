@@ -141,11 +141,20 @@ object AnalyticsQueries extends QueryPack {
           count(lit(1)).as("n_days"),
           sum(col("day")).as("sd"),
           sum(col("y")).as("sy"),
-          sum(col("day") * col("y")).as("sdy"),
-          sum(col("day") * col("day")).as("sdd"))
+          // day is an epoch-day (~2e4), so n_days·sdy and sd·sy clear
+          // 2^63 around 4.5e11 events per type — the sums and the
+          // cross-products widen through DECIMAL(38,0) (q201 policy)
+          // and the rational emits as BIGINT, valid while the true
+          // numerator is under 2^63 like the oracle's HUGEINT cast.
+          sum((col("day") * col("y")).cast("decimal(38,0)")).as("sdy"),
+          sum((col("day") * col("day")).cast("decimal(38,0)")).as("sdd"))
         .select(col("event_type"), col("n_days"),
-          (col("n_days") * col("sdy") - col("sd") * col("sy")).as("slope_num"),
-          (col("n_days") * col("sdd") - col("sd") * col("sd")).as("slope_den"))
+          (col("n_days") * col("sdy") -
+            col("sd").cast("decimal(38,0)") * col("sy"))
+            .cast("long").as("slope_num"),
+          (col("n_days") * col("sdd") -
+            col("sd").cast("decimal(38,0)") * col("sd"))
+            .cast("long").as("slope_den"))
         .orderBy(col("event_type"))
     },
 

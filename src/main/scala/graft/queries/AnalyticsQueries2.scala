@@ -85,11 +85,19 @@ object AnalyticsQueries2 extends QueryPack {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("cnt"))
       c.groupBy(col("source"))
-        .agg(sum(col("cnt") * col("cnt")).as("hhi_num"),
+        // cnt² and n_docs² accumulate through DECIMAL(38,0) (the q201
+        // policy: a 3e9-doc language or source would wrap the square
+        // in 64-bit); the rational is emitted as BIGINT — valid while
+        // the true values stay under 2^63, the bound the oracle's
+        // HUGEINT path makes explicit rather than silent.
+        .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt"))
+          .cast("long").as("hhi_num"),
           sum(col("cnt")).as("n_docs"),
           count(lit(1)).as("n_langs"))
         .select(col("source"), col("n_docs"), col("n_langs"),
-          col("hhi_num"), (col("n_docs") * col("n_docs")).as("hhi_den"))
+          col("hhi_num"),
+          (col("n_docs").cast("decimal(38,0)") * col("n_docs"))
+            .cast("long").as("hhi_den"))
         .orderBy(col("source"))
     },
 

@@ -149,17 +149,24 @@ object AnalyticsQueries4 extends QueryPack {
         .select(cents(col("value")).as("y"),
           hour(col("ts")).cast("long").as("x1"),
           (dayofweek(col("ts")) - 1).cast("long").as("x2"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
-          sum(col("x1") * col("x1")).as("s11"),
-          sum(col("x1") * col("x2")).as("s12"),
-          sum(col("x2") * col("x2")).as("s22"),
-          sum(col("y")).as("sy"),
-          sum(col("x1") * col("y")).as("s1y"),
-          sum(col("x2") * col("y")).as("s2y"))
-        .collect()(0) // bounded: one row of nine longs (the Gram matrix)
+        // Moment sums widen through DECIMAL(38,0) (q201 policy):
+        // Σ x1·y reaches ~2.3e8·N, so BIGINT wraps silently around
+        // 4e10 events — far below a 100 TB event log. Per-row
+        // products are long-safe (≤ 23·cents); only the accumulation
+        // needs width, and the driver-side Cramer solve is BigInt
+        // exact either way.
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x1").cast("decimal(38,0)")).as("s1"),
+          sum(col("x2").cast("decimal(38,0)")).as("s2"),
+          sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+          sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"),
+          sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x1") * col("y")).cast("decimal(38,0)")).as("s1y"),
+          sum((col("x2") * col("y")).cast("decimal(38,0)")).as("s2y"))
+        .collect()(0) // bounded: one row of nine decimals (the Gram matrix)
       val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
-        (0 until 9).map(i => BigInt(g.getLong(i)))
+        (0 until 9).map(i => BigInt(g.getDecimal(i).toBigIntegerExact))
       // G = [[n s1 s2][s1 s11 s12][s2 s12 s22]], b = [sy s1y s2y]
       def det3(a: Seq[BigInt]): BigInt =
         a(0) * (a(4) * a(8) - a(5) * a(7)) -

@@ -60,7 +60,13 @@ object AnalyticsQueries5 extends QueryPack {
         .groupBy(col("click_hour"))
         .agg(count(lit(1)).as("n_credits"),
           sum(col("bp")).as("bp_sum"),
-          sum(col("rev_c") * col("bp")).as("credited_rev_cbp"))
+          // the per-row product stays ≤ ~5.6e8, but the per-hour SUM
+          // clears 2^63 around 1.6e10 credits/hour — so it accumulates
+          // through DECIMAL(38,0) (q201 policy) and emits BIGINT,
+          // valid while the true total is under 2^63 like the
+          // oracle's HUGEINT→BIGINT cast.
+          sum(col("rev_c").cast("decimal(38,0)") * col("bp"))
+            .cast("long").as("credited_rev_cbp"))
         .orderBy(col("click_hour"))
     },
 

@@ -191,6 +191,10 @@ object AnalyticsQueries6 extends QueryPack {
         .select(posexplode(col("qv")).as(Seq("i", "va")), col("qv"))
         .select(col("i"), col("va"), posexplode(col("qv")).as(Seq("j", "vb")))
         .groupBy(col("i"), col("j"))
+        // BIGINT-safe by the quantization bound: |va·vb| ≤ 1024² ≈
+        // 1.05e6, so a Gram cell wraps only past ~8.8e12 embedding
+        // rows (≳20× a 100 TB embeddings table) — documented headroom,
+        // not the q201 silent-wrap class.
         .agg(sum(col("va") * col("vb")).as("g"))
         .collect() // bounded: the d×d Gram (4096 longs), never the rows
       val g = Array.ofDim[BigInt](d, d)

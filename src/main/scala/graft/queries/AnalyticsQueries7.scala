@@ -381,14 +381,25 @@ object AnalyticsQueries7 extends QueryPack {
       val wPrev = Window.partitionBy(col("user_id"))
         .orderBy(col("time"), col("kind"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Next observation via the REVERSED sort, not a shrinking
+      // `currentRow..unboundedFollowing` frame: Spark's
+      // UnboundedFollowingWindowFunctionFrame recomputes the frame
+      // from scratch per row (O(n²) per partition — measured 3× on
+      // this query vs its O(n) sibling), while the growing
+      // `unboundedPreceding..currentRow` frame accumulates in O(n).
+      // (time, kind) is a strict total order within a user (one
+      // observation per hour, one grid row per hour, ties broken by
+      // kind), so descending order reverses it exactly and
+      // first-non-null-looking-forward ≡ last-non-null over the
+      // reversed running frame.
       val wNext = Window.partitionBy(col("user_id"))
-        .orderBy(col("time"), col("kind"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("time").desc, col("kind").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       merged
+        .withColumn("t1", last(col("t"), ignoreNulls = true).over(wNext))
+        .withColumn("y1", last(col("y"), ignoreNulls = true).over(wNext))
         .withColumn("t0", last(col("t"), ignoreNulls = true).over(wPrev))
         .withColumn("y0", last(col("y"), ignoreNulls = true).over(wPrev))
-        .withColumn("t1", first(col("t"), ignoreNulls = true).over(wNext))
-        .withColumn("y1", first(col("y"), ignoreNulls = true).over(wNext))
         .filter(col("kind") === 1)
         .select(col("user_id"), col("hr"),
           when(col("t0").isNull, col("y1"))
@@ -453,11 +464,18 @@ object AnalyticsQueries7 extends QueryPack {
       o.join(c, Seq("ck"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy(col("seg"))
+        // rank×cents products are summed in DECIMAL(38,0) (the q235
+        // policy, mirroring the oracle's HUGEINT): a BIGINT srx wraps
+        // silently once per-segment n·Σx clears 2⁶³ (~sf100 order
+        // volumes). rn is widened BEFORE the multiply so the per-row
+        // product can never wrap either.
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("rn") * col("x")).as("srx"))
+          sum(col("rn").cast("decimal(38,0)") * col("x")).as("srx"))
         .select(col("seg"), col("n"), col("sx"),
-          expr("CAST((2 * CAST(srx AS DECIMAL(38,0)) - (n + 1) * sx) " +
-            "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)")
+          expr("CAST((2 * CAST(srx AS DECIMAL(38,0)) - " +
+            "(CAST(n AS DECIMAL(38,0)) + 1) * CAST(sx AS DECIMAL(38,0))) " +
+            "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * " +
+            "CAST(sx AS DECIMAL(38,0))) AS BIGINT)")
             .as("gini_ppm"))
         .orderBy(col("seg"))
     },
@@ -653,9 +671,18 @@ object AnalyticsQueries7 extends QueryPack {
           col("event_type").as("kind"),
           when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kr"),
           cents(col("value")).as("c"))
+      // "Min click ts over all FOLLOWING rows" via the REVERSED sort
+      // and a growing `unboundedPreceding..currentRow` frame — O(n)
+      // per user — never the shrinking `1..unboundedFollowing` frame,
+      // which Spark recomputes from scratch per row (O(n²): a
+      // 1M-event hub user would get a 10¹²-op window task). The
+      // running frame includes the current row, but a view row
+      // contributes null to min(when(kind='click',...)) so the result
+      // is identical to the strictly-following frame for every row
+      // this query keeps.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns"), col("kr"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(col("ts_ns").desc, col("kr").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("next_click_ns",
           min(when(col("kind") === "click", col("ts_ns"))).over(w))
         .filter(col("kind") === "view")
@@ -770,6 +797,10 @@ object AnalyticsQueries7 extends QueryPack {
         .select(col("user_id"), col("c"),
           expr("(nxt - ts_ns) DIV 1000000000").as("gap_s"))
         .groupBy(col("user_id"))
+        // BIGINT-safe by construction: a user's gaps are DISJOINT, so
+        // Σ c·gap ≤ max_c · (time span) ≈ 5e7 cents · 3e9 s (a
+        // century) ≈ 1.5e17 < 2^63 — bounded headroom, not the q201
+        // silent-wrap class.
         .agg(count(lit(1)).as("n_holds"),
           sum(col("c") * col("gap_s")).as("twap_num"),
           sum(col("gap_s")).as("twap_den"))

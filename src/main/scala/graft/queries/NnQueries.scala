@@ -582,8 +582,10 @@ object NnQueries extends QueryPack {
     // (rows 2..31 × cols 1..31 of the raster — the vgg.2/vgg.7 taps
     // clip row 0–1 / col 0); the CASE ladder is the integer-exact
     // gate + score-order + double-NMS decision tree derived in the
-    // Spark-side scaladoc (prefix gates at M≥104/124/128, order flip
-    // at M=133.5, survivor sets {128}, {128,512}, {256}); the boxes
+    // Spark-side scaladoc (S3fdAuditStore: confidence gates at M≥128
+    // for scale 128, M≥132 for 512, M≥133 for 256, score-order flip
+    // at M=135.5 — so on integer M the ladder boundaries are
+    // 128/132/136, survivor sets {128}, {128,512}, {256}); the boxes
     // are the priors themselves (loc ≡ 0 ⇒ decode is exact).
     "q221_s3fd_forward" ->
       s"""WITH docs AS (

@@ -430,8 +430,16 @@ object ShapeQueries extends QueryPack {
       val base = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
-      val wGt = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-        .rangeBetween(1L, Window.unboundedFollowing)
+      // "max(y) over strictly-greater x" via the DESCENDING sort and
+      // a growing range frame ending 1 before the current value —
+      // O(n) per language — never the ascending-sort shrinking
+      // `1..unboundedFollowing` frame, which Spark recomputes per row
+      // (quadratic in docs-per-language, against this query's own
+      // O(n log n) claim). On a descending order, range offset −1
+      // selects rows whose n_chars ≥ current + 1, i.e. exactly the
+      // strict-x dominator set.
+      val wGt = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+        .rangeBetween(Window.unboundedPreceding, -1L)
       val wEq = Window.partitionBy(col("lang"), col("n_chars"))
       base
         .withColumn("m_gt", max(col("n_tokens")).over(wGt))

@@ -31,7 +31,12 @@ final class FfmpegFrameDecoder(root: String, binary: String = "ffmpeg")
 
   override def decode(video: VideoMeta, fps: Int,
       range: Option[DecodeRange]): Iterator[Frame] = {
-    val path = Paths.get(root, video.name).toString
+    // Same resolution as the AVI decoder and AutoFrameDecoder's sniff
+    // (`root/<name>`, falling back to `root/<name>.avi`) — sniff and
+    // decode MUST agree on the file, or a container reachable only
+    // through the suffix fallback sniffs fine and then "unreadable"s
+    // here (ADVICE r10).
+    val path = Media.resolveVideoPath(root, video.name).toString
     require(Files.isReadable(Paths.get(path)), s"ffmpeg decoder: unreadable $path")
     val argv = FfmpegFrameDecoder.decodeArgv(binary, path, fps, range)
     val pb = new ProcessBuilder(argv: _*)

@@ -97,6 +97,26 @@ class QueriesSmokeSpec extends SparkSpec {
     // are one hash agg.
     "q208_drift_audit" -> 1)
 
+  /** name → MAX deliberate shrinking-frame count. A window frame
+    * whose LOWER bound is not UNBOUNDED PRECEDING but whose UPPER
+    * bound is UNBOUNDED FOLLOWING is executed by Spark's
+    * UnboundedFollowingWindowFunctionFrame, which recomputes the
+    * aggregate from the current row to the partition end FOR EVERY
+    * ROW — O(n²) per partition (measured 3× on q236 before its
+    * rewrite; a 1M-row partition gets a 10¹²-op task). Every such
+    * site has an O(n) rewrite: reverse the sort and use the growing
+    * `unboundedPreceding..currentRow` frame (Eval.scala:65–68,
+    * q211/q236/q166). Empty today — additions need a written
+    * rationale like the BNLJ map above. */
+  private val deliberateShrinkingFrame = Map.empty[String, Int]
+
+  // The lower-bound capture is comma-free so the match can never span
+  // out of one frame's argument list into a later frame (a `.*?`
+  // here false-positived on q50's bounded (RowFrame, 1, 1) frame by
+  // bridging to an unrelated whole-partition frame downstream).
+  private val shrinkingFrame =
+    """specifiedwindowframe\((?:Row|Range)Frame, ([^,]+), unboundedfollowing\$\(\)\)""".r
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -116,6 +136,13 @@ class QueriesSmokeSpec extends SparkSpec {
       val allowed = deliberateNestedLoop.getOrElse(name, 0)
       assert(bnlj <= allowed,
         s"$name plans $bnlj nested-loop joins (allowed $allowed — equi-keys lost?)")
+      val shrinking = shrinkingFrame.findAllMatchIn(plan).map(_.group(1))
+        .filterNot(_ == "unboundedpreceding$()").toList
+      val allowedShrink = deliberateShrinkingFrame.getOrElse(name, 0)
+      assert(shrinking.size <= allowedShrink,
+        s"$name plans ${shrinking.size} shrinking window frame(s) " +
+          s"(lower bounds $shrinking ..UNBOUNDED FOLLOWING — O(n²) per " +
+          "partition; rewrite to the reversed-sort growing frame, Eval.scala:65)")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
