@@ -16,8 +16,12 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 object TorchCheckpointWriter {
 
   /** Write `tensors` (name → (shape, row-major values)) as a zip
-    * checkpoint; returns the serialized bytes. */
-  def write(tensors: Seq[(String, (Seq[Int], Array[Double]))]): Array[Byte] = {
+    * checkpoint; returns the serialized bytes. `doublePrecision`
+    * emits torch.DoubleStorage payloads (8-byte LE doubles) instead
+    * of FloatStorage — the q242 audit weights include values like
+    * fl(1−1e-5) whose exactness a float32 roundtrip would destroy. */
+  def write(tensors: Seq[(String, (Seq[Int], Array[Double]))],
+      doublePrecision: Boolean = false): Array[Byte] = {
     val pkl = new ByteArrayOutputStream()
     def op(c: Int): Unit = pkl.write(c)
     def i4(v: Int): Unit = {
@@ -40,8 +44,9 @@ object TorchCheckpointWriter {
       str(name)
       global("torch._utils", "_rebuild_tensor_v2")
       op('(')
-      // persistent id ('storage', FloatStorage, key, 'cpu', numel)
-      op('('); str("storage"); global("torch", "FloatStorage")
+      // persistent id ('storage', <cls>Storage, key, 'cpu', numel)
+      op('('); str("storage")
+      global("torch", if (doublePrecision) "DoubleStorage" else "FloatStorage")
       str(k.toString); str("cpu"); int(data.length); op('t')
       op('Q') // BINPERSID
       int(0)  // storage_offset
@@ -63,9 +68,11 @@ object TorchCheckpointWriter {
     put("archive/version", "3\n".getBytes("UTF-8"))
     put("archive/data.pkl", pkl.toByteArray)
     tensors.zipWithIndex.foreach { case ((_, (_, data)), k) =>
-      val b = java.nio.ByteBuffer.allocate(4 * data.length)
+      val w = if (doublePrecision) 8 else 4
+      val b = java.nio.ByteBuffer.allocate(w * data.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      data.foreach(v => b.putFloat(v.toFloat))
+      if (doublePrecision) data.foreach(b.putDouble)
+      else data.foreach(v => b.putFloat(v.toFloat))
       put(s"archive/data/$k", b.array())
     }
     z.close()

@@ -477,6 +477,50 @@ object NnQueries extends QueryPack {
         .orderBy(col("seq"), col("head"), col("qpos"))
     },
 
+    // FULL TALKNET AV FORWARD under the oracle gate (the q221 move on
+    // the second network, composed with the q223 checkpoint path):
+    // TalkNetModel.score — audio SE-ResNet34 stem, full visual 3D-conv
+    // + ResNet18 + V-TCN stem, cross attention A↔V with a REAL
+    // saturated softmax selection, self attention, lossAV head — runs
+    // per doc on integer MFCC input with the TalkNetAudit delta
+    // kernels, weights round-tripped through a REAL torch-zip
+    // DoubleStorage checkpoint (write → fetch+sha → pickle-VM parse →
+    // MapWeights broadcast). DuckDB recomputes the per-frame score
+    // BIT FOR BIT: the four nested LayerNorms are restated as
+    // list_transform/list_reduce folds (DuckDB's left fold performs
+    // the same correctly-rounded IEEE adds in the same order as the
+    // JVM loop), everything upstream is exact integer/dyadic algebra.
+    // Any indexing error anywhere in either stem, the attention
+    // wiring, the norm order, or the checkpoint roundtrip flips bits.
+    "q242_talknet_forward" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = Q.scratchDir(s, "graft_tnet")
+      val src = java.nio.file.Paths.get(scratch, "talknet_audit.pth")
+      java.nio.file.Files.write(src, graft.nn.TalkNetAudit.checkpointBytes)
+      val ws = graft.pipeline.ModelWeights.loadCheckpoint(
+        s"file:$src", "talknet_audit.pth", s"$scratch/cache",
+        sha256 = Some(graft.nn.TalkNetAudit.checkpointSha256))
+      val bc = s.sparkContext.broadcast(ws.params)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 17 === 4)
+        .orderBy(col("doc_id")).limit(4)
+        .as[Long]
+        .repartition(4) // one ~1 GFLOP visual forward per partition
+        .mapPartitions { it =>
+          // one model per partition from the broadcast checkpoint;
+          // NoFallback: every parameter must come from the .pth
+          val model = new graft.nn.TalkNetModel(
+            graft.nn.MapWeights(bc.value, graft.nn.TalkNetAudit.NoFallback))
+          it.flatMap { doc =>
+            val scores = model.score(graft.nn.TalkNetAudit.mfccFor(doc),
+              graft.nn.TalkNetAudit.frames, 112, 112)
+            scores.iterator.zipWithIndex.map { case (sc, t) => (doc, t.toLong, sc) }
+          }
+        }
+        .toDF("doc_id", "frame", "score")
+        .orderBy(col("doc_id"), col("frame"))
+    },
+
     // Distributed model scoring: the 2-layer integer MLP over EVERY
     // embedding row — per-partition inference (the weights are built
     // inside the partition, nothing is shuffled but the output sort).
@@ -710,6 +754,66 @@ object NnQueries extends QueryPack {
          |SELECT seq, CAST(head AS BIGINT) AS head, CAST(qpos AS BIGINT) AS qpos,
          |  CAST(kpos AS BIGINT) AS kpos, CAST(s2 AS BIGINT) AS s2
          |FROM best WHERE rn = 1 ORDER BY seq, head, qpos""".stripMargin,
+
+    // q242: the effective composition in closed form. u_t from the
+    // doc_id formula (exactly the MFCC cells the δ-tap audio stem
+    // samples and halves); u* = saturated head-0 selection, ū = the
+    // uniform heads' exact ¼-weighted mean; the 4-class norm1 input
+    // row B_t; then the four LayerNorms replicated bit-for-bit:
+    // list_reduce is a left fold of correctly-rounded double adds in
+    // dim order — the same partial sums as Tensor.layerNorm's loops —
+    // and /128.0, +1e-5, sqrt, 1.0/x, (x−μ)·inv·1.0+0.0 mirror the
+    // JVM expression shapes operation for operation. The final score
+    // is element 1 (dim 0) of the last norm — the lossAV face logit.
+    "q242_talknet_forward" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 17 = 4
+         |  ORDER BY doc_id LIMIT 4),
+         |u AS (
+         |  SELECT d.doc_id, t.range AS t,
+         |    CAST(1 + (d.doc_id*31 + t.range*61) % 89 AS DOUBLE) AS uv
+         |  FROM docs d, range(2) t),
+         |du AS (
+         |  SELECT doc_id, max(uv) AS us, sum(uv) / 2.0 AS ub
+         |  FROM u GROUP BY doc_id),
+         |b AS (
+         |  SELECT u.doc_id, u.t,
+         |    list_transform(range(128), c -> CASE
+         |      WHEN c = 0 THEN u.uv + d.us
+         |      WHEN c < 16 THEN d.us
+         |      WHEN c % 16 = 0 THEN u.uv + d.ub
+         |      ELSE d.ub END) AS r
+         |  FROM u JOIN du d USING (doc_id)),
+         |m1 AS (SELECT doc_id, t, r,
+         |  list_reduce(r, (x, y) -> x + y) / 128.0 AS mu FROM b),
+         |i1 AS (SELECT doc_id, t, r, mu,
+         |  1.0 / sqrt(list_reduce(list_transform(r, x -> (x - mu) * (x - mu)),
+         |    (x, y) -> x + y) / 128.0 + 1e-5) AS iv FROM m1),
+         |l1 AS (SELECT doc_id, t,
+         |  list_transform(r, x -> (x - mu) * iv * 1.0 + 0.0) AS r FROM i1),
+         |m2 AS (SELECT doc_id, t, r,
+         |  list_reduce(r, (x, y) -> x + y) / 128.0 AS mu FROM l1),
+         |i2 AS (SELECT doc_id, t, r, mu,
+         |  1.0 / sqrt(list_reduce(list_transform(r, x -> (x - mu) * (x - mu)),
+         |    (x, y) -> x + y) / 128.0 + 1e-5) AS iv FROM m2),
+         |l2 AS (SELECT doc_id, t,
+         |  list_concat(list_transform(r, x -> (x - mu) * iv * 1.0 + 0.0),
+         |    list_transform(range(128), c -> 0.0)) AS r FROM i2),
+         |m3 AS (SELECT doc_id, t, r,
+         |  list_reduce(r, (x, y) -> x + y) / 256.0 AS mu FROM l2),
+         |i3 AS (SELECT doc_id, t, r, mu,
+         |  1.0 / sqrt(list_reduce(list_transform(r, x -> (x - mu) * (x - mu)),
+         |    (x, y) -> x + y) / 256.0 + 1e-5) AS iv FROM m3),
+         |l3 AS (SELECT doc_id, t,
+         |  list_transform(r, x -> (x - mu) * iv * 1.0 + 0.0) AS r FROM i3),
+         |m4 AS (SELECT doc_id, t, r,
+         |  list_reduce(r, (x, y) -> x + y) / 256.0 AS mu FROM l3),
+         |i4 AS (SELECT doc_id, t, r, mu,
+         |  1.0 / sqrt(list_reduce(list_transform(r, x -> (x - mu) * (x - mu)),
+         |    (x, y) -> x + y) / 256.0 + 1e-5) AS iv FROM m4)
+         |SELECT doc_id, CAST(t AS BIGINT) AS frame,
+         |  (r[1] - mu) * iv * 1.0 + 0.0 AS score
+         |FROM i4 ORDER BY doc_id, frame""".stripMargin,
 
     "q133_nn_mlp" ->
       s"""WITH qi AS (
