@@ -106,16 +106,31 @@ object AnalyticsQueries4 extends QueryPack {
     // state beyond the plan itself. Output: distance histogram with a
     // key-sum checksum per level.
     "q191_bfs_hops" -> { (s, dir) =>
-      val li = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .persist() // both sides of the pair join read it
-      val edges = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") =!= col("pk2"))
-        .groupBy(col("pk").as("src"), col("pk2").as("dst"))
+      // Edge build by the q173 array-local pattern: ONE shuffle
+      // gathers each order's distinct part set (collect_set dedups
+      // in-agg — no separate 60 M-row DISTINCT exchange), then the
+      // canonical pairs (src < dst, each unordered pair once) are
+      // expanded INSIDE the array and counted — the self-join's
+      // second full shuffle of lineitem never exists, and the pair
+      // aggregation moves half the rows of the bidirectional form
+      // (canonical pairs, not both directions — see the rung-2
+      // measurement in ARCHITECTURE.md). The HAVING
+      // survivor set is ~300× smaller than the raw pairs, so
+      // mirroring to both directions after the c ≥ 2 filter is free.
+      val canon = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
+          .as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
         .agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
         .select(col("src"), col("dst"))
+      val edges = canon
+        .union(canon.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
       val seeds = Tables.table(s, dir, "part")
         .select(col("p_partkey").as("node"))

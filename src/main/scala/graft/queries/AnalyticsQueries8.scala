@@ -1,0 +1,414 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 pack: sequence/pattern analytics. q243 is the
+  * MATCH_RECOGNIZE shape (SQL:2016 row-pattern matching; Flink CEP's
+  * bread and butter) expressed Spark-first: per-anchor strict
+  * sequences with per-step time bounds, found with ONE per-user
+  * sort + running-frame windows (the q211 reversed-sort O(n) plan)
+  * plus one unique-key equi-join — never a state-machine UDF, never
+  * a pair join, never a shrinking frame. */
+object AnalyticsQueries8 extends QueryPack {
+  import Q.Fn
+
+  val queries = Map[String, Fn](
+
+    // TIME-BOUNDED SEQUENCE MATCH (MATCH_RECOGNIZE / funnel-instance
+    // shape): every view → its FIRST following click (≤ 24 h) →
+    // that click's FIRST following purchase (≤ 24 h), per user,
+    // "following" = strictly later in the (ts_ns, event_id) total
+    // order. Unlike q214 (per-user FIRST-event stage latencies) this
+    // matches EVERY anchor, so one user can contribute many
+    // instances. Plan: one window pass computes, at every row, the
+    // first following click and first following purchase as
+    // lexicographic struct-mins over the reversed-sort RUNNING frame
+    // (O(n) per user; the current row is excluded by its own kind
+    // guard — a click contributes null to the purchase-min and vice
+    // versa). A view then carries its click id, and the purchase leg
+    // is read off the CLICK row via a unique-key join on c_id (event
+    // ids are unique; the persist keeps the windowed timeline from
+    // being sorted twice — at 100 TB scale the same plan co-keys
+    // both sides by event id, a plain hash join with no pair
+    // amplification: |views| + |clicks| rows, never views×clicks).
+    "q243_seq_match" -> { (s, dir) =>
+      val lim = 86400L * 1000000000L // 24 h per step, ns
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type").as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = ev
+        .withColumn("nc", min(when(col("kind") === "click",
+          struct(col("ts_ns"), col("event_id")))).over(w))
+        .withColumn("np", min(when(col("kind") === "purchase",
+          struct(col("ts_ns"), col("event_id")))).over(w))
+        .persist()
+      val views = marked.filter(col("kind") === "view")
+        .filter(col("nc").isNotNull && col("nc.ts_ns") <= col("ts_ns") + lim)
+        .select(col("user_id"), col("event_id").as("v_id"),
+          col("ts_ns").as("v_ts"), col("nc.event_id").as("c_id"),
+          col("nc.ts_ns").as("c_ts"))
+      val clicks = marked.filter(col("kind") === "click")
+        .select(col("event_id").as("c_id"),
+          col("np.ts_ns").as("p_ts"), col("np.event_id").as("p_id"))
+      views.join(clicks, Seq("c_id"))
+        .filter(col("p_id").isNotNull && col("p_ts") <= col("c_ts") + lim)
+        .select(col("user_id"), col("v_id"), col("c_id"), col("p_id"),
+          expr("(p_ts - v_ts) DIV 1000000000").as("v_to_p_s"))
+        .orderBy(col("user_id"), col("v_id"))
+    },
+
+    // EXACT-DEDUP-FIRST FUZZY MATCHING — the documented 100 TB
+    // composition for the quadratic blocked-pair family (q25/q196),
+    // now a first-class operator instead of prose: collapse exact
+    // duplicates (md5 group → min-id representative + group size n)
+    // BEFORE the blocked banded-levenshtein join, then emit
+    // representative near-dup edges carrying (n_a, n_b). q196's raw
+    // output is exactly recoverable — each edge stands for n_a·n_b
+    // raw cross-group pairs (identical texts share every prefix
+    // byte) and each group adds n·(n−1)/2 internal dist-0 pairs —
+    // but the PAIR JOIN only ever sees distinct texts, so a corpus
+    // that is k× exact-duplicated pays k² fewer candidate pairs
+    // (measured on the 5×-exact-dup rung: see ARCHITECTURE.md
+    // "Dedup composition"). The md5 group-shuffle moves 16-byte
+    // fingerprints, never text.
+    "q244_dedup_compose" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val fp = docs.select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("fp"))
+      val g = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("n"))
+      val reps = fp.join(g, fp("doc_id") === g("rid"))
+        .select(col("rid").as("doc_id"), col("n"), col("lang"),
+          split(col("text"), " ").getItem(0).as("t1"),
+          substring(col("text"), 1, 40).as("p"))
+      val a = reps.select(col("doc_id").as("id_a"), col("n").as("n_a"),
+        col("lang"), col("t1"), col("p").as("pa"))
+      val b = reps.select(col("doc_id").as("id_b"), col("n").as("n_b"),
+        col("lang"), col("t1"), col("p").as("pb"))
+      a.join(b, Seq("lang", "t1"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb"), 15).cast("long").as("dist"),
+          col("n_a"), col("n_b"),
+          (col("n_a") * col("n_b")).as("pair_mult"))
+        .filter(col("dist") >= 0 && col("dist") <= 15)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // QUANTIFIED ROW PATTERN (A{3,} B — "click burst then buy"):
+    // maximal runs of ≥3 CONSECUTIVE clicks (consecutive in the
+    // user's full event stream — gaps-and-islands via the rn − rn_kind
+    // difference, a shape no other query here uses), each annotated
+    // with the first purchase ≤ 24 h after the run's end. Because an
+    // island contains no non-click events by construction, every row
+    // of a run sees the SAME next purchase — so the run's purchase is
+    // a plain max() of the per-row next-purchase struct (computed on
+    // the O(n) reversed-sort running frame, q211 policy) and the whole
+    // match is ONE partition-sort + one hash agg: no self-join, no
+    // state machine, no per-run re-scan. At 100 TB everything
+    // partitions by user_id; run count ≤ event count.
+    "q245_click_runs" -> { (s, dir) =>
+      val lim = 86400L * 1000000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type").as("kind"))
+      val wAsc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val wKind = Window.partitionBy(col("user_id"), col("kind"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = ev
+        .withColumn("rn", row_number().over(wAsc))
+        .withColumn("rnk", row_number().over(wKind))
+        .withColumn("np", min(when(col("kind") === "purchase",
+          struct(col("ts_ns"), col("event_id")))).over(wDesc))
+        .filter(col("kind") === "click")
+        .groupBy(col("user_id"), (col("rn") - col("rnk")).as("isl"))
+        .agg(count(lit(1)).as("run_len"),
+          min_by(col("event_id"), struct(col("ts_ns"), col("event_id"))).as("s_id"),
+          max_by(col("event_id"), struct(col("ts_ns"), col("event_id"))).as("e_id"),
+          min(col("ts_ns")).as("s_ts"), max(col("ts_ns")).as("e_ts"),
+          max(col("np")).as("np"))
+        .filter(col("run_len") >= 3)
+      val hit = col("np").isNotNull && col("np.ts_ns") <= col("e_ts") + lim
+      runs.select(col("user_id"), col("s_id"), col("e_id"), col("run_len"),
+        expr("(e_ts - s_ts) DIV 1000000000").as("span_s"),
+        when(hit, col("np.event_id")).otherwise(lit(-1L)).as("p_id"),
+        when(hit, expr("(np.ts_ns - e_ts) DIV 1000000000"))
+          .otherwise(lit(-1L)).as("p_lat_s"))
+        .orderBy(col("user_id"), col("s_id"))
+    },
+
+    // COHORT RETENTION TRIANGLE — the RATIO readout q169 stops short
+    // of: q169 counts active users per (first-activity cohort,
+    // offset); this cohorts on an explicit qualifying event (first
+    // `signup` — activity before signup exists and must NOT create a
+    // cohort), attaches each cohort's SIZE, and emits retention ppm —
+    // the normalized triangle dashboards actually plot. Planned for
+    // scale: the
+    // (user, week) activity grid partial-aggregates map-side before
+    // its one shuffle, the cohort attach is a co-keyed join on
+    // user_id (never a broadcast of an unbounded user dim), and the
+    // final agg is over the tiny (cohort, offset) grid. ret_ppm stays
+    // BIGINT: n_active·10⁶ wraps only past 9.2e12 users.
+    "q246_cohort_retention" -> { (s, dir) =>
+      val wkNs = 604800000000000L // 7 * 86400 * 1e9
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ns DIV ${wkNs}L").as("wk"),
+          col("event_type"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val active = ev.select(col("user_id"), col("wk")).distinct()
+      val grid = active.join(cohort, Seq("user_id"))
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_n"))
+      grid.join(sizes, Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("wk_offset"), col("n_active"), col("cohort_n"),
+          expr("n_active * 1000000 DIV cohort_n").as("ret_ppm"))
+        .orderBy(col("cohort_wk"), col("wk_offset"))
+    },
+
+    // TOKENIZER VOCABULARY + OOV AUDIT: build the frequency-cutoff
+    // vocabulary (global token count ≥ 10 — the tokenizer-training
+    // min_frequency knob) and report, per source, token volume and
+    // the out-of-vocabulary rate a tokenizer trained at that cutoff
+    // would pay. Plan: per-(doc,token) counts partial-aggregate
+    // map-side, the global counts are ONE shuffle by token, and the
+    // OOV flag rides the SAME token-keyed exchange as a co-keyed
+    // join — the vocabulary is never collected or broadcast (at
+    // 100 TB it has billions of entries). Tokenization matches q209's
+    // proven whitespace split exactly.
+    "q247_vocab_oov" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("k"))
+      val global = toks.groupBy(col("tok")).agg(sum(col("k")).as("gf"))
+      val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      toks.join(global, Seq("tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("k")).as("n_tokens"),
+          sum(when(col("gf") < 10, col("k")).otherwise(lit(0L))).as("n_oov"),
+          count_distinct(when(col("gf") >= 10, col("tok"))).as("n_vocab_src"))
+        .join(nd, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+          col("n_vocab_src"),
+          expr("n_oov * 1000000 DIV n_tokens").as("oov_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // PIVOT WITH CATCH-ALL BUCKET: q152 pivots a CLOSED enum (langs)
+    // with an explicit value list; this is the open-domain variant —
+    // the pivot axis (source) is unbounded in production, so the
+    // named columns are a fixed shortlist and everything else folds
+    // into `other` BEFORE the pivot. That pre-fold is what keeps an
+    // explicit-list pivot correct on an open domain (a bare explicit
+    // list silently DROPS unlisted values); the plan stays one
+    // conditional-aggregate pass, no collect-distinct pre-scan.
+    "q248_source_pivot" -> { (s, dir) =>
+      val named = Seq("src1", "src2", "src3", "src4")
+      Tables.table(s, dir, "documents")
+        .select(col("lang"),
+          when(col("source").isin(named.map(lit): _*), col("source"))
+            .otherwise(lit("other")).as("src"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .pivot("src", named :+ "other")
+        .agg(sum(col("n_chars")))
+        .na.fill(0L, named :+ "other")
+        .orderBy(col("lang"))
+    },
+
+    // SESSION PATH TRIGRAMS: the 10 most common 3-step event-type
+    // sequences inside 30-minute-gap sessions ("path analysis").
+    // q177 mines trigrams over each user's WHOLE timeline; the
+    // session boundary here changes the answer (a path must not span
+    // a session break) and the plan point is that enforcing it costs
+    // ZERO extra shuffles — the sid guard rides the same sort.
+    // Session ids come from the running gap-sum; the trigram is
+    // assembled with lead() on the SAME user-partitioned sort — the
+    // within-session guard is lead(sid, 2) = sid, so no second
+    // (user, session)-keyed shuffle ever happens. One sort, one hash
+    // agg, one TakeOrdered(10): at 100 TB the trigram key space is
+    // |types|³ = tiny, so the final agg is a few rows per executor.
+    "q249_session_paths" -> { (s, dir) =>
+      val gap = 1800L * 1000000000L
+      val wAsc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val wRun = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type").as("kind"))
+        .withColumn("prev", lag(col("ts_ns"), 1).over(wAsc))
+        .withColumn("fresh",
+          when(col("prev").isNull || col("ts_ns") - col("prev") > gap, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("fresh")).over(wRun))
+        .withColumn("k1", lead(col("kind"), 1).over(wAsc))
+        .withColumn("k2", lead(col("kind"), 2).over(wAsc))
+        .withColumn("s2", lead(col("sid"), 2).over(wAsc))
+        .filter(col("s2") === col("sid"))
+        .select(concat_ws(">", col("kind"), col("k1"), col("k2")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    },
+  )
+
+  // DuckDB restatement: the same total-order "first following" via a
+  // strictly-FOLLOWING window frame (fine in the oracle — the O(n²)
+  // frame hazard is a Spark-executor concern, not a 500-row DuckDB
+  // one) over an order-preserving HUGEINT packing of (ts_ns,
+  // event_id) — event ids stay far below 2^32 at every test SF, so
+  // ts_ns·2^32 + id sorts exactly like the Spark struct.
+  val oracle = Map(
+    "q243_seq_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type AS kind
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |m AS (
+        |  SELECT *,
+        |    min(CASE WHEN kind = 'click'
+        |        THEN CAST(ts_ns AS HUGEINT) * 4294967296 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nck,
+        |    min(CASE WHEN kind = 'purchase'
+        |        THEN CAST(ts_ns AS HUGEINT) * 4294967296 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npk
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, event_id AS v_id, ts_ns AS v_ts,
+        |    CAST(nck % 4294967296 AS BIGINT) AS c_id,
+        |    CAST(nck // 4294967296 AS BIGINT) AS c_ts
+        |  FROM m
+        |  WHERE kind = 'view' AND nck IS NOT NULL
+        |    AND nck // 4294967296 <= ts_ns + 86400000000000),
+        |c AS (
+        |  SELECT event_id AS c_id,
+        |    CAST(npk // 4294967296 AS BIGINT) AS p_ts,
+        |    CAST(npk % 4294967296 AS BIGINT) AS p_id
+        |  FROM m WHERE kind = 'click')
+        |SELECT v.user_id, v.v_id, v.c_id, c.p_id,
+        |  (c.p_ts - v.v_ts) // 1000000000 AS v_to_p_s
+        |FROM v JOIN c USING (c_id)
+        |WHERE c.p_id IS NOT NULL AND c.p_ts <= v.c_ts + 86400000000000
+        |ORDER BY v.user_id, v.v_id""".stripMargin,
+
+    "q244_dedup_compose" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, text, md5(text) AS fp FROM documents),
+        |g AS (
+        |  SELECT fp, min(doc_id) AS rid, count(*) AS n FROM fp GROUP BY fp),
+        |d AS (
+        |  SELECT g.rid AS doc_id, g.n, f.lang,
+        |    split_part(f.text, ' ', 1) AS t1, substr(f.text, 1, 40) AS p
+        |  FROM g JOIN fp f ON f.doc_id = g.rid)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.p, b.p) AS dist, a.n AS n_a, b.n AS n_b,
+        |  a.n * b.n AS pair_mult
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q245_click_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type AS kind
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, kind ORDER BY ts_ns, event_id) AS rnk,
+        |    min(CASE WHEN kind = 'purchase'
+        |        THEN CAST(ts_ns AS HUGEINT) * 4294967296 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npk
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, rn - rnk AS isl, count(*) AS run_len,
+        |    arg_min(event_id, CAST(ts_ns AS HUGEINT) * 4294967296 + event_id) AS s_id,
+        |    arg_max(event_id, CAST(ts_ns AS HUGEINT) * 4294967296 + event_id) AS e_id,
+        |    min(ts_ns) AS s_ts, max(ts_ns) AS e_ts, max(npk) AS npk
+        |  FROM t WHERE kind = 'click' GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT user_id, s_id, e_id, run_len,
+        |  (e_ts - s_ts) // 1000000000 AS span_s,
+        |  CASE WHEN npk IS NOT NULL AND npk // 4294967296 <= e_ts + 86400000000000
+        |       THEN CAST(npk % 4294967296 AS BIGINT) ELSE -1 END AS p_id,
+        |  CASE WHEN npk IS NOT NULL AND npk // 4294967296 <= e_ts + 86400000000000
+        |       THEN CAST((npk // 4294967296 - e_ts) // 1000000000 AS BIGINT)
+        |       ELSE -1 END AS p_lat_s
+        |FROM r ORDER BY user_id, s_id""".stripMargin,
+
+    "q246_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |g AS (SELECT cohort_wk, wk - cohort_wk AS wk_offset, count(*) AS n_active
+        |  FROM a JOIN c USING (user_id) WHERE wk >= cohort_wk GROUP BY 1, 2),
+        |s AS (SELECT cohort_wk, count(*) AS cohort_n FROM c GROUP BY 1)
+        |SELECT cohort_wk, wk_offset, n_active, cohort_n,
+        |  n_active * 1000000 // cohort_n AS ret_ppm
+        |FROM g JOIN s USING (cohort_wk)
+        |ORDER BY cohort_wk, wk_offset""".stripMargin,
+
+    "q247_vocab_oov" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, count(*) AS k FROM tk GROUP BY 1, 2),
+        |gl AS (SELECT tok, CAST(sum(k) AS BIGINT) AS gf FROM tc GROUP BY 1),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |pr AS (
+        |  SELECT source, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN gf < 10 THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+        |    count(DISTINCT CASE WHEN gf >= 10 THEN tok END) AS n_vocab_src
+        |  FROM tc JOIN gl USING (tok) GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_oov, n_vocab_src,
+        |  n_oov * 1000000 // n_tokens AS oov_ppm
+        |FROM pr JOIN nd USING (source) ORDER BY source""".stripMargin,
+
+    "q248_source_pivot" ->
+      """SELECT lang,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src1' THEN n_chars END), 0) AS BIGINT) AS src1,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src2' THEN n_chars END), 0) AS BIGINT) AS src2,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src3' THEN n_chars END), 0) AS BIGINT) AS src3,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src4' THEN n_chars END), 0) AS BIGINT) AS src4,
+        |  CAST(coalesce(sum(CASE WHEN source NOT IN ('src1','src2','src3','src4')
+        |                    THEN n_chars END), 0) AS BIGINT) AS other
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q249_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type AS kind
+        |  FROM events),
+        |t AS (SELECT *, lag(ts_ns) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_ns - prev > 1800000000000
+        |    THEN 1 ELSE 0 END AS fresh FROM t),
+        |ss AS (SELECT *, sum(fresh) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |tri AS (
+        |  SELECT kind || '>' || lead(kind, 1) OVER w || '>' || lead(kind, 2) OVER w AS path,
+        |    sid, lead(sid, 2) OVER w AS s2
+        |  FROM ss WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+        |SELECT path, count(*) AS cnt FROM tri WHERE s2 = sid GROUP BY 1
+        |ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
+  )
+}

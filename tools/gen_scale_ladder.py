@@ -17,7 +17,7 @@ import sys
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/graft-sf1"
-COPIES = 10
+COPIES = int(os.environ.get("GRAFT_LADDER_COPIES", "10"))
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
