@@ -264,6 +264,154 @@ object AnalyticsQueries8 extends QueryPack {
         .orderBy(col("cnt").desc, col("path"))
         .limit(10)
     },
+
+    // ASYMMETRIC CONTAINMENT DECONTAMINATION: q83 answers "how many
+    // benchmark grams does this doc share with the benchmark AS A
+    // SET"; this attributes leakage per (doc, benchmark item) PAIR
+    // with a containment score |grams(doc) ∩ grams(item)| / |grams
+    // (item)| — the report that tells you WHICH test item leaked
+    // WHERE, and catches a doc that quotes one item wholesale even
+    // when globally dissimilar (symmetric Jaccard misses exactly
+    // that). Plan: distinct (doc, 3-gram) on both sides, ONE
+    // gram-keyed equi-join (never doc × item), per-pair count, gate
+    // n_shared ≥ 3, ppm by integer DIV. At 100 TB the benchmark side
+    // is dimension-sized → broadcast; hot grams show up in the q197
+    // occupancy audit first.
+    "q252_containment_decon" -> { (s, dir) =>
+      val gr = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("wt"))
+        .select(col("doc_id"), col("source"),
+          explode(when(size(col("wt")) >= 3, expr(
+            "transform(sequence(0, size(wt)-3), i -> concat_ws(' ', slice(wt, i+1, 3)))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("ngram"))
+        .distinct()
+      val items = gr.filter(col("source") === "src0")
+        .select(col("doc_id").as("item_id"), col("ngram"))
+      val itemN = items.groupBy(col("item_id")).agg(count(lit(1)).as("n_item"))
+      gr.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("ngram"))
+        .join(items, Seq("ngram"))
+        .groupBy(col("doc_id"), col("item_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .join(broadcast(itemN), Seq("item_id"))
+        .select(col("doc_id"), col("item_id"), col("n_shared"), col("n_item"),
+          expr("n_shared * 1000000 DIV n_item").as("contain_ppm"))
+        .orderBy(col("doc_id"), col("item_id"))
+    },
+
+    // HYBRID RETRIEVAL FUSION (RRF): the modern two-tower search
+    // readout — a lexical top-20 (docs ranked by how many of the four
+    // query terms they contain, shortest doc first: exact integers)
+    // fused with a semantic top-20 (q88's int8-quantized exact-long
+    // dot against corpus vector 0) by reciprocal-rank fusion. The RRF
+    // constant 60 is folded into an INTEGER score: rrf_scaled =
+    // Σ 10¹² DIV (60 + rank) — both engines compute the same integer,
+    // no float path anywhere in the fusion. Each leg is a
+    // TakeOrdered(20) (no global window over the corpus); the fusion
+    // itself is a 20∪20-row full outer join — driver-scale by
+    // construction, whatever the corpus size.
+    "q253_hybrid_rrf" -> { (s, dir) =>
+      val terms = Seq("table", "join", "window", "stream")
+      val lex = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("wt"))
+        .select(col("doc_id"), size(col("wt")).cast("long").as("dl"),
+          terms.map(t => when(array_contains(col("wt"), t), 1L).otherwise(0L))
+            .reduce(_ + _).as("n_hit"))
+        .filter(col("n_hit") >= 1)
+        .orderBy(col("n_hit").desc, col("dl"), col("doc_id"))
+        .limit(20)
+        .withColumn("rank_lex", row_number().over(
+          Window.orderBy(col("n_hit").desc, col("dl"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank_lex"))
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("mx", aggregate(col("vd"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .withColumn("qarr", transform(col("vd"), x =>
+          when(col("mx") === 0.0, lit(0L))
+            .otherwise(round(x * 127.0 / col("mx")).cast("long"))))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("qarr").as("query_v"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("dot_q",
+          aggregate(zip_with(col("query_v"), col("qarr"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v))
+        .orderBy(col("dot_q").desc, col("vec_id"))
+        .limit(20)
+        .withColumn("rank_sem", row_number().over(
+          Window.orderBy(col("dot_q").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("rank_sem"))
+      lex.join(sem, Seq("doc_id"), "fullOuter")
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(-1L)).as("rank_lex"),
+          coalesce(col("rank_sem"), lit(-1L)).as("rank_sem"),
+          (coalesce(expr("1000000000000 DIV (60 + rank_lex)"), lit(0L)) +
+            coalesce(expr("1000000000000 DIV (60 + rank_sem)"), lit(0L)))
+            .as("rrf_scaled"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    },
+
+    // SEEDED NEGATIVE SAMPLING for contrastive training: per sampled
+    // customer, k=10 parts they did NOT buy, drawn by the oracled
+    // universal hash family (candidate j ↦ part uhash(j, custkey) mod
+    // |parts|, j = 0..29) and anti-joined against their positives —
+    // the (anchor, negative) pair generator every embedding trainer
+    // needs, with NO randomness source (re-runs and both engines
+    // agree). Plan: candidates are generated IN-ROW (explode over a
+    // 30-element sequence), the positive check is one co-keyed
+    // (customer, part) anti join, survivor rank = candidate index —
+    // linear in customers, no corpus-sized broadcast, no RNG state.
+    // Collisions dedup to the smallest j; customers keep < k
+    // negatives only if > 20 of 30 candidates hit positives.
+    "q254_negative_sampling" -> { (s, dir) =>
+      val nPartsDf = Tables.table(s, dir, "part")
+        .agg((max(col("p_partkey")) + 1).as("np"))
+      val pos = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+        .distinct()
+      val cands = Tables.table(s, dir, "customer")
+        .filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("custkey"))
+        .crossJoin(broadcast(nPartsDf))
+        .select(col("custkey"), explode(expr(
+          """transform(sequence(0, 29), j -> struct(CAST(j AS BIGINT) AS j,
+            |  ((((j*2654435761 % 1073741824)*2+1) * (custkey % 4294967291) +
+            |    (j*40503+778797) % 1073741824) % 4294967291) % np AS partkey))"""
+            .stripMargin)).as("c"))
+        .select(col("custkey"), col("c.j").as("j"), col("c.partkey").as("partkey"))
+        .groupBy(col("custkey"), col("partkey")).agg(min(col("j")).as("j"))
+      val w = Window.partitionBy(col("custkey")).orderBy(col("j"))
+      cands.join(pos, Seq("custkey", "partkey"), "leftAnti")
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 10)
+        .select(col("custkey"), col("neg_rank"), col("partkey"))
+        .orderBy(col("custkey"), col("neg_rank"))
+    },
+
+    // STREAMING FULL OUTER interval join — the completion of the
+    // stream-stream outer-join matrix (q76 inner, q193 left): clicks
+    // with no preceding-hour view AND views claimed by no following
+    // click both emit exactly once on watermark passage. See
+    // EventStream.fullOuterJoinRollup for the view-side hold-until-
+    // released state machine and the sentinel-advanced drain that
+    // makes the answer provably equal the batch FULL JOIN below.
+    "q250_stream_full_outer" -> { (s, dir) =>
+      graft.streaming.EventStream.fullOuterJoinRollup(s, dir)
+    },
+
+    // CHAINED STATEFUL STREAMING (stream-stream interval join → an
+    // append-mode windowed aggregation in ONE query): hourly
+    // attributed view volume per click hour. Exercises watermark
+    // propagation BETWEEN stateful operators — the multi-stateful
+    // pipeline shape single-operator queries never touch. Oracle =
+    // the batch join + hourly rollup the drained stream converges to.
+    "q251_stream_chain" -> { (s, dir) =>
+      graft.streaming.EventStream.chainedWindowRollup(s, dir)
+    },
   )
 
   // DuckDB restatement: the same total-order "first following" via a
@@ -410,5 +558,112 @@ object AnalyticsQueries8 extends QueryPack {
         |  FROM ss WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
         |SELECT path, count(*) AS cnt FROM tri WHERE s2 = sid GROUP BY 1
         |ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
+
+    "q252_containment_decon" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |gr AS (SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      cdi -> array_to_string(wt[(CAST(cdi AS INT)+1):(CAST(cdi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM w),
+        |items AS (SELECT doc_id AS item_id, ngram FROM gr WHERE source = 'src0'),
+        |itn AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM items GROUP BY 1),
+        |sh AS (SELECT doc_id, item_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM (SELECT doc_id, ngram FROM gr WHERE source <> 'src0') c
+        |  JOIN items USING (ngram) GROUP BY 1, 2)
+        |SELECT doc_id, item_id, n_shared, n_item,
+        |  n_shared * 1000000 // n_item AS contain_ppm
+        |FROM sh JOIN itn USING (item_id)
+        |WHERE n_shared >= 3 ORDER BY doc_id, item_id""".stripMargin,
+
+    "q253_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt FROM documents),
+        |lexb AS (SELECT doc_id, CAST(len(wt) AS BIGINT) AS dl,
+        |    CAST(list_contains(wt, 'table') AS BIGINT)
+        |    + CAST(list_contains(wt, 'join') AS BIGINT)
+        |    + CAST(list_contains(wt, 'window') AS BIGINT)
+        |    + CAST(list_contains(wt, 'stream') AS BIGINT) AS n_hit FROM w),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY n_hit DESC, dl, doc_id) AS BIGINT) AS rank_lex
+        |  FROM lexb WHERE n_hit >= 1
+        |  QUALIFY rank_lex <= 20),
+        |n AS (SELECT vec_id,
+        |    list_transform(embedding, rfx -> CAST(rfx AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, vd,
+        |    list_reduce(list_transform(vd, rfa -> abs(rfa)),
+        |      (rfu, rfw) -> greatest(rfu, rfw)) AS mx FROM n),
+        |q8 AS (SELECT vec_id,
+        |    list_transform(vd, rfy -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(rfy*127.0/mx) AS BIGINT) END) AS qarr FROM m),
+        |qv AS (SELECT qarr AS query_v FROM q8 WHERE vec_id = 0),
+        |sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
+        |    list_reduce(list_transform(range(1, len(query_v)+1),
+        |      rfi -> query_v[rfi] * qarr[rfi]), (rfs, rft) -> rfs + rft) DESC,
+        |    vec_id) AS BIGINT) AS rank_sem
+        |  FROM q8, qv WHERE vec_id <> 0
+        |  QUALIFY rank_sem <= 20)
+        |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |  coalesce(rank_lex, -1) AS rank_lex,
+        |  coalesce(rank_sem, -1) AS rank_sem,
+        |  coalesce(1000000000000 // (60 + rank_lex), 0)
+        |  + coalesce(1000000000000 // (60 + rank_sem), 0) AS rrf_scaled
+        |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf_scaled DESC, doc_id""".stripMargin,
+
+    "q254_negative_sampling" -> {
+      val uh = Q.uhashSql("(CAST(r.nsj AS BIGINT))", "(c.c_custkey % 4294967291)")
+      s"""WITH pos AS (SELECT DISTINCT o.o_custkey AS custkey,
+         |    l.l_partkey AS partkey
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |np AS (SELECT max(p_partkey) + 1 AS np FROM part),
+         |cand AS (SELECT custkey, min(nsj) AS j, partkey FROM (
+         |    SELECT c.c_custkey AS custkey, CAST(r.nsj AS BIGINT) AS nsj,
+         |      ($uh) % np.np AS partkey
+         |    FROM customer c, range(30) r(nsj), np
+         |    WHERE c.c_custkey % 20 = 0)
+         |  GROUP BY custkey, partkey),
+         |surv AS (SELECT cand.custkey, cand.j, cand.partkey,
+         |    CAST(row_number() OVER (PARTITION BY cand.custkey
+         |      ORDER BY cand.j) AS BIGINT) AS neg_rank
+         |  FROM cand ANTI JOIN pos
+         |    ON pos.custkey = cand.custkey AND pos.partkey = cand.partkey)
+         |SELECT custkey, neg_rank, partkey FROM surv
+         |WHERE neg_rank <= 10 ORDER BY custkey, neg_rank""".stripMargin
+    },
+
+    "q250_stream_full_outer" ->
+      """WITH c AS (SELECT event_id AS cid, user_id AS cu, epoch_ns(ts) AS cns
+        |    FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS vid, user_id AS vu, epoch_ns(ts) AS vns,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT coalesce(c.cu, v.vu) AS u, c.cid, v.vid, v.vc
+        |  FROM c FULL JOIN v ON v.vu = c.cu AND v.vns <= c.cns
+        |    AND v.vns >= c.cns - 3600000000000)
+        |SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN cid IS NOT NULL AND vid IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS n_matched,
+        |  CAST(count(CASE WHEN vid IS NULL THEN 1 END) AS BIGINT) AS n_click_only,
+        |  CAST(count(CASE WHEN cid IS NULL THEN 1 END) AS BIGINT) AS n_view_only,
+        |  CAST(coalesce(sum(CASE WHEN vid IS NOT NULL THEN vc END), 0)
+        |    AS BIGINT) AS view_value_c
+        |FROM j GROUP BY u ORDER BY u""".stripMargin,
+
+    "q251_stream_chain" ->
+      """WITH c AS (SELECT user_id AS cu, epoch_ns(ts) AS cns,
+        |    date_trunc('hour', ts) AS chour
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS vu, epoch_ns(ts) AS vns,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'view')
+        |SELECT strftime(chour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(vc) AS BIGINT) AS view_value_c
+        |FROM c JOIN v ON v.vu = c.cu AND v.vns <= c.cns
+        |  AND v.vns >= c.cns - 3600000000000
+        |GROUP BY chour ORDER BY hour_start""".stripMargin,
   )
 }

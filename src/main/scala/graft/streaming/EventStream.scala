@@ -229,16 +229,31 @@ object EventStream {
     * a trailing no-data batch. Sentinels carry negative ids and are
     * dropped before the rollup. The final answer provably equals the
     * batch LEFT JOIN the oracle runs. */
-  def outerJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared watermark-drain harness: replays the events table through
+    * a scratch directory as ordered file drops — the real rows, then
+    * two far-future sentinel drops (one click + one view each, so BOTH
+    * sides' watermarks advance) — and returns a thunk opening the
+    * stream source over them. Every rollup whose answer is only
+    * deterministic once the watermark provably passes each real row
+    * (outer-join unmatched emission, append-mode window flush) uses
+    * this: with 2 files per trigger, batch 0 = real data + sentinel 1
+    * (so the watermark computed at its end already exceeds every real
+    * row's eviction/emission bound) and batch 1 = sentinel 2 (applies
+    * it and drains the state) — no dependence on whether the engine
+    * schedules a trailing no-data batch. The real-data drop is
+    * coalesced to ONE file so it cannot fan into one micro-batch per
+    * shuffle partition (~30 state-store commit rounds for nothing);
+    * production replaces the replay with a live source. Sentinels
+    * carry negative ids/users and are dropped before each rollup. */
+  private def sentinelReplay(spark: SparkSession, tag: String,
+      sfDir: String): () => DataFrame = {
     import graft.queries.Q
-    val name = "graft_stream_outer_" + math.abs(sfDir.hashCode).toString
-    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
-    val drops = java.nio.file.Paths.get(Q.scratchDir(spark, "graft_stream_outer"))
+    val drops = java.nio.file.Paths.get(Q.scratchDir(spark, tag))
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("CAST(round(value*100) AS BIGINT)").as("value_c"),
         timestamp_micros(expr("ts_ns DIV 1000")).as("ets"))
-    val maxNs = ev.agg(max(unix_micros(col("ets")))).collect()(0).getLong(0) // 1-row scalar
+    val maxUs = ev.agg(max(unix_micros(col("ets")))).collect()(0).getLong(0) // 1-row scalar
     def sentinel(idBase: Long, us: Long): DataFrame =
       spark.range(1).select(
         lit(idBase).as("event_id"), lit(-1L).as("user_id"),
@@ -249,22 +264,15 @@ object EventStream {
           lit("view").as("event_type"), lit(0L).as("value_c"),
           timestamp_micros(lit(us)).as("ets")))
     val day = 86400L * 1000000L
-    // one file per drop: maxFilesPerTrigger=1 makes each drop one
-    // micro-batch, so the whole run is exactly 3 batches (real data,
-    // sentinel, sentinel) — without the coalesce the real-data drop
-    // would fan into one batch PER shuffle partition and the harness
-    // would pay ~30 state-store commit rounds for nothing. Production
-    // replaces the scratch replay with a live source; the coalesce is
-    // harness-only.
     val parts = Seq(ev.coalesce(1),
-      sentinel(-1L, maxNs + 30 * day), sentinel(-3L, maxNs + 60 * day))
+      sentinel(-1L, maxUs + 30 * day), sentinel(-3L, maxUs + 60 * day))
     val streamDir = drops.resolve("stream")
     java.nio.file.Files.createDirectories(streamDir)
     parts.zipWithIndex.foreach { case (df, i) =>
       val tmp = drops.resolve(s"tmp$i")
       df.write.mode("overwrite").parquet(tmp.toString)
       // flatten to one ordered file per drop; mtime drives the file
-      // source's processing order under maxFilesPerTrigger=1
+      // source's processing order under maxFilesPerTrigger
       val files = java.nio.file.Files.list(tmp).iterator()
       var k = 0
       while (files.hasNext) {
@@ -278,18 +286,43 @@ object EventStream {
       }
     }
     val schema = spark.read.parquet(streamDir.toString).schema
-    // 2 files per trigger: batch 0 = real data + sentinel 1 (so the
-    // watermark computed at its end already exceeds every real
-    // click's eviction bound), batch 1 = sentinel 2 (applies it and
-    // drains the state). One fewer batch round per source than
-    // 1-file pacing, same deterministic drain.
-    def src = spark.readStream.schema(schema)
+    () => spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(streamDir.toString)
-    val clicks = src.filter(col("event_type") === "click")
+  }
+
+  /** Runs `df` as an append-mode streaming query into a memory sink
+    * named `name`, drained to completion, and returns the sink table.
+    * No-data micro-batches exist to evict state when the watermark
+    * advances with nothing arriving — under sentinelReplay eviction is
+    * driven by the sentinel BATCHES themselves (batch N+1 applies
+    * batch N's watermark), so the extra empty batches only add
+    * state-store commit rounds; they are disabled for the run. */
+  private def runDrained(spark: SparkSession, name: String,
+      df: DataFrame): DataFrame = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    try withStatePartitions(spark, 2) {
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally oldNoData match {
+      case Some(v) => spark.conf.set(noDataKey, v)
+      case None => spark.conf.unset(noDataKey)
+    }
+    spark.table(name)
+  }
+
+  def outerJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_outer_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val src = sentinelReplay(spark, "graft_stream_outer", sfDir)
+    val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
         col("ets").as("cets"))
       .withWatermark("cets", "1 minute")
-    val views = src.filter(col("event_type") === "view")
+    val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
         col("ets").as("vets"), col("value_c"))
       .withWatermark("vets", "1 minute")
@@ -298,27 +331,9 @@ object EventStream {
         col("vets") >= col("cets") - expr("INTERVAL 1 HOUR") &&
         col("vets") <= col("cets"),
       "leftOuter")
-    // No-data micro-batches exist to evict state when the watermark
-    // advances with nothing arriving — here eviction is driven by the
-    // sentinel BATCHES themselves (batch N+1 applies batch N's
-    // watermark), so the extra empty batches only add state-store
-    // commit rounds. Disabling them halves the batch count without
-    // touching the drained answer.
-    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val oldNoData = spark.conf.getOption(noDataKey)
-    spark.conf.set(noDataKey, "false")
-    try withStatePartitions(spark, 2) {
-      val q = joined
+    runDrained(spark, name, joined
         .select(col("click_id"), col("c_uid").as("user_id"),
-          col("view_id"), col("value_c"))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally oldNoData match {
-      case Some(v) => spark.conf.set(noDataKey, v)
-      case None => spark.conf.unset(noDataKey)
-    }
-    spark.table(name)
+          col("view_id"), col("value_c")))
       .filter(col("click_id") >= 0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -326,6 +341,99 @@ object EventStream {
         countDistinct(col("click_id")).as("n_clicks"),
         coalesce(sum(col("value_c")), lit(0L)).as("matched_value_c"))
       .orderBy(col("user_id"))
+  }
+
+  /** Stream-stream FULL OUTER interval join (q250): the completion of
+    * the outer-join matrix q76 (inner) and q193 (left) leave open —
+    * clicks with no view in the preceding hour AND views that precede
+    * no click within the following hour both emit, each exactly once,
+    * when the watermark proves no partner can still arrive. The view
+    * side's unmatched emission is the genuinely new state machine
+    * here: a view must be HELD until the watermark passes the last
+    * click time that could still claim it (its own time + 1 h), then
+    * released as a null-click row — the same sentinel-advanced drain
+    * makes that deterministic. At scale, state is bounded by the
+    * interval + watermark delay on both sides; everything partitions
+    * by user_id. The answer provably equals the batch FULL JOIN the
+    * oracle runs. */
+  def fullOuterJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_fouter_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val src = sentinelReplay(spark, "graft_stream_fouter", sfDir)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("ets").as("cets"))
+      .withWatermark("cets", "1 minute")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
+        col("ets").as("vets"), col("value_c"))
+      .withWatermark("vets", "1 minute")
+    val joined = clicks.join(views,
+      col("c_uid") === col("v_uid") &&
+        col("vets") >= col("cets") - expr("INTERVAL 1 HOUR") &&
+        col("vets") <= col("cets"),
+      "fullOuter")
+    runDrained(spark, name, joined
+        .select(coalesce(col("c_uid"), col("v_uid")).as("user_id"),
+          col("click_id"), col("view_id"), col("value_c")))
+      .filter(col("user_id") >= 0) // sentinels carry user -1
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("click_id").isNotNull && col("view_id").isNotNull, 1))
+          .as("n_matched"),
+        count(when(col("view_id").isNull, 1)).as("n_click_only"),
+        count(when(col("click_id").isNull, 1)).as("n_view_only"),
+        coalesce(sum(when(col("view_id").isNotNull, col("value_c"))), lit(0L))
+          .as("view_value_c"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CHAINED stateful operators in one streaming query (q251): a
+    * stream-stream time-interval join whose output feeds an
+    * append-mode event-time windowed aggregation — two stateful
+    * operators back to back, the shape Spark only made correct with
+    * watermark propagation between stateful operators (late-record
+    * filtering at the second operator uses the join-adjusted
+    * watermark; single-operator queries never exercise that path).
+    * Semantics: hourly attributed view volume — for every (click,
+    * same-user view in the preceding hour) pair, count pairs and sum
+    * view value into the CLICK's hour. Each window flushes exactly
+    * once when the sentinel-advanced watermark passes its end; the
+    * sentinel pair (which matches itself) is filtered between the two
+    * stateful operators, which is a stateless projection and costs
+    * nothing. State: join buffers bounded by interval + delay,
+    * aggregation state bounded by open windows — both per-user/
+    * per-window partitioned at 100 TB. */
+  def chainedWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_chain_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val src = sentinelReplay(spark, "graft_stream_chain", sfDir)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("ets").as("cets"))
+      .withWatermark("cets", "1 minute")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
+        col("ets").as("vets"), col("value_c"))
+      .withWatermark("vets", "1 minute")
+    val joined = clicks.join(views,
+      col("c_uid") === col("v_uid") &&
+        col("vets") >= col("cets") - expr("INTERVAL 1 HOUR") &&
+        col("vets") <= col("cets"))
+      .filter(col("click_id") >= 0) // drop the self-matching sentinel pair
+    // distinct aggregates are unsupported INSIDE a stream (q193's
+    // countDistinct runs on the drained sink table, a batch frame);
+    // the windowed agg sticks to algebraic count/sum, which is also
+    // the only shape whose partial aggregation stays map-side at scale
+    val agg = joined
+      .groupBy(window(col("cets"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value_c")).as("view_value_c"))
+    runDrained(spark, name, agg
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+          col("n_pairs"), col("view_value_c")))
+      .orderBy(col("hour_start"))
   }
 
   /** Stream-STATIC broadcast enrichment (q101): the streaming side of

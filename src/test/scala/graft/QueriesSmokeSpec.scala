@@ -70,6 +70,14 @@ class QueriesSmokeSpec extends SparkSpec {
     // q239 attaches the 1-row world total — the scalar shape; the
     // nation/region shares themselves are equi-keyed hash joins.
     "q239_ratio_to_parent" -> 1,
+    // q253's semantic leg attaches the 1-row broadcast query vector
+    // (the q27/q88 broadcast-queries scan with exactly one query);
+    // the RRF fusion join is doc_id-keyed hash over 20∪20 rows.
+    "q253_hybrid_rrf" -> 1,
+    // q254 attaches the 1-row part-count scalar to the anchor set —
+    // the q85/q86 scalar shape; the positives anti join is
+    // (custkey, partkey)-keyed hash.
+    "q254_negative_sampling" -> 1,
     // q228 pairs each type's 64-row KMV sketch with the ~5-row type
     // list to build union sketches — both sides are O(k·types)
     // sketch-sized by construction (never the events table), the
