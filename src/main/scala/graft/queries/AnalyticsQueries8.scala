@@ -392,6 +392,144 @@ object AnalyticsQueries8 extends QueryPack {
         .orderBy(col("custkey"), col("neg_rank"))
     },
 
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION, audited: the
+    // dimensionality-reduction lever between full-precision scan
+    // (q27/q88) and PQ (q78) — project the int8-quantized 64-dim
+    // corpus to 16 dims through a FIXED ±1 sign matrix (generated
+    // once in the driver from a deterministic recurrence and embedded
+    // as literals in BOTH engines, so the projection is exact integer
+    // arithmetic end to end), then rank by the 16-dim dot and report,
+    // for the exact top-10, whether the projected index would have
+    // found each hit. 4× fewer multiplies and 4× less residency per
+    // scan row; the audit column IS the recall measurement (the
+    // q131 pattern). Projection is array-local per row — the corpus
+    // never shuffles; the query row is a 1-row broadcast.
+    "q255_random_projection" -> { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("mx", aggregate(col("vd"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .withColumn("qarr", transform(col("vd"), x =>
+          when(col("mx") === 0.0, lit(0L))
+            .otherwise(round(x * 127.0 / col("mx")).cast("long"))))
+        .select(col("vec_id"), col("qarr"))
+      def projected(df: org.apache.spark.sql.DataFrame) =
+        Q.jlSigns.zipWithIndex.foldLeft(df) { case (d, (row, i)) =>
+          d.withColumn(s"p$i",
+            aggregate(zip_with(col("qarr"), typedLit(row), (v, sg) => v * sg),
+              lit(0L), (a, x) => a + x))
+        }
+      val qrow = projected(emb.filter(col("vec_id") === 0))
+        .select(col("qarr").as("qv") +:
+          Q.jlSigns.indices.map(i => col(s"p$i").as(s"qp$i")): _*)
+      val scored = projected(emb.filter(col("vec_id") =!= 0))
+        .crossJoin(broadcast(qrow))
+        .withColumn("dot64",
+          aggregate(zip_with(col("qv"), col("qarr"), (x, y) => x * y),
+            lit(0L), (a, v) => a + v))
+        .withColumn("dot16",
+          Q.jlSigns.indices.map(i => col(s"qp$i") * col(s"p$i"))
+            .reduce(_ + _))
+        .select(col("vec_id").as("cid"), col("dot64"), col("dot16"))
+      val exact = scored.orderBy(col("dot64").desc, col("cid")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dot64").desc, col("cid"))).cast("long"))
+      val proj = scored.orderBy(col("dot16").desc, col("cid")).limit(10)
+        .select(col("cid"), lit(1L).as("in_proj"))
+      exact.join(proj, Seq("cid"), "left")
+        .select(col("rank"), col("cid"), col("dot64"), col("dot16"),
+          coalesce(col("in_proj"), lit(0L)).as("in_proj_top10"))
+        .orderBy(col("rank"))
+    },
+
+    // AMS (Tug-of-War) SECOND-MOMENT SKETCH, audited: F₂ = Σ_k c_k²
+    // — the join/self-join size and skew statistic (q201 estimates a
+    // specific join's output; F₂ is the key-distribution moment
+    // behind it). Each of 8 estimators keeps ONE counter: the signed
+    // sum Σ s_r(user)·(count of that user) = one ±1 per EVENT, so
+    // the whole sketch is an 8-lane explode + one 8-group sum —
+    // mergeable, O(1) state, map-side partial. Its square estimates
+    // F₂ unbiasedly; the row shows each estimator NEXT TO the exact
+    // moment (computed the expensive groupBy-user way), signed error
+    // included — the q105/q205 estimate-beside-exact contract.
+    // Squares and the exact sum are widened to DECIMAL(38,0) BEFORE
+    // aggregation (the q235 overflow policy: sum_r² clears 2⁶³ once
+    // event counts pass ~3e9).
+    "q256_ams_f2" -> { (s, dir) =>
+      val p = 4294967291L
+      val lanes = (0 until 8).map { r =>
+        val (a, b) = graft.operators.Dedup.affine(25600 + r)
+        struct(lit(r.toLong).as("r"), lit(a).as("ha"), lit(b).as("hb"))
+      }
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val sums = ev
+        .select(explode(array(lanes: _*)).as("l"), col("user_id"))
+        .select(col("l.r").as("r"),
+          (lit(1L) - lit(2L) * pmod(
+            pmod(col("l.ha") * pmod(col("user_id"), lit(p)) + col("l.hb"), lit(p)),
+            lit(2L))).as("sgn"))
+        .groupBy(col("r")).agg(sum(col("sgn")).as("sum_r"))
+      // decimal(19,0) × decimal(19,0) = decimal(38,0) EXACTLY — the
+      // operands widen BEFORE the multiply (q235 policy), never a
+      // 64-bit product that wraps first
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("f2_exact"))
+      val xr = (col("sum_r").cast("decimal(19,0)")
+        * col("sum_r").cast("decimal(19,0)")).cast("decimal(38,0)")
+      sums.crossJoin(broadcast(exact))
+        .select(col("r"), col("sum_r"), xr.as("x_r"),
+          col("f2_exact"),
+          (xr - col("f2_exact")).cast("decimal(38,0)").as("err"))
+        .orderBy(col("r"))
+    },
+
+    // ATTRIBUTION-WINDOW SWEEP: view→click conversion rate under
+    // THREE candidate attribution windows (1 h / 6 h / 24 h) from ONE
+    // pass — the parameter-sweep pattern (q237's lane explode) that
+    // answers "which window should the funnel use" without rescanning
+    // per candidate. The per-view gap to its first following click is
+    // computed ONCE on the reversed-sort running frame (q243's O(n)
+    // machinery); the sweep is an array-local 3-lane explode of that
+    // row, partial-aggregating map-side into 3 groups. A naive sweep
+    // runs the funnel 3× — this is why it never has to.
+    "q257_attribution_sweep" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val views = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type").as("kind"))
+        .withColumn("nc", min(when(col("kind") === "click",
+          struct(col("ts_ns"), col("event_id")))).over(w))
+        .filter(col("kind") === "view")
+        .select(col("ts_ns"), col("nc.ts_ns").as("c_ts"))
+      views
+        .select(col("ts_ns"), col("c_ts"),
+          explode(typedLit(Seq(3600L, 21600L, 86400L))).as("w_s"))
+        .groupBy(col("w_s"))
+        .agg(count(lit(1)).as("n_views"),
+          count(when(col("c_ts").isNotNull &&
+            col("c_ts") <= col("ts_ns") + col("w_s") * lit(1000000000L), 1))
+            .as("n_conv"))
+        .select(col("w_s"), col("n_views"), col("n_conv"),
+          expr("n_conv * 1000000 DIV n_views").as("cvr_ppm"))
+        .orderBy(col("w_s"))
+    },
+
+    // foreachBatch IDEMPOTENT MERGE SINK: the exactly-once write
+    // pattern for external stores without a transactional Spark
+    // connector — per-batch latest-record compactions fold
+    // associatively into a batchId-VERSIONED parquet state (a
+    // replayed batch rewrites its own version from version−1, never
+    // double-applies). Two ordered change-log drops; the final
+    // version provably equals the q106 batch compaction. See
+    // EventStream.foreachBatchMergeRollup. q130 keeps this state in
+    // the ENGINE's store; this keeps it where production sinks live.
+    "q258_stream_foreachbatch" -> { (s, dir) =>
+      graft.streaming.EventStream.foreachBatchMergeRollup(s, dir)
+    },
+
     // STREAMING FULL OUTER interval join — the completion of the
     // stream-stream outer-join matrix (q76 inner, q193 left): clicks
     // with no preceding-hour view AND views claimed by no following
@@ -633,6 +771,94 @@ object AnalyticsQueries8 extends QueryPack {
          |SELECT custkey, neg_rank, partkey FROM surv
          |WHERE neg_rank <= 10 ORDER BY custkey, neg_rank""".stripMargin
     },
+
+    "q258_stream_foreachbatch" ->
+      """WITH r AS (SELECT *, CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |n AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT r.o_custkey, r.o_orderkey AS latest_orderkey,
+        |  r.ms AS latest_order_ms,
+        |  CAST(round(r.o_totalprice*100) AS BIGINT) AS latest_price_c,
+        |  r.o_orderstatus AS latest_status, n.n_orders
+        |FROM r JOIN n USING (o_custkey) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q255_random_projection" -> {
+      val lists = Q.jlSigns.map(row => "list_value(" + row.mkString(",") + ")")
+        .mkString("[", ", ", "]")
+      s"""WITH n AS (SELECT vec_id,
+         |    list_transform(embedding, jlx -> CAST(jlx AS DOUBLE)) AS vd
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, vd,
+         |    list_reduce(list_transform(vd, jla -> abs(jla)),
+         |      (jlu, jlw) -> greatest(jlu, jlw)) AS mx FROM n),
+         |q8 AS (SELECT vec_id,
+         |    list_transform(vd, jly -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(round(jly*127.0/mx) AS BIGINT) END) AS qarr FROM m),
+         |sg AS (SELECT unnest(range(0, 16)) AS d, unnest($lists) AS sv),
+         |pr AS (SELECT vec_id, d,
+         |    list_reduce(list_transform(range(1, 65),
+         |      jli -> qarr[jli] * sv[jli]), (jls, jlt) -> jls + jlt) AS p
+         |  FROM q8, sg),
+         |qq AS (SELECT qarr AS qv FROM q8 WHERE vec_id = 0),
+         |d16 AS (SELECT c.vec_id AS cid, sum(qp.p * c.p) AS dot16
+         |  FROM pr c JOIN (SELECT d, p FROM pr WHERE vec_id = 0) qp USING (d)
+         |  WHERE c.vec_id <> 0 GROUP BY 1),
+         |d64 AS (SELECT c.vec_id AS cid,
+         |    list_reduce(list_transform(range(1, 65),
+         |      jlj -> qq.qv[jlj] * c.qarr[jlj]), (jlm, jln) -> jlm + jln) AS dot64
+         |  FROM q8 c, qq WHERE c.vec_id <> 0),
+         |sc AS (SELECT cid, dot64, dot16 FROM d64 JOIN d16 USING (cid)),
+         |ex AS (SELECT cid, dot64, dot16, CAST(row_number() OVER
+         |    (ORDER BY dot64 DESC, cid) AS BIGINT) AS rank
+         |  FROM sc QUALIFY rank <= 10),
+         |pj AS (SELECT cid, CAST(1 AS BIGINT) AS in_proj FROM sc
+         |  QUALIFY row_number() OVER (ORDER BY dot16 DESC, cid) <= 10)
+         |SELECT ex.rank, ex.cid, ex.dot64, CAST(ex.dot16 AS BIGINT) AS dot16,
+         |  coalesce(pj.in_proj, 0) AS in_proj_top10
+         |FROM ex LEFT JOIN pj USING (cid) ORDER BY rank""".stripMargin
+    },
+
+    "q256_ams_f2" -> {
+      val uh = Q.uhashSql("(l.r + 25600)", "(e.user_id % 4294967291)")
+      s"""WITH l AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS r),
+         |s AS (SELECT l.r,
+         |    CAST(1 AS BIGINT) - 2 * (($uh) % 2) AS sgn
+         |  FROM events e, l),
+         |sr AS (SELECT r, CAST(sum(sgn) AS BIGINT) AS sum_r FROM s GROUP BY 1),
+         |ex AS (SELECT CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+         |      AS DECIMAL(38,0)) AS f2_exact
+         |  FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
+         |SELECT r, sum_r,
+         |  CAST(CAST(sum_r AS HUGEINT) * sum_r AS DECIMAL(38,0)) AS x_r,
+         |  f2_exact,
+         |  CAST(CAST(sum_r AS HUGEINT) * sum_r
+         |    - CAST(f2_exact AS HUGEINT) AS DECIMAL(38,0)) AS err
+         |FROM sr, ex ORDER BY r""".stripMargin
+    },
+
+    "q257_attribution_sweep" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    event_type AS kind
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT *,
+        |    min(CASE WHEN kind = 'click'
+        |        THEN CAST(ts_ns AS HUGEINT) * 4294967296 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nck
+        |  FROM e),
+        |v AS (SELECT ts_ns, CAST(nck // 4294967296 AS BIGINT) AS c_ts
+        |  FROM m WHERE kind = 'view'),
+        |l AS (SELECT CAST(unnest([3600, 21600, 86400]) AS BIGINT) AS w_s)
+        |SELECT w_s, CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(count(CASE WHEN c_ts IS NOT NULL
+        |    AND c_ts <= ts_ns + w_s * 1000000000 THEN 1 END) AS BIGINT) AS n_conv,
+        |  count(CASE WHEN c_ts IS NOT NULL
+        |    AND c_ts <= ts_ns + w_s * 1000000000 THEN 1 END)
+        |    * 1000000 // count(*) AS cvr_ppm
+        |FROM v, l GROUP BY w_s ORDER BY w_s""".stripMargin,
 
     "q250_stream_full_outer" ->
       """WITH c AS (SELECT event_id AS cid, user_id AS cu, epoch_ns(ts) AS cns

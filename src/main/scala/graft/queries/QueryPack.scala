@@ -112,6 +112,18 @@ object Q {
     s"(((((($iExpr)*2654435761) % 1073741824)*2+1) * ($x) + " +
       s"((($iExpr)*40503+778797) % 1073741824)) % 4294967291)"
 
+  /** Fixed ±1 Johnson-Lindenstrauss sign matrix (16 projected dims ×
+    * 64 input dims) from a deterministic Knuth-multiplicative
+    * recurrence — generated ONCE here and embedded as literals in
+    * both the Spark plan and the DuckDB oracle (q255), so the
+    * projection is identical integer arithmetic on both engines by
+    * construction rather than by re-derivation. */
+  val jlSigns: Seq[Seq[Long]] =
+    (0 until 16).map(d => (0 until 64).map { i =>
+      if ((d * 64 + i + 1).toLong * 2654435761L % 4294967291L % 2 == 0) 1L
+      else -1L
+    })
+
   /** Strict left-fold Σ CAST(a[i] AS DOUBLE)·CAST(b[i] AS DOUBLE) —
     * same IEEE order as the graft kernels/DotProduct expression
     * (0.0-seeded fold ≡ fold from first element; DotProduct returns

@@ -436,6 +436,98 @@ object EventStream {
       .orderBy(col("hour_start"))
   }
 
+  /** foreachBatch IDEMPOTENT MERGE SINK (q258): the production
+    * exactly-once pattern for sinks Spark has no transactional
+    * connector for — each micro-batch MERGES into a versioned
+    * external store keyed by batchId, so a replayed batch (failure →
+    * restart re-delivers the last uncommitted batch) overwrites its
+    * own version instead of double-applying. Here the orders change
+    * log arrives as TWO ordered file drops (maxFilesPerTrigger=1);
+    * foreachBatch folds each batch's latest-per-customer compaction
+    * into state_v<batchId> = merge(state_v<batchId-1>, batch) — an
+    * associative max_by fold, so ANY batch slicing converges to the
+    * batch q106 compaction (the q130 invariant, but with state in an
+    * EXTERNAL parquet store instead of the engine's state store: what
+    * you run when the sink is a database). The final version is the
+    * answer. At scale each merge is one co-keyed shuffle of
+    * (customers-in-batch ∪ changed-state) — never the full history. */
+  def foreachBatchMergeRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.Q
+    val root = java.nio.file.Paths.get(Q.scratchDir(spark, "graft_stream_febatch"))
+    val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), ms.as("ms"),
+        expr("CAST(round(o_totalprice*100) AS BIGINT)").as("pc"),
+        col("o_orderstatus"))
+    // two ordered drops, split by order key parity (arbitrary but
+    // deterministic); mtime drives file-source order
+    val streamDir = root.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    Seq(orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 === 1))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = root.resolve(s"tmp$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val files = java.nio.file.Files.list(tmp).iterator()
+        var k = 0
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.toString.endsWith(".parquet")) {
+            val dst = streamDir.resolve(f"$i%02d_$k%04d.parquet")
+            java.nio.file.Files.move(f, dst)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+            k += 1
+          }
+        }
+      }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    def compact(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(max_by(struct(col("o_orderkey"), col("ms"), col("pc"),
+          col("o_orderstatus")), struct(col("ms"), col("o_orderkey"))).as("latest"),
+        count(lit(1)).as("n_orders"))
+    var lastVersion = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = root.resolve(s"state_v${batchId - 1}")
+        val cur = compact(batch)
+        val merged =
+          if (java.nio.file.Files.exists(prev)) {
+            val old = spark.read.parquet(prev.toString)
+            // associative fold: latest-of(old, new) per key, counts add
+            compact(old.select(col("o_custkey"), col("latest.o_orderkey"),
+                col("latest.ms"), col("latest.pc"), col("latest.o_orderstatus"))
+              .union(cur.select(col("o_custkey"), col("latest.o_orderkey"),
+                col("latest.ms"), col("latest.pc"), col("latest.o_orderstatus"))))
+              .drop("n_orders")
+              .join(old.select(col("o_custkey"), col("n_orders").as("n_old"))
+                .join(cur.select(col("o_custkey"), col("n_orders").as("n_new")),
+                  Seq("o_custkey"), "fullOuter")
+                .select(col("o_custkey"),
+                  (coalesce(col("n_old"), lit(0L))
+                    + coalesce(col("n_new"), lit(0L))).as("n_orders")),
+                Seq("o_custkey"))
+          } else cur
+        // idempotence: the version is keyed by batchId — a replayed
+        // batch rewrites state_v<id> from state_v<id-1>, never
+        // double-applies
+        merged.write.mode("overwrite")
+          .parquet(root.resolve(s"state_v$batchId").toString)
+        lastVersion = math.max(lastVersion, batchId)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(root.resolve(s"state_v$lastVersion").toString)
+      .select(col("o_custkey"),
+        col("latest.o_orderkey").as("latest_orderkey"),
+        col("latest.ms").as("latest_order_ms"),
+        col("latest.pc").as("latest_price_c"),
+        col("latest.o_orderstatus").as("latest_status"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Stream-STATIC broadcast enrichment (q101): the streaming side of
     * the reference's audio-lookup join (dataLoader.py:5–13 — a small
     * dimension consulted per item). The dimension is a plain BATCH

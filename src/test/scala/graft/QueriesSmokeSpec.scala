@@ -70,6 +70,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // q239 attaches the 1-row world total — the scalar shape; the
     // nation/region shares themselves are equi-keyed hash joins.
     "q239_ratio_to_parent" -> 1,
+    // q255's scored frame attaches the 1-row broadcast query vector
+    // (the q27/q88 single-query scan); referenced by BOTH top-10 legs
+    // (exact + projected) → the subtree inlines twice.
+    "q255_random_projection" -> 2,
+    // q256 attaches the 1-row exact-F2 scalar — the q85/q86 shape.
+    "q256_ams_f2" -> 1,
     // q253's semantic leg attaches the 1-row broadcast query vector
     // (the q27/q88 broadcast-queries scan with exactly one query);
     // the RRF fusion join is doc_id-keyed hash over 20∪20 rows.
