@@ -517,6 +517,44 @@ object AnalyticsQueries8 extends QueryPack {
         .orderBy(col("w_s"))
     },
 
+    // DYNAMIC PARTITION PRUNING (the star-join scale feature): q97
+    // prunes with a LITERAL predicate the planner sees; here the
+    // selected partitions are only knowable through a JOIN — the dim
+    // carries the selection flag — so static pruning is impossible
+    // and Spark must inject a runtime partition filter built from the
+    // dim's broadcast result (DynamicPruningExpression on the fact
+    // scan; PartitionPruningSpec asserts it and that fewer files are
+    // read). At 100 TB this is the difference between scanning a
+    // year-partitioned fact table wholesale and touching only the
+    // partitions a filtered dimension selects — no IN-list to
+    // hand-maintain. The relational answer is the plain filtered
+    // aggregate the oracle runs.
+    "q259_dynamic_pruning" -> { (s, dir) =>
+      val root = Q.scratchDir(s, "graft_q259_dpp")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(root + "/fact")
+      // the selection flag is a STRING equality, not a bare boolean:
+      // Spark's isLikelySelective() does not treat a lone boolean
+      // attribute as a selective predicate (and `x = true` simplifies
+      // back to one), so a boolean-flagged dim would silently get NO
+      // dynamic pruning — measured in this spec before the switch
+      Tables.events(s, dir).select(col("event_type")).distinct()
+        .withColumn("segment",
+          when(col("event_type").isin("click", "purchase"), "funnel")
+            .otherwise("other"))
+        .write.mode("overwrite").parquet(root + "/dim")
+      val fact = s.read.parquet(root + "/fact")
+      val dim = s.read.parquet(root + "/dim")
+        .filter(col("segment") === "funnel")
+      fact.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+        .orderBy(col("event_type"))
+    },
+
     // foreachBatch IDEMPOTENT MERGE SINK: the exactly-once write
     // pattern for external stores without a transactional Spark
     // connector — per-batch latest-record compactions fold
@@ -771,6 +809,14 @@ object AnalyticsQueries8 extends QueryPack {
          |SELECT custkey, neg_rank, partkey FROM surv
          |WHERE neg_rank <= 10 ORDER BY custkey, neg_rank""".stripMargin
     },
+
+    // The partitioned layout + dim join are physical; the relational
+    // answer is the filtered aggregate.
+    "q259_dynamic_pruning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q258_stream_foreachbatch" ->
       """WITH r AS (SELECT *, CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms,

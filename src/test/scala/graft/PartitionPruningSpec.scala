@@ -31,4 +31,33 @@ class PartitionPruningSpec extends SparkSpec {
     val full = numFiles(spark.read.parquet(out))
     assert(pruned > 0 && pruned < full, s"pruned=$pruned full=$full")
   }
+
+  test("q259: a dim-join selection prunes fact partitions at RUNTIME (DPP)") {
+    // the q259 shape: the selected partitions are only knowable
+    // through the dim join, so the fact scan must carry a
+    // DynamicPruningExpression (not a static PartitionFilter literal)
+    // and still read strictly fewer files than the full layout
+    val df = SparkEntry.queries("q259_dynamic_pruning")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan carries no DynamicPruningExpression:\n$plan")
+    // AQE wraps the join stages in QueryStageExec nodes that plain
+    // collect() does not descend into — walk them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("fact")).head
+    val read = factScan.metrics("numFiles").value
+    val layout = factScan.relation.location.inputFiles.length
+    assert(read > 0 && read < layout,
+      s"DPP read $read of $layout files — nothing pruned")
+  }
 }
