@@ -517,6 +517,39 @@ object AnalyticsQueries8 extends QueryPack {
         .orderBy(col("w_s"))
     },
 
+    // SPAN-CORRUPTION MASK GENERATION (the T5/UL2 denoising-objective
+    // data op): deterministic 3-token noise spans per document —
+    // span STARTS drawn by the oracled universal hash over (doc,
+    // position) at rate 1/10, overlapping spans merging into maximal
+    // masked runs — with per-doc mask accounting (tokens masked,
+    // distinct runs, corruption ppm). Zero RNG state: re-runs,
+    // retries, and both engines produce the identical mask — the
+    // property a reproducible pretraining pipeline needs from its
+    // corruption pass. Plan: one posexplode + ONE per-doc window pass
+    // (span membership = max(start) over [i−2, i]; run starts via
+    // lag) + one hash agg — everything partitions by doc_id, windows
+    // are bounded by doc length, nothing global.
+    "q260_span_corruption" -> { (s, dir) =>
+      val p = 4294967291L
+      val (ha, hb) = graft.operators.Dedup.affine(26000)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("i", "tok")))
+        .withColumn("hst", pmod(lit(ha)
+          * pmod(col("doc_id") * lit(1024L) + col("i"), lit(p)) + lit(hb), lit(p)))
+        .withColumn("st", when(pmod(col("hst"), lit(10L)) === 0, 1L).otherwise(0L))
+        .withColumn("mk", max(col("st")).over(w.rowsBetween(-2, 0)))
+        .withColumn("run_start", when(col("mk") === 1 &&
+          coalesce(lag(col("mk"), 1).over(w), lit(0L)) === 0, 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("mk")).as("n_masked"),
+          sum(col("run_start")).as("n_runs"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_runs"),
+          expr("n_masked * 1000000 DIV n_tokens").as("mask_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // DYNAMIC PARTITION PRUNING (the star-join scale feature): q97
     // prunes with a LITERAL predicate the planner sees; here the
     // selected partitions are only knowable through a JOIN — the dim
@@ -808,6 +841,25 @@ object AnalyticsQueries8 extends QueryPack {
          |    ON pos.custkey = cand.custkey AND pos.partkey = cand.partkey)
          |SELECT custkey, neg_rank, partkey FROM surv
          |WHERE neg_rank <= 10 ORDER BY custkey, neg_rank""".stripMargin
+    },
+
+    "q260_span_corruption" -> {
+      val uh = Q.uhashSql("26000", "((doc_id * 1024 + i) % 4294967291)")
+      s"""WITH w AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents),
+         |t AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS i FROM w),
+         |h AS (SELECT doc_id, i,
+         |    CASE WHEN ($uh) % 10 = 0 THEN 1 ELSE 0 END AS st FROM t),
+         |m AS (SELECT *, max(st) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk FROM h),
+         |r AS (SELECT *, CASE WHEN mk = 1 AND coalesce(lag(mk) OVER
+         |      (PARTITION BY doc_id ORDER BY i), 0) = 0
+         |    THEN 1 ELSE 0 END AS run_start FROM m)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(mk) AS BIGINT) AS n_masked,
+         |  CAST(sum(run_start) AS BIGINT) AS n_runs,
+         |  CAST(sum(mk) * 1000000 // count(*) AS BIGINT) AS mask_ppm
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // The partitioned layout + dim join are physical; the relational
