@@ -12,9 +12,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Ladder-only scaling knob (round-11 verdict task 3): the driver
+    // contract pins shuffle partitions to the core count, which at
+    // rung 2 (sf10, ~17 GB) makes every shuffle partition 10× its
+    // rung-1 size — hash aggs spill and the measured inflation on
+    // q158/q168/q173 was resourcing, not plan shape. With
+    // SPARK_GRAFT_SCALE_PARTITIONS=1 the partition count instead
+    // scales with input bytes (~128 MB per shuffle partition, the
+    // cluster-default sizing rule; never below the core count) —
+    // exactly what a real deployment does and what AQE coalescing
+    // assumes as its upper bound. The driver's contract run never
+    // sets this, so sf0.1 numbers stay comparable across rounds.
+    val shufflePartitions =
+      if (sys.env.get("SPARK_GRAFT_SCALE_PARTITIONS").contains("1")) {
+        def dirBytes(p: java.io.File): Long =
+          if (p.isDirectory) p.listFiles().map(dirBytes).sum
+          else p.length()
+        val bytes = dirBytes(new java.io.File(sfDir))
+        math.max(cpus.toInt, (bytes / (128L << 20)).toInt + 1).toString
+      } else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -39,9 +58,21 @@ object Bench {
       if (java.nio.file.Files.isWritable(shm))
         spark.conf.set("graft.scratch.dir", shm.resolve("graft-bench").toString)
     }
-    val scratchRegime =
-      if (spark.conf.getOption("graft.scratch.dir").exists(_.startsWith("/dev/shm")))
-        "tmpfs" else "disk"
+    // The regime label probes the ACTUAL filesystem type of the
+    // scratch dir (ADVICE r11): a user-supplied graft.scratch.dir on
+    // any tmpfs — or a /dev/shm symlink — is recorded as "tmpfs",
+    // not mislabeled "disk" by a literal path-prefix check.
+    val scratchRegime = spark.conf.getOption("graft.scratch.dir") match {
+      case Some(dir) =>
+        try {
+          val p = java.nio.file.Paths.get(dir)
+          var probe = p.toAbsolutePath
+          while (!java.nio.file.Files.exists(probe)) probe = probe.getParent
+          if (java.nio.file.Files.getFileStore(probe).`type`() == "tmpfs")
+            "tmpfs" else "disk"
+        } catch { case _: Exception => "disk" }
+      case None => "disk"
+    }
 
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -164,6 +164,47 @@ object TextOps {
           .as("contaminated"))
   }
 
+  /** EXACT-DEDUP-FIRST decontamination — the q244 composition applied
+    * to [[decontaminateBloom]] (round-11 verdict task 2). The naive
+    * plan gram-explodes EVERY corpus document, so a corpus that is k×
+    * exact-duplicated pays k× the explode, k× the bloom probes, and
+    * k× the gram-join shuffle for identical answers per copy. This
+    * operator collapses exact duplicates (md5 group → min-id
+    * representative + group size) BEFORE the gram stage and
+    * decontaminates only the representatives; because identical texts
+    * have identical gram sets, every group member's raw q115 row is
+    * EXACTLY its representative's (n_shared, contaminated) — the
+    * recoverability identity pinned by DeconCompositionSpec. Returns
+    * one row per representative: (rep_id, n_copies, n_shared,
+    * contaminated); raw contaminated-doc count = Σ n_copies over
+    * contaminated groups. The md5 group-shuffle moves 16-byte
+    * fingerprints + ids, never text, and the expensive gram machinery
+    * runs on the distinct-text corpus — the measured 100 TB answer to
+    * q115's rung-2 super-linearity (ARCHITECTURE.md "Dedup
+    * composition"). */
+  def decontaminateDedupedBloom(docs: DataFrame, idCol: String,
+      textCol: String, isBenchmark: Column, k: Int, expectedItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val fp = docs.filter(!isBenchmark)
+      .select(col(idCol), col(textCol), md5(col(textCol)).as("fp"))
+    val g = fp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("rid"), count(lit(1)).as("n_copies"))
+    val reps = fp.join(g, fp(idCol) === g("rid"))
+      .select(col("rid").as(idCol), col("n_copies"), col(textCol))
+    // reuse the bloom-prefiltered exact join verbatim: benchmark docs
+    // pass through untouched, the corpus side is representatives only
+    val combined = docs.filter(isBenchmark)
+      .select(col(idCol), lit(null).cast("long").as("n_copies"),
+        col(textCol), lit(true).as("is_b"))
+      .unionByName(reps.select(col(idCol), col("n_copies"), col(textCol),
+        lit(false).as("is_b")))
+    decontaminateBloom(combined, idCol, textCol, col("is_b"), k,
+        expectedItems, fpp)
+      .join(reps.select(col(idCol), col("n_copies")), Seq(idCol))
+      .select(col(idCol).as("rep_id"), col("n_copies"), col("n_shared"),
+        col("contaminated"))
+  }
+
   /** Per-(doc, word) counts — the shared first stage of the TF-IDF /
     * BM25 / repetition queries. Two-level hash aggregation: map-side
     * partials absorb within-doc repetition before the shuffle. */

@@ -52,21 +52,26 @@ object AnalyticsQueries extends QueryPack {
     // times (both wedge sides + closure) — one build, ReusedExchange
     // after.
     "q173_triangle_count" -> { (s, dir) =>
-      // Adjacency-intersection plan (NOT the naive wedge join the
-      // oracle runs): per-order part sets explode to co-occurrence
-      // pairs, ONE collect_set shuffle builds the sorted neighbor
-      // arrays (map-side partial sets dedup the multiplicity), the
-      // u<v edge list falls out of the adjacency for free, and each
-      // edge counts |N(u) ∩ N(v)| common neighbors — every triangle
-      // credits each of its three nodes exactly once (via its
-      // opposite edge). The Σ outdeg² wedge stream (~49 M rows at
-      // sf0.1, 40× |E|) never exists: the intersect runs per edge
-      // (~1.2 M rows) against the two broadcast adjacency maps
-      // (~20 MB), exploding only the ~3·|triangles| credit rows.
-      // Measured at sf0.1: 10–50 s naive wedge shuffle → 6.7 s
-      // broadcast-closure wedges → 2.8 s this plan. Past broadcast
-      // reach the two adjacency attachments become shuffle joins on
-      // u/v — the per-edge intersect shape survives unchanged.
+      // DEGREE-ORDERED oriented-intersection plan (round-11 verdict
+      // task 4; NOT the naive wedge join the oracle runs): per-order
+      // part sets explode to co-occurrence pairs, ONE collect_set
+      // shuffle builds the neighbor arrays, then every edge is
+      // DIRECTED low-rank → high-rank under the (degree, id) total
+      // order and each oriented edge intersects OUT-sets only. Each
+      // triangle {a<b<c} is found exactly once — at its (a,b) edge,
+      // with c the common out-neighbor — and credits all three
+      // nodes via a 3-way credit explode, so per-node totals equal
+      // the undirected count. Why orient: the intersect mass drops
+      // from Σ_e d(u)+d(v) to Σ_e d⁺(u)+d⁺(v), and max out-degree is
+      // O(√m) by arboricity REGARDLESS of skew — a hub with
+      // degree-10⁵ full lists (the r11 rung-2 spill driver: 50% of
+      // the box's RAM in per-edge full-list intersects) carries only
+      // its higher-ranked neighbors out, so the hot key disappears
+      // by construction instead of by salting. The degree table is
+      // |V| rows (broadcast); the out-adjacency is half the full
+      // adjacency's entries with the skew tail gone. Past broadcast
+      // reach both attachments become shuffle joins on u/v — the
+      // per-edge out-intersect shape survives unchanged.
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -78,12 +83,21 @@ object AnalyticsQueries extends QueryPack {
       val adj = pairs.groupBy(col("node"))
         .agg(array_sort(collect_set(col("nbr"))).as("nbrs"))
         .persist()
-      val e = adj.select(col("node").as("u"),
-        explode(filter(col("nbrs"), n => n > col("node"))).as("v"))
-      val tri = e
-        .join(broadcast(adj.select(col("node").as("u"), col("nbrs").as("nu"))), Seq("u"))
-        .join(broadcast(adj.select(col("node").as("v"), col("nbrs").as("nv"))), Seq("v"))
-        .select(explode(array_intersect(col("nu"), col("nv"))).as("node"))
+      val degs = adj.select(col("node"), size(col("nbrs")).as("d"))
+      val op = adj.select(col("node").as("u"), explode(col("nbrs")).as("v"))
+        .join(broadcast(degs.select(col("node").as("u"), col("d").as("du"))), Seq("u"))
+        .join(broadcast(degs.select(col("node").as("v"), col("d").as("dv"))), Seq("v"))
+        .filter(struct(col("dv"), col("v")) > struct(col("du"), col("u")))
+        .select(col("u"), col("v"))
+      val outAdj = op.groupBy(col("u"))
+        .agg(array_sort(collect_set(col("v"))).as("onbrs"))
+        .persist()
+      val tri = op
+        .join(broadcast(outAdj.select(col("u"), col("onbrs").as("nu"))), Seq("u"))
+        .join(broadcast(outAdj.select(col("u").as("v"), col("onbrs").as("nv"))), Seq("v"))
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       tri.groupBy(col("node"))
         .agg(count(lit(1)).as("triangles"))
         .orderBy(col("triangles").desc, col("node"))
@@ -139,13 +153,16 @@ object AnalyticsQueries extends QueryPack {
       d.groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_days"),
-          sum(col("day")).as("sd"),
-          sum(col("y")).as("sy"),
           // day is an epoch-day (~2e4), so n_days·sdy and sd·sy clear
-          // 2^63 around 4.5e11 events per type — the sums and the
-          // cross-products widen through DECIMAL(38,0) (q201 policy)
+          // 2^63 around 4.5e11 events per type — ALL FOUR sufficient
+          // statistics widen through DECIMAL(38,0) at accumulation
+          // (q201 policy; ADVICE r11: the first-order sums share the
+          // same threat scale as the quadratic ones — a large-cents
+          // sy would otherwise wrap as BIGINT before the later cast)
           // and the rational emits as BIGINT, valid while the true
           // numerator is under 2^63 like the oracle's HUGEINT cast.
+          sum(col("day").cast("decimal(38,0)")).as("sd"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
           sum((col("day") * col("y")).cast("decimal(38,0)")).as("sdy"),
           sum((col("day") * col("day")).cast("decimal(38,0)")).as("sdd"))
         .select(col("event_type"), col("n_days"),

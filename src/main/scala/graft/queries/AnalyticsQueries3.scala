@@ -124,10 +124,14 @@ object AnalyticsQueries3 extends QueryPack {
         .crossJoin(broadcast(nTok))
         .select(col("a"), col("b"), col("c"),
           expr("(1000000 * c * ntok) DIV (ca * cb)").as("lift"))
+      // top-50 via orderBy+limit (TakeOrderedAndProject: per-partition
+      // heaps → driver merge) — the survivor set is min-support-
+      // bounded, not provably tiny, so the rank window must not be
+      // the thing that sorts it; it runs over just the 50 kept rows
       scored
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(50)
         .withColumn("rk", row_number()
           .over(Window.orderBy(col("lift").desc, col("a"), col("b"))).cast("long"))
-        .filter(col("rk") <= 50)
         .select(col("rk"), col("a"), col("b"), col("c"), col("lift"))
         .orderBy(col("rk"))
     }

@@ -62,11 +62,14 @@ object AnalyticsQueries6 extends QueryPack {
       val cms = buckets(toks)
         .groupBy(col("r"), col("bucket"))
         .agg(count(lit(1)).as("counter"))
+      // top-20 via orderBy+limit (TakeOrderedAndProject) — the rank
+      // window must not be what sorts the full vocabulary; it runs
+      // over just the 20 kept rows
       val top = toks.groupBy(col("tok"))
         .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
         .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("exact_cnt").desc, col("tok"))).cast("long"))
-        .filter(col("rk") <= 20)
       buckets(top).join(cms, Seq("r", "bucket"))
         .groupBy(col("rk"), col("tok"), col("exact_cnt"))
         .agg(min(col("counter")).as("cms_est"))

@@ -621,6 +621,41 @@ object AnalyticsQueries8 extends QueryPack {
     "q251_stream_chain" -> { (s, dir) =>
       graft.streaming.EventStream.chainedWindowRollup(s, dir)
     },
+
+    // EXACT-DEDUP-FIRST DECONTAMINATION — the q244 composition applied
+    // to q115 (round-11 verdict task 2): md5-collapse the corpus to
+    // min-id representatives + group sizes BEFORE the gram explode /
+    // bloom probe / benchmark join, decontaminate representatives
+    // only, emit (rep_id, n_copies, n_shared, contaminated). q115's
+    // raw per-doc output is EXACTLY recoverable — identical texts have
+    // identical gram sets, so every group member inherits its rep's
+    // row (DeconCompositionSpec pins the expansion identity) — but
+    // the gram machinery only ever sees distinct texts, so a k×
+    // exact-duplicated corpus pays k× less explode, probe, and
+    // shuffle (measured on the dedup rung: ARCHITECTURE.md "Dedup
+    // composition"). This is the answer to q115's rung-2
+    // super-linearity: output economics, not plan defect.
+    "q261_decon_compose" -> { (s, dir) =>
+      graft.operators.TextOps.decontaminateDedupedBloom(
+          Tables.table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", col("source").isin("src2"), k = 3,
+          expectedItems = 1L << 17, fpp = 0.03)
+        .orderBy(col("rep_id"))
+    },
+
+    // EVENT-TIME TIMERS in transformWithState (round-11 verdict task
+    // 5): idle-session-timeout emission — every input batch re-arms a
+    // per-user timer at last_event + 30 min, and handleExpiredTimer
+    // emits the open session when the WATERMARK passes it, no further
+    // event needed. The drained output is the FULL batch
+    // sessionization including each user's last island — exactly the
+    // rows q102's no-timer operator must leave open (its oracle drops
+    // them; this one keeps them). See TwsTimeline.TimerSessionProcessor
+    // for the watermark/timer ordering argument.
+    "q262_tws_timers" -> { (s, dir) =>
+      graft.streaming.TwsTimeline.timerSessionRollup(s, dir)
+    },
   )
 
   // DuckDB restatement: the same total-order "first following" via a
@@ -815,10 +850,10 @@ object AnalyticsQueries8 extends QueryPack {
         |  FROM q8, qv WHERE vec_id <> 0
         |  QUALIFY rank_sem <= 20)
         |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-        |  coalesce(rank_lex, -1) AS rank_lex,
-        |  coalesce(rank_sem, -1) AS rank_sem,
-        |  coalesce(1000000000000 // (60 + rank_lex), 0)
-        |  + coalesce(1000000000000 // (60 + rank_sem), 0) AS rrf_scaled
+        |  coalesce(lex.rank_lex, -1) AS rank_lex,
+        |  coalesce(sem.rank_sem, -1) AS rank_sem,
+        |  coalesce(1000000000000 // (60 + lex.rank_lex), 0)
+        |  + coalesce(1000000000000 // (60 + sem.rank_sem), 0) AS rrf_scaled
         |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
         |ORDER BY rrf_scaled DESC, doc_id""".stripMargin,
 
@@ -989,5 +1024,57 @@ object AnalyticsQueries8 extends QueryPack {
         |FROM c JOIN v ON v.vu = c.cu AND v.vns <= c.cns
         |  AND v.vns >= c.cns - 3600000000000
         |GROUP BY chour ORDER BY hour_start""".stripMargin,
+
+    // Mirrors q262: the same 30-min gap islands as q102's oracle but
+    // WITHOUT dropping each user's last island — the timer emission is
+    // exactly what closes those.
+    "q262_tws_timers" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns,
+        |    CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+        |      OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns)),
+        |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tns
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m)
+        |SELECT user_id, min(tns) AS start_ns, max(tns) AS end_ns,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vc) AS BIGINT) AS sum_c
+        |FROM i GROUP BY user_id, isl
+        |ORDER BY user_id, start_ns""".stripMargin,
+
+    // the bloom prefilter is plan-only (no false negatives), so the
+    // oracle is the exact dedup-then-decontaminate SQL: md5 groups →
+    // min-id reps → gram join on representatives only
+    "q261_decon_compose" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE source <> 'src2'),
+        |g AS (SELECT md5(text) AS fp, min(doc_id) AS rid,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM corpus GROUP BY 1),
+        |reps AS (SELECT g.rid AS doc_id, g.n_copies, c.text
+        |  FROM g JOIN corpus c ON c.doc_id = g.rid),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM reps),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      dgi -> array_to_string(wt[(CAST(dgi AS INT)+1):(CAST(dgi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM w),
+        |bw AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents WHERE source = 'src2'),
+        |bv AS (SELECT DISTINCT unnest(CASE WHEN len(wt) >= 3
+        |    THEN list_transform(range(0, len(wt)-2),
+        |      dbi -> array_to_string(wt[(CAST(dbi AS INT)+1):(CAST(dbi AS INT)+3)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM bw),
+        |sh AS (SELECT gr.doc_id, count(DISTINCT gr.ngram) AS n_shared
+        |  FROM gr JOIN bv USING (ngram) GROUP BY 1)
+        |SELECT r.doc_id AS rep_id, r.n_copies,
+        |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN coalesce(sh.n_shared, 0) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS contaminated
+        |FROM reps r LEFT JOIN sh ON r.doc_id = sh.doc_id
+        |ORDER BY rep_id""".stripMargin,
   )
 }

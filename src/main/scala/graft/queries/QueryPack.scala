@@ -106,11 +106,20 @@ object Q {
       s"(phh, phb) -> (phh * 31 + phb) % 1000000007) END)"
 
   /** The (aᵢ·x+bᵢ) mod P32 universal hash with the index given as a
-    * SQL expr — mirrors Dedup.affine exactly (all inputs nonneg, so
-    * DuckDB's C-style % equals pmod). */
-  def uhashSql(iExpr: String, x: String): String =
-    s"(((((($iExpr)*2654435761) % 1073741824)*2+1) * ($x) + " +
+    * SQL expr — mirrors the Spark side's pmod(a·pmod(x,P)+b, P)
+    * EXACTLY: x is reduced sign-safely (((x%P)+P)%P) before the
+    * affine step, so DuckDB's C-style % can never diverge from
+    * Spark's pmod on a negative or ≥P input. For nonneg x this is
+    * bit-identical to the unreduced form (a·x+b ≡ a·(x mod P)+b
+    * (mod P)), so no existing oracle value moves; for negative ids —
+    * the data-vintage hazard behind the r11 q256 red row — both
+    * engines now agree by construction. a·(P−1) = 9.22e18 < 2⁶³−1,
+    * so the reduced product never wraps. */
+  def uhashSql(iExpr: String, x: String): String = {
+    val xr = s"(((($x) % 4294967291) + 4294967291) % 4294967291)"
+    s"(((((($iExpr)*2654435761) % 1073741824)*2+1) * $xr + " +
       s"((($iExpr)*40503+778797) % 1073741824)) % 4294967291)"
+  }
 
   /** Fixed ±1 Johnson-Lindenstrauss sign matrix (16 projected dims ×
     * 64 input dims) from a deterministic Knuth-multiplicative

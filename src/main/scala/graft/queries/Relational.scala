@@ -224,12 +224,28 @@ object Relational extends QueryPack {
     // 100 TB variant replaces it with the q113 two-pass range
     // partitioner (same output, no single-task window).
     "q127_equidepth_histogram" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, dir)
-        .select(col("event_id"), cents(col("value")).as("vc"))
-        .withColumn("bucket",
-          ntile(20).over(Window.orderBy(col("vc"), col("event_id")))
-            .cast("long"))
+      // EXACT ntile(20) without the one-task global window (the
+      // round-11 global-window lint's one full-table offender): the
+      // global rank comes from Enumerate.globalRowNumber (range
+      // partition + sort + per-partition offsets — q90's operator),
+      // and ntile's bucket is then a CLOSED FORM of (rank, n): with
+      // q = n DIV 20, r = n % 20, the first r buckets hold q+1 rows —
+      // bucket = (rank−1) DIV (q+1) + 1 while (rank−1) < (q+1)·r,
+      // else r + ((rank−1) − (q+1)·r) DIV q + 1. Bit-identical to
+      // ntile by construction (Spark assigns remainders to the first
+      // buckets the same way); the q=0 branch can't divide by zero
+      // because rank ≤ n = (q+1)·r there.
+      val ranked = graft.operators.Enumerate.globalRowNumber(
+        Tables.events(s, dir)
+          .select(col("event_id"), cents(col("value")).as("vc")),
+        "rk", col("vc"), col("event_id"))
+      val nRow = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(nRow))
+        .withColumn("bucket", expr(
+          """CASE WHEN (rk - 1) < ((n DIV 20) + 1) * (n % 20)
+            |  THEN (rk - 1) DIV ((n DIV 20) + 1) + 1
+            |  ELSE (n % 20) + ((rk - 1) - ((n DIV 20) + 1) * (n % 20))
+            |    DIV (n DIV 20) + 1 END""".stripMargin))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("vc")).as("lo_c"),
           max(col("vc")).as("hi_c"), sum(col("vc")).as("sum_c"))

@@ -1723,15 +1723,18 @@ object TextQueries extends QueryPack {
         |ORDER BY t.word""".stripMargin,
 
     // Mirrors q98 exactly: same CASE weights, same ((doc_id mod
-    // 2^31-1)·K + b) % 1000 coin (all operands nonneg ⇒ DuckDB's % ≡
-    // Spark's pmod; the mod-prime reduction keeps K·x below Long.Max
-    // on both engines), unnest(range(n)) ≡ explode(sequence(0, n−1)).
+    // 2^31-1)·K + b) % 1000 coin — the mod-prime reduction is
+    // sign-safe (((x%p)+p)%p) so DuckDB's C-style % matches Spark's
+    // pmod even on a negative-id data vintage, and it keeps K·x below
+    // Long.Max on both engines. unnest(range(n)) ≡
+    // explode(sequence(0, n−1)).
     "q98_domain_mix" ->
       """WITH c AS (SELECT doc_id, source,
         |    (CASE WHEN source = 'src0' THEN 2
         |          WHEN source IN ('src1','src2','src3','src4') THEN 1
         |          ELSE 0 END)
-        |    + (CASE WHEN ((doc_id % 2147483647)*2654435761 + 40503) % 1000 <
+        |    + (CASE WHEN ((((doc_id % 2147483647) + 2147483647) % 2147483647)
+        |                  *2654435761 + 40503) % 1000 <
         |         (CASE WHEN source IN ('src0','src1') THEN 500
         |               WHEN source IN ('src2','src3','src4') THEN 0
         |               ELSE 300 END)

@@ -486,7 +486,12 @@ object EventStream {
       .agg(max_by(struct(col("o_orderkey"), col("ms"), col("pc"),
           col("o_orderstatus")), struct(col("ms"), col("o_orderkey"))).as("latest"),
         count(lit(1)).as("n_orders"))
-    var lastVersion = -1L
+    // AtomicLong, not a plain var (ADVICE r11): the foreachBatch body
+    // runs on the stream-execution thread and the caller reads after
+    // processAllAvailable()/stop() — the atomic gives an explicit
+    // happens-before instead of leaning on incidental synchronization
+    // inside StreamingQuery.
+    val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -514,11 +519,11 @@ object EventStream {
         // double-applies
         merged.write.mode("overwrite")
           .parquet(root.resolve(s"state_v$batchId").toString)
-        lastVersion = math.max(lastVersion, batchId)
+        lastVersion.getAndUpdate(v => math.max(v, batchId))
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(root.resolve(s"state_v$lastVersion").toString)
+    spark.read.parquet(root.resolve(s"state_v${lastVersion.get()}").toString)
       .select(col("o_custkey"),
         col("latest.o_orderkey").as("latest_orderkey"),
         col("latest.ms").as("latest_order_ms"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-user running timeline statistics on the `transformWithState`
   * arbitrary-state API (Spark 4's successor to
@@ -54,6 +54,146 @@ object TwsTimeline {
       state.update(s)
       Iterator.single(TimelineOut(user, s.n, s.first, s.last, s.maxGap, s.sumC))
     }
+  }
+
+  final case class TwsSessionState(startNs: Long, lastNs: Long, n: Long,
+      sumC: Long)
+  final case class TwsSessionOut(user_id: Long, start_ns: Long, end_ns: Long,
+      n_events: Long, sum_c: Long)
+
+  /** EVENT-TIME TIMER sessionization (round-11 verdict task 5): the
+    * StatefulProcessor timer surface — registerTimer + the
+    * handleExpiredTimer callback — driving idle-session-timeout
+    * emission. q102's flatMapGroupsWithState closes a session only
+    * when the SAME user's next event arrives, so each user's trailing
+    * session stays open forever (its oracle drops the last island);
+    * here every input batch re-arms a per-user event-time timer at
+    * last_event + gap, and when the WATERMARK passes that expiry the
+    * timer fires and emits the open session with no further event
+    * needed — the capability that completes the q53/q102 family: the
+    * drained output is the FULL batch sessionization, last islands
+    * included. Input rows: (user_id, ts_ns, value_c, n-a). */
+  final class TimerSessionProcessor(gapNs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), TwsSessionOut] {
+    @transient private var state: ValueState[TwsSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsSessionState]("session",
+        Encoders.product[TwsSessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[TwsSessionOut] = {
+      // sources deliver a batch's rows unordered; session algebra is
+      // order-sensitive, so pin (ts) — unique per user in this table
+      val sorted = rows.toArray.sortBy(_._2)
+      val out = Seq.newBuilder[TwsSessionOut]
+      var st = if (state.exists()) state.get() else null
+      sorted.foreach { case (_, ts, vc) =>
+        if (st == null) st = TwsSessionState(ts, ts, 1L, vc)
+        else if (ts - st.lastNs > gapNs) {
+          out += TwsSessionOut(user, st.startNs, st.lastNs, st.n, st.sumC)
+          st = TwsSessionState(ts, ts, 1L, vc)
+        } else st = TwsSessionState(st.startNs, ts, st.n + 1, st.sumC + vc)
+      }
+      if (st != null) {
+        state.update(st)
+        // re-arm THE timer: one live timer per user, at the open
+        // session's idle deadline (timer granularity is ms; +1 so the
+        // deadline strictly exceeds the last event's own ms tick)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.lastNs / 1000000L + gapNs / 1000000L + 1L)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[TwsSessionOut] = {
+      // watermark passed last_event + gap with nothing arriving: the
+      // open session is complete — emit and drop the state
+      val out = if (state.exists()) {
+        val st = state.get()
+        Iterator.single(TwsSessionOut(user, st.startNs, st.lastNs, st.n, st.sumC))
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** Drives [[TimerSessionProcessor]] over a 4-drop replay of events
+    * (two time-split real halves, then two far-future sentinel drops
+    * whose only job is to advance the watermark past every real
+    * user's idle deadline so the timers fire) and returns all emitted
+    * sessions (q262). The drained rows must equal the batch q11-style
+    * 30-min-gap sessionization INCLUDING each user's last island —
+    * the rows only the timers can emit. */
+  def timerSessionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.Q
+    val gapNs = 1800000000000L // 30 min
+    val name = "graft_stream_twstimer_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val drops = java.nio.file.Paths.get(Q.scratchDir(spark, "graft_stream_twstimer"))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ns"),
+        expr("CAST(round(value*100) AS BIGINT)").as("value_c"))
+    val Array(lo, hi) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 1-row scalar
+    val b = lo + (hi - lo) / 2
+    val day = 86400L * 1000000000L
+    def sentinel(ns: Long): DataFrame = spark.range(1).select(
+      lit(-1L).as("user_id"), lit(ns).as("ts_ns"), lit(0L).as("value_c"))
+    val parts = Seq(ev.filter(col("ts_ns") < b), ev.filter(col("ts_ns") >= b),
+      sentinel(hi + 30 * day), sentinel(hi + 60 * day))
+    val streamDir = drops.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = drops.resolve(s"tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val files = java.nio.file.Files.list(tmp).iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.toString.endsWith(".parquet")) {
+          val dst = streamDir.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.move(f, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+      }
+    }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .withColumn("ets", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("ets", "1 minute")
+      .select(col("user_id"), col("ts_ns"), col("value_c"))
+      .as[(Long, Long, Long)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapNs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[TwsSessionOut])
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val oldShuffle = spark.conf.get(shuffleKey)
+      spark.conf.set(shuffleKey, "8")
+      try {
+        val q = out.toDF()
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally spark.conf.set(shuffleKey, oldShuffle)
+    } finally oldProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0) // drop the watermark-advancing sentinel
+      .select(col("user_id"), col("start_ns"), col("end_ns"),
+        col("n_events"), col("sum_c"))
+      .orderBy(col("user_id"), col("start_ns"))
   }
 
   /** CHECKPOINTED RESTART (q215): the same aggregation run as TWO

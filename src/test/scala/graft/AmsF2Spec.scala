@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import scala.sys.process._
+
+/** q256's engine-equality pin — the r11 verdict's one red row.
+  *
+  * The r11 driver compare flagged q256_ams_f2 hash_match=false while
+  * the same plan and oracle matched bit-for-bit locally; the leading
+  * suspect was DuckDB's C-style `%` diverging from Spark's pmod on a
+  * NEGATIVE user_id under a regenerated data vintage. Q.uhashSql is
+  * now sign-safe (((x%P)+P)%P before the affine step), and this spec
+  * pins all three legs so any future divergence is caught before the
+  * driver sees it:
+  *
+  *  1. the Spark plan against a pure-Scala floorMod re-derivation of
+  *     the AMS semantics (no SQL engine on either side);
+  *  2. the Spark plan against the ACTUAL oracle SQL executed in
+  *     DuckDB in-process (via the python3 duckdb the driver itself
+  *     uses; cancelled, not failed, where that seat is absent —
+  *     the FfmpegSeatSpec availability-gate pattern);
+  *  3. both engines on a synthesized NEGATIVE-user_id events vintage
+  *     — the exact hazard hypothesized for the r11 red row.
+  */
+class AmsF2Spec extends SparkSpec {
+
+  private val P = 4294967291L
+
+  /** Pure-Scala AMS signed sums + exact F₂ over a user_id bag —
+    * floorMod everywhere, i.e. the Spark pmod semantics. */
+  private def amsReference(uids: Array[Long]): (IndexedSeq[Long], BigInt) = {
+    val sums = (0 until 8).map { r =>
+      val (a, b) = graft.operators.Dedup.affine(25600 + r)
+      uids.iterator.map { u =>
+        val h = Math.floorMod(a * Math.floorMod(u, P) + b, P)
+        1L - 2L * (h % 2)
+      }.sum
+    }
+    val f2 = uids.groupBy(identity).valuesIterator
+      .map(g => BigInt(g.length) * g.length).foldLeft(BigInt(0))(_ + _)
+    (sums, f2)
+  }
+
+  private def checkAgainstReference(dir: String): Unit = {
+    val rows = SparkEntry.queries("q256_ams_f2")(spark, dir)
+      .collect()
+    val uids = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val (sums, f2) = amsReference(uids)
+    assert(rows.length == 8)
+    rows.zipWithIndex.foreach { case (row, r) =>
+      assert(row.getLong(0) == r.toLong)
+      assert(row.getLong(1) == sums(r), s"sum_r lane $r")
+      assert(BigInt(row.getDecimal(2).toBigInteger) == BigInt(sums(r)) * sums(r))
+      assert(BigInt(row.getDecimal(3).toBigInteger) == f2)
+      assert(BigInt(row.getDecimal(4).toBigInteger) == BigInt(sums(r)) * sums(r) - f2)
+    }
+  }
+
+  test("q256 Spark plan equals the pure-Scala floorMod re-derivation (sf0.001)") {
+    checkAgainstReference(sf001)
+  }
+
+  // ——— DuckDB seat (the driver's own oracle engine) ———
+
+  private lazy val haveDuckdb: Boolean =
+    scala.util.Try(
+      Seq("python3", "-c", "import duckdb").!(ProcessLogger(_ => ())) == 0
+    ).getOrElse(false)
+
+  /** Run q256's oracle SQL in DuckDB over `$dir/events.parquet`,
+    * returning rows as pipe-joined integer strings (DECIMAL(38,0)
+    * columns printed as exact ints). */
+  private def duckdbRows(dir: String): Seq[String] = {
+    val sql = SparkEntry.oracleSql("q256_ams_f2")
+    // the driver's tables are single .parquet files; Spark-written
+    // test vintages are part-file directories — glob either shape
+    val pq =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        s"$dir/events.parquet/*.parquet"
+      else s"$dir/events.parquet"
+    val script =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.execute("CREATE VIEW events AS SELECT * FROM read_parquet('$pq')")
+         |for row in con.execute(${"\"\"\""}$sql${"\"\"\""}).fetchall():
+         |    print("|".join(str(int(v)) for v in row))
+         |""".stripMargin
+    val f = Files.createTempFile("ams", ".py")
+    Files.writeString(f, script)
+    val out = new StringBuilder
+    val rc = Seq("python3", f.toString).!(
+      ProcessLogger(l => out.append(l).append('\n'), err => System.err.println(err)))
+    assert(rc == 0, s"duckdb run failed:\n$out")
+    out.toString.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  private def sparkRowsAsStrings(dir: String): Seq[String] =
+    SparkEntry.queries("q256_ams_f2")(spark, dir).collect().toSeq.map { r =>
+      Seq(r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
+        r.getDecimal(4).toBigInteger).mkString("|")
+    }
+
+  test("q256 oracle SQL in DuckDB matches the Spark plan (sf0.001; cancelled without duckdb)") {
+    assume(haveDuckdb, "no python3+duckdb seat on this machine")
+    assert(sparkRowsAsStrings(sf001) == duckdbRows(sf001))
+  }
+
+  test("negative-user_id vintage: both engines still agree (cancelled without duckdb)") {
+    assume(haveDuckdb, "no python3+duckdb seat on this machine")
+    val dir = Files.createTempDirectory("amsneg").toString
+    // a hostile vintage: negative ids, ids ≥ P, Long.MinValue-adjacent
+    val uids = Seq(-1L, -2L, -4294967291L, -4294967292L, -9000000000L,
+      5L, 5L, 4294967295L, 8589934583L, Long.MinValue / 4, -7L, -7L, -7L)
+    import spark.implicits._
+    uids.map(u => (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = sparkRowsAsStrings(dir)
+    assert(got == duckdbRows(dir))
+    // and both equal the floorMod reference
+    val (sums, f2) = amsReference(uids.toArray)
+    got.zipWithIndex.foreach { case (line, r) =>
+      val cols = line.split('|')
+      assert(cols(1).toLong == sums(r), s"lane $r vs reference")
+      assert(BigInt(cols(3)) == f2)
+    }
+  }
+}

@@ -28,6 +28,19 @@ class DedupCompositionSpec extends SparkSpec {
       .agg(coalesce(sum(col("n") * (col("n") - 1) / lit(2)), lit(0L)).cast("long"))
       .collect()(0).getLong(0) // 1-row scalar
 
+    // the identity's stated premise, ASSERTED rather than assumed
+    // (round-11 advice): every md5 group has exactly one distinct
+    // lang — a cross-lang identical text would land its copies in
+    // different q196 blocks while the md5 stage still collapsed them,
+    // breaking the algebra below (or worse, passing by offset).
+    val crossLangGroups = graft.sources.Tables
+      .table(spark, sf001, "documents")
+      .groupBy(md5(col("text")))
+      .agg(count_distinct(col("lang")).as("nl"))
+      .filter(col("nl") > 1).count()
+    assert(crossLangGroups == 0,
+      s"$crossLangGroups md5 groups span multiple langs — premise broken")
+
     assert(raw == crossPairs + internalPairs,
       s"raw q196 pairs $raw != cross $crossPairs + internal $internalPairs")
     // and the reconstruction is non-trivial on this corpus: the raw

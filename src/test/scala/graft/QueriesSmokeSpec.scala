@@ -103,6 +103,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // referenced by both the max branch and the final projection, so
     // the totals cross join inlines twice (2) plus the max attach (1).
     "q172_cusum_changepoint" -> 3,
+    // q127's ntile rewrite attaches the 1-row global count to the
+    // ranked rows for the closed-form bucket — the q85/q86 broadcast
+    // scalar shape.
+    "q127_equidepth_histogram" -> 1,
     // q188's total-token count is a 1-row broadcast scalar attached
     // to the min-support bigram survivors — the q85/q86 shape.
     "q188_collocation_lift" -> 1,
@@ -123,6 +127,34 @@ class QueriesSmokeSpec extends SparkSpec {
     * q211/q236/q166). Empty today — additions need a written
     * rationale like the BNLJ map above. */
   private val deliberateShrinkingFrame = Map.empty[String, Int]
+
+  /** name → MAX deliberate UNPARTITIONED-window count (round-11
+    * verdict task 6). A Window with an empty partitionSpec executes
+    * on ONE task — "No Partition Defined for Window operation" in the
+    * bench tail — which is a scale cliff unless the input is provably
+    * tiny (a final rank over an already-aggregated handful of rows).
+    * Every entry here needs the rationale that bounds the input;
+    * anything NEW fails the smoke audit. The scalable alternatives:
+    * partition the window by a real key, or for a global top-k use
+    * orderBy(...).limit(k) (TakeOrderedAndProject — per-partition
+    * top-k then a k-row driver merge, q05/q15's two-phase shape). */
+  private val deliberateGlobalWindow: Map[String, Int] = Map(
+    // q127's full-table ntile is rewritten onto Enumerate
+    // .globalRowNumber + a closed-form bucket (no entry needed);
+    // q188/q205's vocabulary-sized ranks are limit-first now. What
+    // remains is rank/cumsum windows over inputs ALREADY bounded by
+    // an upstream aggregate or TakeOrdered limit:
+    "q86_bm25" -> 1, // rank over the ≤20 rows a TakeOrdered(20) kept
+    "q145_temperature_mix" -> 1, // largest-remainder rank over ≤|langs| rows
+    "q172_cusum_changepoint" -> 2, // cusum + rank over the per-day series (≤|days|)
+    "q177_top_paths" -> 1, // rank over distinct 3-type paths (≤|types|³ = 125)
+    "q188_collocation_lift" -> 1, // rank over the ≤50 rows a TakeOrdered(50) kept
+    "q205_countmin" -> 1, // rank over the ≤20 rows a TakeOrdered(20) kept
+    "q209_vocab_growth" -> 1, // cumulative sums over the 10 decile rows
+    "q231_peak_concurrency" -> 1, // hour-carry prefix sum over ≤|hours| rows
+    "q233_quota_allocation" -> 2, // largest-remainder ranks over ≤|langs| rows
+    "q253_hybrid_rrf" -> 2, // per-leg rank over the ≤20 rows each TakeOrdered kept
+    "q255_random_projection" -> 1) // rank over the 10-row exact top-k
 
   // The lower-bound capture is comma-free so the match can never span
   // out of one frame's argument list into a later frame (a `.*?`
@@ -157,6 +189,19 @@ class QueriesSmokeSpec extends SparkSpec {
         s"$name plans ${shrinking.size} shrinking window frame(s) " +
           s"(lower bounds $shrinking ..UNBOUNDED FOLLOWING — O(n²) per " +
           "partition; rewrite to the reversed-sort growing frame, Eval.scala:65)")
+      // the logical plan is traversed (not the executed-plan string):
+      // AQE wraps the physical tree in AdaptiveSparkPlanExec, which
+      // plain collect() does not descend into
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      val allowedGlobal = deliberateGlobalWindow.getOrElse(name, 0)
+      assert(globalWindows <= allowedGlobal,
+        s"$name plans $globalWindows unpartitioned Window(s) (allowed " +
+          s"$allowedGlobal) — single-task execution; partition the window " +
+          "or use orderBy().limit(k), else whitelist with a written " +
+          "input-size rationale in deliberateGlobalWindow")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
