@@ -14,23 +14,28 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Ladder-only scaling knob (round-11 verdict task 3): the driver
     // contract pins shuffle partitions to the core count, which at
-    // rung 2 (sf10, ~17 GB) makes every shuffle partition 10× its
-    // rung-1 size — hash aggs spill and the measured inflation on
-    // q158/q168/q173 was resourcing, not plan shape. With
-    // SPARK_GRAFT_SCALE_PARTITIONS=1 the partition count instead
-    // scales with input bytes (~128 MB per shuffle partition, the
-    // cluster-default sizing rule; never below the core count) —
-    // exactly what a real deployment does and what AQE coalescing
-    // assumes as its upper bound. The driver's contract run never
-    // sets this, so sf0.1 numbers stay comparable across rounds.
-    val shufflePartitions =
-      if (sys.env.get("SPARK_GRAFT_SCALE_PARTITIONS").contains("1")) {
-        def dirBytes(p: java.io.File): Long =
-          if (p.isDirectory) p.listFiles().map(dirBytes).sum
-          else p.length()
-        val bytes = dirBytes(new java.io.File(sfDir))
-        math.max(cpus.toInt, (bytes / (128L << 20)).toInt + 1).toString
-      } else cpus
+    // rung 2 (sf10, ~1.7 GB parquet / ~60 M lineitem rows) makes
+    // every shuffle partition 10× its rung-1 size — hash aggs spill
+    // and the measured inflation on q158/q168/q173 was resourcing,
+    // not plan shape. With SPARK_GRAFT_SCALE_PARTITIONS=1 the
+    // partition count scales with input bytes at ~8 MB of COMPRESSED
+    // parquet per shuffle partition (≈128 MB in-flight once ~4×
+    // parquet compression and ~4× row-object expansion are paid —
+    // the cluster-default sizing rule applied to what actually fills
+    // memory), never below the core count. SPARK_GRAFT_SHUFFLE_
+    // PARTITIONS=N overrides with an explicit count for isolation
+    // experiments. The driver's contract run sets neither, so sf0.1
+    // numbers stay comparable across rounds.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .getOrElse {
+        if (sys.env.get("SPARK_GRAFT_SCALE_PARTITIONS").contains("1")) {
+          def dirBytes(p: java.io.File): Long =
+            if (p.isDirectory) p.listFiles().map(dirBytes).sum
+            else p.length()
+          val bytes = dirBytes(new java.io.File(sfDir))
+          math.max(cpus.toInt, (bytes / (8L << 20)).toInt + 1).toString
+        } else cpus
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

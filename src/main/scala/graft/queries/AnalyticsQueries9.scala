@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-16 pack: tokenizer TRAINING and sampling operators for the
+  * training-data pipeline — distributed BPE merge learning (q263),
+  * deterministic fractional-repeat domain rebalancing (q264), and a
+  * mergeable bottom-k hash-sample quantile sketch (q265, the
+  * quantile member of the sketch family next to HLL q224 / KMV q228 /
+  * CMS q205 / AMS q256).
+  *
+  * All three follow the house float/determinism policy
+  * (QueryPack.scala): integer or picked-not-computed outputs, hash
+  * thresholds instead of RNG state, and every inter-engine comparison
+  * bit-exact by construction.
+  */
+object AnalyticsQueries9 extends QueryPack {
+  import Q.Fn
+
+  /** One BPE merge applied to a symbol array, strictly left-to-right
+    * non-overlapping (the reference BPE semantics): fold the array,
+    * merging when the accumulator's LAST symbol is `x` and the next
+    * element is `y`. Greedy non-overlap falls out of the fold — a
+    * just-merged `xy` can never re-match as `x` (symbol lengths only
+    * grow). Runs as a codegen'd higher-order `aggregate` over arrays
+    * of ≤ word-length strings; x/y are [a-z]+ by construction (the
+    * corpus tokenizer), so literal injection is safe. */
+  private def mergeExpr(x: String, y: String): String =
+    s"aggregate(syms, cast(array() as array<string>), (acc, e) -> " +
+      s"IF(size(acc) > 0 AND element_at(acc, -1) = '$x' AND e = '$y', " +
+      s"concat(slice(acc, 1, size(acc) - 1), array('$x$y')), " +
+      s"concat(acc, array(e))))"
+
+  val queries = Map[String, Fn](
+
+    // DISTRIBUTED BPE TOKENIZER TRAINING (the merge-learning loop of
+    // Sennrich et al. 2016 — the operator q247's vocab/OOV audit
+    // presupposes but nothing here learned until now): 6 iterations of
+    //   (1) adjacent-pair counts over the word-frequency dict,
+    //   (2) global argmax (count DESC, pair ASC — deterministic),
+    //   (3) left-to-right non-overlapping merge rewrite of every word.
+    // Scale shape: classic BPE trains on the DISTINCT-WORD dict, not
+    // the corpus — the corpus is touched ONCE (one groupBy(word)
+    // shuffle); each iteration then shuffles only fixed-width pair
+    // keys of the dict (|vocab| rows, corpus-size-free), the argmax is
+    // a TakeOrdered (no full sort, 1 row to the driver — the same
+    // bounded per-iteration driver scalar as q158's convergence
+    // check), and the rewrite is a map-only array fold. At 100 TB the
+    // dict is billions of rows where the corpus is trillions of
+    // tokens; every per-iteration cost is dict-sized. Output: the
+    // learned merge table (step, pair, pair_count).
+    "q263_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val words = Tables.table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      var states = words.persist()
+      states.count() // materialize gen 0 once; later gens fold onto it
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (step <- 1 to 6) {
+        val best = states
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "i -> concat(syms[i], '+', syms[i+1]))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val pair = best(0).getString(0)
+          merges += ((step.toLong, pair, best(0).getLong(1)))
+          val Array(x, y) = pair.split("\\+", 2)
+          val next = states.select(col("cnt"),
+            expr(mergeExpr(x, y)).as("syms")).persist()
+          next.count() // pin THIS generation, then free the previous
+          states.unpersist()
+          states = next
+        }
+      }
+      states.unpersist()
+      merges.toSeq.toDF("step", "pair", "pair_count").orderBy(col("step"))
+    },
+
+    // FRACTIONAL-REPEAT DOMAIN REBALANCING (the upsampling step of
+    // every mixture-weighted pretraining corpus — minority languages
+    // repeated toward parity with the majority): each lang with c_l
+    // docs is emitted ⌊T/c_l⌋ full epochs (T = the largest lang's
+    // count) plus one partial epoch holding the docs whose
+    // uhash(doc_id) mod c_l falls under T mod c_l — a deterministic
+    // hash threshold, zero RNG state, so the "random" partial epoch
+    // is reproducible row-for-row on any cluster at any parallelism.
+    // Scale shape: the lang histogram is a 5-row broadcast, the
+    // epoch assignment is map-only arithmetic, and the explode emits
+    // each repeat WITH its epoch number (downstream shuffles can salt
+    // on it — repeats of one doc need not co-locate). Nothing
+    // collects; nothing shuffles the corpus.
+    "q264_lang_upsample" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
+      val tmax = cnts.agg(max(col("c_l")).as("t_max"))
+      docs.join(broadcast(cnts), Seq("lang"))
+        .crossJoin(broadcast(tmax))
+        .withColumn("h", expr(Q.uhashSql("26400", "doc_id")))
+        .withColumn("epochs", expr(
+          "t_max DIV c_l + IF(h % c_l < t_max % c_l, 1L, 0L)"))
+        .select(col("lang"), col("doc_id"),
+          explode(expr("sequence(1L, epochs)")).as("epoch"))
+        .orderBy(col("lang"), col("doc_id"), col("epoch"))
+    },
+
+    // BOTTOM-K QUANTILE SKETCH (the quantile member of the sketch
+    // family): per event type, the 64 rows with the smallest
+    // uhash(event_id) form a uniform mergeable sample — bottom-k by a
+    // fixed hash is closed under union (bottom-k of a union = bottom-k
+    // of the concatenated bottom-k's), the same order-statistics trick
+    // as q228's KMV, so per-partition partial sketches combine
+    // associatively on a real cluster. Quantile estimates are then
+    // PICKED (never interpolated) at ceil(p·n) of the sample's
+    // (value, event_id) order — copied doubles, bit-exact across
+    // engines by construction. Scale shape: the rank-filter window is
+    // Spark's WindowGroupLimit rewrite (map-side partial top-k per
+    // type, no full sort, ≤ 64·types rows ever shuffle); everything
+    // downstream runs on sketch rows. BottomKQuantileSpec pins the
+    // merge-closure property.
+    "q265_bottomk_quantiles" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("h", expr(Q.uhashSql("26500", "event_id")))
+      val wk = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+      val sample = ev.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 64)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val n = sample.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"))
+      val wv = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      sample.join(broadcast(n), Seq("event_type"))
+        .withColumn("vr", row_number().over(wv))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_sample")).as("n_sample"),
+          max(expr("CASE WHEN vr = (25*n_sample+99) DIV 100 THEN value END")).as("q25"),
+          max(expr("CASE WHEN vr = (50*n_sample+99) DIV 100 THEN value END")).as("q50"),
+          max(expr("CASE WHEN vr = (75*n_sample+99) DIV 100 THEN value END")).as("q75"),
+          max(expr("CASE WHEN vr = (90*n_sample+99) DIV 100 THEN value END")).as("q90"))
+        .orderBy(col("event_type"))
+    },
+  )
+
+  // ——— DuckDB restatements ———
+
+  /** One BPE oracle stage: pair counts over stage k−1's states, the
+    * argmax (count DESC, pair ASC — '+' sorts below [a-z] in both
+    * engines' binary collation, so pair-string order ≡ (x, y) tuple
+    * order), and the merged states. States are chr(1)-joined symbol
+    * strings; the merge is a list_reduce whose seed is the first
+    * symbol (≡ Spark's fold from an empty array) and whose guard
+    * matches the accumulator's LAST symbol only (`acc = x` or
+    * `acc LIKE '%'‖chr(1)‖x` — symbols are [a-z]+, so no LIKE
+    * metacharacter can appear). Prototyped against a pure-Python BPE
+    * at sf0.001: bit-identical merge tables. */
+  private def bpeStage(k: Int): String =
+    s"""p$k AS (
+       |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+       |      bpi -> sy[bpi] || '+' || sy[bpi+1])) AS pair
+       |    FROM (SELECT cnt, string_split(state, chr(1)) AS sy FROM s${k - 1}))
+       |  GROUP BY pair),
+       |b$k AS (
+       |  SELECT pair, pc, string_split(pair, '+')[1] AS x,
+       |         string_split(pair, '+')[2] AS y
+       |  FROM p$k ORDER BY pc DESC, pair ASC LIMIT 1),
+       |s$k AS (
+       |  SELECT s.cnt, list_reduce(string_split(s.state, chr(1)), (bacc, be) ->
+       |    CASE WHEN be = b.y AND (bacc = b.x OR bacc LIKE '%' || chr(1) || b.x)
+       |         THEN substr(bacc, 1, length(bacc) - length(b.x)) || b.x || b.y
+       |         ELSE bacc || chr(1) || be END) AS state
+       |  FROM s${k - 1} s CROSS JOIN b$k b)""".stripMargin
+
+  val oracle = Map(
+    "q263_bpe_merges" ->
+      ("""WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |s0 AS (
+        |  SELECT cnt, list_reduce(
+        |    list_transform(range(1, length(word)+1),
+        |      bci -> substr(word, CAST(bci AS INT), 1)),
+        |    (ba, bb) -> ba || chr(1) || bb) AS state FROM w),
+        |""".stripMargin
+        + (1 to 6).map(bpeStage).mkString(",\n") + "\n"
+        + "SELECT step, pair, pair_count FROM (\n"
+        + (1 to 6).map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS step, pair, pc AS pair_count FROM b$k")
+          .mkString(" UNION ALL\n")
+        + ") ORDER BY step"),
+
+    "q264_lang_upsample" -> {
+      val uh = Q.uhashSql("26400", "doc_id")
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT max(c_l) AS t_max FROM c),
+         |d AS (
+         |  SELECT doc_id, d.lang, c_l, t_max, $uh AS h
+         |  FROM documents d JOIN c USING (lang) CROSS JOIN t)
+         |SELECT lang, doc_id,
+         |  unnest(range(1, (t_max // c_l) +
+         |    (CASE WHEN h % c_l < t_max % c_l THEN 1 ELSE 0 END) + 1)) AS epoch
+         |FROM d ORDER BY lang, doc_id, epoch""".stripMargin
+    },
+
+    "q265_bottomk_quantiles" -> {
+      val uh = Q.uhashSql("26500", "event_id")
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, value, $uh AS h FROM events),
+         |s AS (
+         |  SELECT event_type, event_id, value FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY event_type ORDER BY h, event_id) AS rk FROM e)
+         |  WHERE rk <= 64),
+         |n AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample
+         |  FROM s GROUP BY event_type),
+         |r AS (
+         |  SELECT s.*, n_sample, row_number() OVER (
+         |    PARTITION BY s.event_type ORDER BY value, event_id) AS vr
+         |  FROM s JOIN n USING (event_type))
+         |SELECT event_type, max(n_sample) AS n_sample,
+         |  max(CASE WHEN vr = (25*n_sample+99)//100 THEN value END) AS q25,
+         |  max(CASE WHEN vr = (50*n_sample+99)//100 THEN value END) AS q50,
+         |  max(CASE WHEN vr = (75*n_sample+99)//100 THEN value END) AS q75,
+         |  max(CASE WHEN vr = (90*n_sample+99)//100 THEN value END) AS q90
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+  )
+}
