@@ -29,8 +29,10 @@ object Bench {
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .getOrElse {
         if (sys.env.get("SPARK_GRAFT_SCALE_PARTITIONS").contains("1")) {
+          // listFiles() is null for an unreadable or race-deleted dir
           def dirBytes(p: java.io.File): Long =
-            if (p.isDirectory) p.listFiles().map(dirBytes).sum
+            if (p.isDirectory)
+              Option(p.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
             else p.length()
           val bytes = dirBytes(new java.io.File(sfDir))
           math.max(cpus.toInt, (bytes / (8L << 20)).toInt + 1).toString

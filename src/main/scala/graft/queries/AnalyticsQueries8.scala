@@ -453,7 +453,13 @@ object AnalyticsQueries8 extends QueryPack {
     // included — the q105/q205 estimate-beside-exact contract.
     // Squares and the exact sum are widened to DECIMAL(38,0) BEFORE
     // aggregation (the q235 overflow policy: sum_r² clears 2⁶³ once
-    // event counts pass ~3e9).
+    // event counts pass ~3e9) and SHIPPED AS EXACT INTEGER STRINGS
+    // (the q192/q213 exact-rational policy): q256 was the only query
+    // of 258 emitting DECIMAL columns in its final schema, and two
+    // rounds of identical-locally/red-at-the-driver hash mismatches
+    // isolated decimal canonicalization — not the arithmetic — as
+    // the divergence. Strings carry the full 38-digit exactness with
+    // one canonical rendering on both engines.
     "q256_ams_f2" -> { (s, dir) =>
       val p = 4294967291L
       val lanes = (0 until 8).map { r =>
@@ -477,9 +483,10 @@ object AnalyticsQueries8 extends QueryPack {
       val xr = (col("sum_r").cast("decimal(19,0)")
         * col("sum_r").cast("decimal(19,0)")).cast("decimal(38,0)")
       sums.crossJoin(broadcast(exact))
-        .select(col("r"), col("sum_r"), xr.as("x_r"),
-          col("f2_exact"),
-          (xr - col("f2_exact")).cast("decimal(38,0)").as("err"))
+        .select(col("r"), col("sum_r"),
+          xr.cast("string").as("x_r"),
+          col("f2_exact").cast("string").as("f2_exact"),
+          (xr - col("f2_exact")).cast("decimal(38,0)").cast("string").as("err"))
         .orderBy(col("r"))
     },
 
@@ -961,14 +968,12 @@ object AnalyticsQueries8 extends QueryPack {
          |    CAST(1 AS BIGINT) - 2 * (($uh) % 2) AS sgn
          |  FROM events e, l),
          |sr AS (SELECT r, CAST(sum(sgn) AS BIGINT) AS sum_r FROM s GROUP BY 1),
-         |ex AS (SELECT CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
-         |      AS DECIMAL(38,0)) AS f2_exact
+         |ex AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2_exact
          |  FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
          |SELECT r, sum_r,
-         |  CAST(CAST(sum_r AS HUGEINT) * sum_r AS DECIMAL(38,0)) AS x_r,
-         |  f2_exact,
-         |  CAST(CAST(sum_r AS HUGEINT) * sum_r
-         |    - CAST(f2_exact AS HUGEINT) AS DECIMAL(38,0)) AS err
+         |  CAST(CAST(sum_r AS HUGEINT) * sum_r AS VARCHAR) AS x_r,
+         |  CAST(f2_exact AS VARCHAR) AS f2_exact,
+         |  CAST(CAST(sum_r AS HUGEINT) * sum_r - f2_exact AS VARCHAR) AS err
          |FROM sr, ex ORDER BY r""".stripMargin
     },
 

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Round-16 pack: tokenizer TRAINING and sampling operators for the
   * training-data pipeline — distributed BPE merge learning (q263),
-  * deterministic fractional-repeat domain rebalancing (q264), and a
+  * deterministic fractional-repeat domain rebalancing (q264), a
   * mergeable bottom-k hash-sample quantile sketch (q265, the
   * quantile member of the sketch family next to HLL q224 / KMV q228 /
-  * CMS q205 / AMS q256).
+  * CMS q205 / AMS q256), and BPE tokenization-with-merges (q266 —
+  * the learned q263 table applied corpus-wide, closing the
+  * tokenizer loop into the q247 vocab-audit shape).
   *
   * All three follow the house float/determinism policy
   * (QueryPack.scala): integer or picked-not-computed outputs, hash
@@ -56,7 +58,12 @@ object AnalyticsQueries9 extends QueryPack {
       import s.implicits._
       val words = Tables.table(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-        .filter(length(col("word")) > 0)
+        // [a-z]+ is the PRECONDITION the merge machinery depends on
+        // (symbols are injected into expression text and '+' is the
+        // pair separator) — enforced as a filter on BOTH engines, so
+        // a regenerated data vintage with punctuation degrades to
+        // training on the alphabetic sub-dict instead of mis-parsing
+        .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .select(col("cnt"), expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
@@ -96,18 +103,20 @@ object AnalyticsQueries9 extends QueryPack {
     // uhash(doc_id) mod c_l falls under T mod c_l — a deterministic
     // hash threshold, zero RNG state, so the "random" partial epoch
     // is reproducible row-for-row on any cluster at any parallelism.
-    // Scale shape: the lang histogram is a 5-row broadcast, the
-    // epoch assignment is map-only arithmetic, and the explode emits
-    // each repeat WITH its epoch number (downstream shuffles can salt
-    // on it — repeats of one doc need not co-locate). Nothing
-    // collects; nothing shuffles the corpus.
+    // Scale shape: the lang histogram is a 5-row broadcast CARRYING
+    // its own max (t_max rides the histogram via a global window over
+    // the ≤|langs| already-aggregated rows — the q145 whitelisted
+    // shape — so no second scalar-attach join exists in the plan),
+    // the epoch assignment is map-only arithmetic, and the explode
+    // emits each repeat WITH its epoch number (downstream shuffles
+    // can salt on it — repeats of one doc need not co-locate).
+    // Nothing collects; nothing shuffles the corpus.
     "q264_lang_upsample" -> { (s, dir) =>
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"))
       val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
-      val tmax = cnts.agg(max(col("c_l")).as("t_max"))
+        .withColumn("t_max", max(col("c_l")).over(Window.partitionBy()))
       docs.join(broadcast(cnts), Seq("lang"))
-        .crossJoin(broadcast(tmax))
         .withColumn("h", expr(Q.uhashSql("26400", "doc_id")))
         .withColumn("epochs", expr(
           "t_max DIV c_l + IF(h % c_l < t_max % c_l, 1L, 0L)"))
@@ -153,6 +162,73 @@ object AnalyticsQueries9 extends QueryPack {
           max(expr("CASE WHEN vr = (90*n_sample+99) DIV 100 THEN value END")).as("q90"))
         .orderBy(col("event_type"))
     },
+
+    // BPE TOKENIZATION WITH LEARNED MERGES (the apply side of q263,
+    // closing the tokenizer-training loop: learn merges → tokenize
+    // the corpus with them → audit the resulting subword vocabulary,
+    // the q247 audit re-run on SUBWORD units). The 6 merges are
+    // re-learned by the identical q263 loop (same dict, same
+    // deterministic argmax — the tables agree by construction; in
+    // production you'd learn once and reuse), then the token stream
+    // is audited per subword: corpus frequency, distinct words
+    // containing it, and the char-coverage share. After 6 merges
+    // every token is a single [a-z] char or one of the ≤6 merge
+    // results, so the output vocabulary is ≤32 rows by construction.
+    // Scale shape: the learning loop is q263's (corpus touched once,
+    // per-iteration cost dict-sized, 1-row argmax collects); the
+    // apply is a map-only array fold over the dict; the audit is ONE
+    // dict-sized shuffle keyed by token; the char-coverage total
+    // rides a global window over the ≤32 already-aggregated token
+    // rows (the q145 whitelisted shape). tok_len·corpus_freq·1e6
+    // stays under 2⁶³ until the corpus passes ~9e12 chars per token —
+    // at that scale widen to DECIMAL internally and keep the BIGINT
+    // ppm output (the q176 policy).
+    "q266_bpe_tokenize" -> { (s, dir) =>
+      val words = Tables.table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"), expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      var states = words.persist()
+      states.count()
+      for (_ <- 1 to 6) {
+        val best = states
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "i -> concat(syms[i], '+', syms[i+1]))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val Array(x, y) = best(0).getString(0).split("\\+", 2)
+          val next = states.select(col("word"), col("cnt"),
+            expr(mergeExpr(x, y)).as("syms")).persist()
+          next.count()
+          states.unpersist()
+          states = next
+        }
+      }
+      val audit = states
+        .select(col("word"), col("cnt"), explode(col("syms")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(sum(col("cnt")).as("corpus_freq"),
+          count_distinct(col("word")).as("n_words"))
+        .withColumn("tok_len", length(col("tok")).cast("long"))
+        .withColumn("total_chars",
+          sum(expr("tok_len * corpus_freq")).over(Window.partitionBy()))
+        .select(col("tok"), col("tok_len"), col("corpus_freq"),
+          col("n_words"),
+          expr("tok_len * corpus_freq * 1000000 DIV total_chars")
+            .as("char_ppm"))
+        .orderBy(col("corpus_freq").desc, col("tok").asc)
+        .persist()
+      audit.count() // pin the ≤32-row result, then free the dict
+      states.unpersist()
+      audit
+    },
   )
 
   // ——— DuckDB restatements ———
@@ -166,8 +242,10 @@ object AnalyticsQueries9 extends QueryPack {
     * matches the accumulator's LAST symbol only (`acc = x` or
     * `acc LIKE '%'‖chr(1)‖x` — symbols are [a-z]+, so no LIKE
     * metacharacter can appear). Prototyped against a pure-Python BPE
-    * at sf0.001: bit-identical merge tables. */
-  private def bpeStage(k: Int): String =
+    * at sf0.001: bit-identical merge tables. `carry` threads extra
+    * s-columns through the rewrite stages (q266 carries `s.word, `
+    * for its distinct-word audit; q263 carries nothing). */
+  private def bpeStage(k: Int, carry: String = ""): String =
     s"""p$k AS (
        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
        |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
@@ -179,7 +257,7 @@ object AnalyticsQueries9 extends QueryPack {
        |         string_split(pair, '+')[2] AS y
        |  FROM p$k ORDER BY pc DESC, pair ASC LIMIT 1),
        |s$k AS (
-       |  SELECT s.cnt, list_reduce(string_split(s.state, chr(1)), (bacc, be) ->
+       |  SELECT ${carry}s.cnt, list_reduce(string_split(s.state, chr(1)), (bacc, be) ->
        |    CASE WHEN be = b.y AND (bacc = b.x OR bacc LIKE '%' || chr(1) || b.x)
        |         THEN substr(bacc, 1, length(bacc) - length(b.x)) || b.x || b.y
        |         ELSE bacc || chr(1) || be END) AS state
@@ -191,14 +269,14 @@ object AnalyticsQueries9 extends QueryPack {
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
         |    FROM documents)
-        |  WHERE length(word) > 0 GROUP BY word),
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
         |s0 AS (
         |  SELECT cnt, list_reduce(
         |    list_transform(range(1, length(word)+1),
         |      bci -> substr(word, CAST(bci AS INT), 1)),
         |    (ba, bb) -> ba || chr(1) || bb) AS state FROM w),
         |""".stripMargin
-        + (1 to 6).map(bpeStage).mkString(",\n") + "\n"
+        + (1 to 6).map(bpeStage(_)).mkString(",\n") + "\n"
         + "SELECT step, pair, pair_count FROM (\n"
         + (1 to 6).map(k =>
             s"  SELECT CAST($k AS BIGINT) AS step, pair, pc AS pair_count FROM b$k")
@@ -243,5 +321,34 @@ object AnalyticsQueries9 extends QueryPack {
          |  max(CASE WHEN vr = (90*n_sample+99)//100 THEN value END) AS q90
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "q266_bpe_tokenize" ->
+      ("""WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |s0 AS (
+        |  SELECT word, cnt, list_reduce(
+        |    list_transform(range(1, length(word)+1),
+        |      bci -> substr(word, CAST(bci AS INT), 1)),
+        |    (ba, bb) -> ba || chr(1) || bb) AS state FROM w),
+        |""".stripMargin
+        + (1 to 6).map(bpeStage(_, "s.word, ")).mkString(",\n") + ",\n"
+        + """a AS (
+        |  SELECT tok, CAST(sum(cnt) AS BIGINT) AS corpus_freq,
+        |         CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        |  FROM (SELECT word, cnt, unnest(string_split(state, chr(1))) AS tok
+        |        FROM s6)
+        |  GROUP BY tok),
+        |t AS (
+        |  SELECT tok, CAST(length(tok) AS BIGINT) AS tok_len, corpus_freq,
+        |         n_words,
+        |         CAST(sum(length(tok) * corpus_freq) OVER () AS BIGINT)
+        |           AS total_chars
+        |  FROM a)
+        |SELECT tok, tok_len, corpus_freq, n_words,
+        |  tok_len * corpus_freq * 1000000 // total_chars AS char_ppm
+        |FROM t ORDER BY corpus_freq DESC, tok ASC""".stripMargin),
   )
 }

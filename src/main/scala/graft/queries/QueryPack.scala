@@ -111,10 +111,16 @@ object Q {
     * affine step, so DuckDB's C-style % can never diverge from
     * Spark's pmod on a negative or ≥P input. For nonneg x this is
     * bit-identical to the unreduced form (a·x+b ≡ a·(x mod P)+b
-    * (mod P)), so no existing oracle value moves; for negative ids —
-    * the data-vintage hazard behind the r11 q256 red row — both
-    * engines now agree by construction. a·(P−1) = 9.22e18 < 2⁶³−1,
-    * so the reduced product never wraps. */
+    * (mod P)), so no existing oracle value moves; for negative ids
+    * both engines now agree by construction (AmsF2Spec's hostile
+    * vintage pins it). NOTE: this hardening was first aimed at the
+    * r11 q256 red row, which it did NOT fix — the driver data's ids
+    * are nonnegative, and r12 isolated the actual cause as q256's
+    * unique DECIMAL(38,0) output columns under the driver's hash
+    * canonicalization (fixed by emitting exact integer strings, the
+    * q192/q213 policy). The sign-safety stays as a pure data-vintage
+    * guard. a·(P−1) = 9.22e18 < 2⁶³−1, so the reduced product never
+    * wraps. */
   def uhashSql(iExpr: String, x: String): String = {
     val xr = s"(((($x) % 4294967291) + 4294967291) % 4294967291)"
     s"(((((($iExpr)*2654435761) % 1073741824)*2+1) * $xr + " +

@@ -154,7 +154,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q231_peak_concurrency" -> 1, // hour-carry prefix sum over ≤|hours| rows
     "q233_quota_allocation" -> 2, // largest-remainder ranks over ≤|langs| rows
     "q253_hybrid_rrf" -> 2, // per-leg rank over the ≤20 rows each TakeOrdered kept
-    "q255_random_projection" -> 1) // rank over the 10-row exact top-k
+    "q255_random_projection" -> 1, // rank over the 10-row exact top-k
+    "q264_lang_upsample" -> 1, // t_max carried on the ≤|langs|-row histogram (q145 shape)
+    "q266_bpe_tokenize" -> 1) // char-coverage total over the ≤32-row token vocab
 
   // The lower-bound capture is comma-free so the match can never span
   // out of one frame's argument list into a later frame (a `.*?`
