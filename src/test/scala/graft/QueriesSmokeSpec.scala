@@ -113,7 +113,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q208 attaches the 1-row half-totals aggregate to the ≤24-row
     // bucket table — the q85/q86 scalar shape; the halves themselves
     // are one hash agg.
-    "q208_drift_audit" -> 1)
+    "q208_drift_audit" -> 1,
+    // q267 attaches the 1-row max-score normalizer to the scored docs
+    // — the q85/q86 scalar shape; the model join is b-keyed hash.
+    "q267_dsir_resample" -> 1)
 
   /** name → MAX deliberate shrinking-frame count. A window frame
     * whose LOWER bound is not UNBOUNDED PRECEDING but whose UPPER
@@ -156,7 +159,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q253_hybrid_rrf" -> 2, // per-leg rank over the ≤20 rows each TakeOrdered kept
     "q255_random_projection" -> 1, // rank over the 10-row exact top-k
     "q264_lang_upsample" -> 1, // t_max carried on the ≤|langs|-row histogram (q145 shape)
-    "q266_bpe_tokenize" -> 1) // char-coverage total over the ≤32-row token vocab
+    "q266_bpe_tokenize" -> 1, // char-coverage total over the ≤32-row token vocab
+    // q267's model totals run over the ≤128-row bucket agg (q145
+    // shape); the scored subtree holding that window is referenced
+    // twice (max-score scalar + the resample) so it inlines ×2 —
+    // the same un-cached subtree duplication the BNLJ counts pin.
+    "q267_dsir_resample" -> 2)
 
   // The lower-bound capture is comma-free so the match can never span
   // out of one frame's argument list into a later frame (a `.*?`
