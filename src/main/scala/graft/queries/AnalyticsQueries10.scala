@@ -216,6 +216,132 @@ object AnalyticsQueries10 extends QueryPack {
           "(n_chunks * 256 - total_tokens) * 1000000 DIV (n_chunks * 256)"))
         .orderBy(col("lang"))
     },
+    // K-CORE DECOMPOSITION (4 peeling rounds toward the 3-core — the
+    // degeneracy structure of the co-purchase graph; the graph-family
+    // member next to BFS q191 / triangles q173 / PageRank q158).
+    // Each round drops every vertex whose CURRENT degree — degree in
+    // the subgraph induced by the survivors — is < 3; the fixed round
+    // count is the q191/q263 unrolled-iteration policy (a fixpoint
+    // loop is the production variant; each round here is the same
+    // plan shape, so the curve measures identically). Edges reuse
+    // q191's array-local canonical-pair build: ONE lineitem shuffle
+    // gathers per-order part sets, pairs expand inside the array,
+    // co-count ≥ 2 gates hub blowup, and the survivor set mirrors to
+    // both directions for free. Scale shape per round: two node-keyed
+    // semi-joins (edge list never rebuilt, never moves) + one degree
+    // agg; the per-round stats collect is 1 row (the q158/q263
+    // bounded driver scalar). Output: (round, n_alive, key_sum) —
+    // the peel curve, 5 rows.
+    "q271_kcore" -> { (s, dir) =>
+      val canon = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
+          .as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("src"), col("dst"))
+      val edges = canon
+        .union(canon.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      // The round count is STATIC — unlike q263's argmax loop there is
+      // no per-iteration driver decision, so the whole peel stays ONE
+      // lazy plan with zero driver actions: each level persist()s (a
+      // level is consumed twice — by the next peel and by its own
+      // stats row) and the curve is a 5-branch union evaluated in a
+      // single job. At sf0.001 this is the difference between 1 job
+      // and ~10 (the per-action overhead dominated a first cut).
+      def peel(alive: DataFrame): DataFrame =
+        edges
+          .join(alive.select(col("node").as("src")), Seq("src"))
+          .join(alive.select(col("node").as("dst")), Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3)
+          .select(col("src").as("node")).persist()
+      val levels = Iterator
+        .iterate(edges.select(col("src").as("node")).distinct().persist())(peel)
+        .take(5).toSeq
+      levels.zipWithIndex.map { case (df, r) =>
+        df.agg(count(lit(1)).as("n_alive"),
+            coalesce(sum(col("node")), lit(0L)).as("key_sum"))
+          .select(lit(r.toLong).as("round"), col("n_alive"), col("key_sum"))
+      }.reduce(_.union(_)).orderBy(col("round"))
+    },
+
+    // CURRICULUM INTERLEAVE (the deterministic epoch-ordering step of
+    // a mixture-trained corpus: rank docs per language by a quality
+    // signal, then round-robin the per-language rank lists so every
+    // |langs|-block of consecutive positions covers the domains —
+    // the data-ORDERING op next to the data-SELECTION q267 and the
+    // data-LAYOUT q270). Quality here is (n_chars DESC, doc_id) —
+    // the stand-in signal; a real pipeline plugs its q148/q157
+    // scorer into the same orderBy. Scale shape: one per-lang
+    // partitioned rank window, then the global head is
+    // orderBy(r, lang).limit(k) — TakeOrderedAndProject (per-
+    // partition top-k, k-row driver merge), never a global sort; the
+    // final position stamp is a rank over the ≤40 rows the limit
+    // kept (the q86 whitelisted shape).
+    "q272_curriculum_interleave" -> { (s, dir) =>
+      val ranked = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      ranked.orderBy(col("r"), col("lang")).limit(40)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(col("r"), col("lang"))).cast("long"))
+        .select(col("pos"), col("lang"), col("doc_id"), col("n_chars"), col("r"))
+        .orderBy(col("pos"))
+    },
+    // PARETO FRONTIER / SKYLINE (multi-objective selection — "which
+    // users are undominated on (activity, spend)": the OLAP skyline
+    // operator, here as the data-curation shape "no other point is ≥
+    // on both axes and > on one"). The naive plan is an O(n²)
+    // dominance anti-join; the scalable plan here is the classic
+    // bucket-prune: (1) one per-user agg builds the points, (2) x is
+    // range-bucketed into ≤64 monotone buckets (the boundary scalar is
+    // the q85/q86 1-row attach; bucketing steers PRUNING, never the
+    // result), (3) a 64-row prefix-max over strictly-higher buckets
+    // gives each bucket its cross-bucket dominance threshold (growing
+    // frame over the bounded bucket table), (4) in-bucket dominance is
+    // two partitioned windows (strictly-greater-x via an integer RANGE
+    // frame, equal-x via a (bucket, x) max). Every corpus-sized
+    // operation is one agg + per-bucket windows; nothing n² ever
+    // materializes. The DuckDB oracle is the INDEPENDENT naive
+    // NOT-EXISTS formulation, so the gate also proves the pruning
+    // plan's equivalence to the definition. Equal (x, y) duplicates
+    // are mutually undominated (strict-on-one definition) and both
+    // survive, deterministically.
+    "q273_pareto_frontier" -> { (s, dir) =>
+      val pts = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Q.cents(col("value"))).as("sum_cents"))
+      val mx = pts.agg(max(col("n_events")).as("max_x"))
+      val bucketed = pts.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("least(63L, n_events * 64 DIV (max_x + 1))"))
+      val thr = bucketed.groupBy(col("bucket"))
+        .agg(max(col("sum_cents")).as("maxy"))
+        .withColumn("thr", max(col("maxy")).over(Window
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bucket"), col("thr"))
+      val wx = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_events").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(thr), Seq("bucket"))
+        .withColumn("m_strict", max(col("sum_cents")).over(wx))
+        .withColumn("m_eq", max(col("sum_cents"))
+          .over(Window.partitionBy(col("bucket"), col("n_events"))))
+        .filter((col("thr").isNull || col("sum_cents") > col("thr")) &&
+          (col("m_strict").isNull || col("sum_cents") > col("m_strict")) &&
+          col("sum_cents") === col("m_eq"))
+        .select(col("user_id"), col("n_events"), col("sum_cents"))
+        .orderBy(col("n_events").desc, col("sum_cents").desc, col("user_id"))
+    },
   )
 
   // ——— DuckDB restatements ———
@@ -285,6 +411,68 @@ object AnalyticsQueries10 extends QueryPack {
          |         (n_b - s_b) * CAST(n_a AS HUGEINT)) * 1000000) //
          |       (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS tv_ppm
          |FROM p ORDER BY lang_a, lang_b""".stripMargin,
+
+    // Mirrors the Spark peel round for round: the li/edges CTEs are
+    // q191's oracle edge build (both directions fall out of the
+    // a.pk <> b.pk self-join); COALESCE(sum, 0) keeps an emptied core
+    // comparable (sum over an empty set is NULL on both engines).
+    "q271_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |a0 AS (SELECT DISTINCT src AS node FROM edges),
+        |d1 AS (SELECT e.src AS node, count(*) AS dg FROM edges e
+        |  JOIN a0 x ON e.src = x.node JOIN a0 y ON e.dst = y.node GROUP BY e.src),
+        |a1 AS (SELECT node FROM d1 WHERE dg >= 3),
+        |d2 AS (SELECT e.src AS node, count(*) AS dg FROM edges e
+        |  JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node GROUP BY e.src),
+        |a2 AS (SELECT node FROM d2 WHERE dg >= 3),
+        |d3 AS (SELECT e.src AS node, count(*) AS dg FROM edges e
+        |  JOIN a2 x ON e.src = x.node JOIN a2 y ON e.dst = y.node GROUP BY e.src),
+        |a3 AS (SELECT node FROM d3 WHERE dg >= 3),
+        |d4 AS (SELECT e.src AS node, count(*) AS dg FROM edges e
+        |  JOIN a3 x ON e.src = x.node JOIN a3 y ON e.dst = y.node GROUP BY e.src),
+        |a4 AS (SELECT node FROM d4 WHERE dg >= 3)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_alive,
+        |    CAST(COALESCE(sum(node), 0) AS BIGINT) AS key_sum FROM a0
+        |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(node), 0) AS BIGINT) FROM a1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(node), 0) AS BIGINT) FROM a2
+        |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(node), 0) AS BIGINT) FROM a3
+        |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(node), 0) AS BIGINT) FROM a4)
+        |ORDER BY round""".stripMargin,
+
+    "q272_curriculum_interleave" ->
+      """WITH rk AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+        |  FROM documents),
+        |top AS (SELECT * FROM rk ORDER BY r, lang LIMIT 40)
+        |SELECT CAST(row_number() OVER (ORDER BY r, lang) AS BIGINT) AS pos,
+        |  lang, doc_id, n_chars, r
+        |FROM top ORDER BY pos""".stripMargin,
+
+    // Deliberately the NAIVE dominance definition (NOT EXISTS over
+    // all pairs) — an independent formulation, so the gate proves the
+    // Spark side's bucket-prune plan equivalent to the definition
+    // rather than mirroring its steps.
+    "q273_pareto_frontier" ->
+      """WITH pts AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, sum_cents FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.n_events >= p.n_events AND q.sum_cents >= p.sum_cents
+        |    AND (q.n_events > p.n_events OR q.sum_cents > p.sum_cents))
+        |ORDER BY n_events DESC, sum_cents DESC, user_id""".stripMargin,
 
     "q270_context_pack" -> {
       val uh = Q.uhashSql("27000", "doc_id")

@@ -116,7 +116,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q208_drift_audit" -> 1,
     // q267 attaches the 1-row max-score normalizer to the scored docs
     // — the q85/q86 scalar shape; the model join is b-keyed hash.
-    "q267_dsir_resample" -> 1)
+    "q267_dsir_resample" -> 1,
+    // q273 attaches the 1-row max-x bucketing boundary — the q85/q86
+    // scalar shape; the bucketed subtree is referenced twice (the
+    // 64-row threshold build + the final filter) so it inlines ×2.
+    "q273_pareto_frontier" -> 2)
 
   /** name → MAX deliberate shrinking-frame count. A window frame
     * whose LOWER bound is not UNBOUNDED PRECEDING but whose UPPER
@@ -164,7 +168,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // shape); the scored subtree holding that window is referenced
     // twice (max-score scalar + the resample) so it inlines ×2 —
     // the same un-cached subtree duplication the BNLJ counts pin.
-    "q267_dsir_resample" -> 2)
+    "q267_dsir_resample" -> 2,
+    "q272_curriculum_interleave" -> 1, // pos stamp over the ≤40 rows a TakeOrdered(40) kept
+    "q273_pareto_frontier" -> 1) // cross-bucket prefix max over the ≤64-row bucket table
 
   // The lower-bound capture is comma-free so the match can never span
   // out of one frame's argument list into a later frame (a `.*?`

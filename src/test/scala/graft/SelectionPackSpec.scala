@@ -82,6 +82,59 @@ class SelectionPackSpec extends SparkSpec {
     }
   }
 
+  test("q271: the peel curve is monotone and stabilizes exactly on the 3-core") {
+    val rows = SparkEntry.queries("q271_kcore")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(rows.map(_._1) === List(0L, 1L, 2L, 3L, 4L)) // the 5 peel rounds
+    // peeling only removes: n_alive and key_sum are non-increasing
+    rows.sliding(2).foreach { case List(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"round ${b._1} grew")
+    }
+    // once a round removes nothing, the set is an invariant of the
+    // peel map — every later round must be identical (fixpoint)
+    val firstFix = rows.sliding(2).indexWhere { case List(a, b) => a._2 == b._2 && a._3 == b._3 }
+    if (firstFix >= 0) rows.drop(firstFix + 1).foreach { r =>
+      assert((r._2, r._3) === (rows(firstFix)._2, rows(firstFix)._3))
+    }
+  }
+
+  test("q272: positions are contiguous and the head block round-robins the languages") {
+    val rows = SparkEntry.queries("q272_curriculum_interleave")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toList
+    assert(rows.map(_._1) === (1L to 40L).toList)
+    val langs = rows.map(_._2).distinct.size
+    // rank-major order: the first |langs| positions are the rank-1
+    // docs of |langs| distinct languages (every lang has ≥1 doc here)
+    val head = rows.take(langs)
+    assert(head.map(_._2).distinct.size === langs)
+    assert(head.forall(_._3 == 1L))
+    // ranks never decrease along the curriculum
+    rows.sliding(2).foreach { case List(a, b) => assert(b._3 >= a._3) }
+  }
+
+  test("q273: the bucket-pruned skyline equals the naive dominance definition") {
+    val got = SparkEntry.queries("q273_pareto_frontier")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val pts = graft.sources.Tables.events(spark, sf001)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("x"),
+        org.apache.spark.sql.functions.sum(graft.queries.Q.cents(
+          org.apache.spark.sql.functions.col("value"))).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val want = pts.filterNot { case (_, x, y) =>
+      pts.exists { case (_, qx, qy) => qx >= x && qy >= y && (qx > x || qy > y) }
+    }.sortBy(t => (-t._2, -t._3, t._1))
+    assert(got.nonEmpty && got === want)
+    // frontier is an antichain: along x-descending order, y must rise
+    // strictly at every x step (equal x on a skyline forces equal y —
+    // the mutually-undominated duplicate case)
+    got.sliding(2).foreach { case List(a, b) =>
+      assert(b._2 <= a._2)
+      if (b._2 < a._2) assert(b._3 > a._3) else assert(b._3 == a._3)
+    }
+  }
+
   test("q270: chunk arithmetic conserves tokens and bounds waste by the shard count") {
     val rows = SparkEntry.queries("q270_context_pack")(spark, sf001).collect()
     assert(rows.nonEmpty)
