@@ -296,12 +296,14 @@ object AnalyticsQueries10 extends QueryPack {
         .select(col("pos"), col("lang"), col("doc_id"), col("n_chars"), col("r"))
         .orderBy(col("pos"))
     },
-    // PARETO FRONTIER / SKYLINE (multi-objective selection — "which
-    // users are undominated on (activity, spend)": the OLAP skyline
-    // operator, here as the data-curation shape "no other point is ≥
-    // on both axes and > on one"). The naive plan is an O(n²)
-    // dominance anti-join; the scalable plan here is the classic
-    // bucket-prune: (1) one per-user agg builds the points, (2) x is
+    // GLOBAL PARETO FRONTIER / SKYLINE (multi-objective selection —
+    // "which users are undominated on (activity, spend)"). q166 is
+    // the GROUPED skyline: its per-language windows parallelize on
+    // the partition key. This is the global case — no partition key
+    // exists, so q166's window plan would be one task over the whole
+    // input (the exact cliff the global-window lint exists for).
+    // The naive plan is an O(n²) dominance anti-join; the scalable
+    // global plan is the classic bucket-prune: (1) one per-user agg builds the points, (2) x is
     // range-bucketed into ≤64 monotone buckets (the boundary scalar is
     // the q85/q86 1-row attach; bucketing steers PRUNING, never the
     // result), (3) a 64-row prefix-max over strictly-higher buckets
