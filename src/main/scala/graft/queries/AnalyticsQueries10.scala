@@ -32,9 +32,20 @@ object AnalyticsQueries10 extends QueryPack {
   /** Tokens of `documents.text` with doc identity — the shared
     * tokenization of q267/q268/q269 (whitespace words, no alphabetic
     * gate: hashing tolerates any byte, unlike q263's merge-expression
-    * injection which needed the [a-z]+ precondition). */
+    * injection which needed the [a-z]+ precondition).
+    *
+    * The repartition is a MEASURED scale fix (ARCHITECTURE.md "Scan
+    * parallelism vs CPU-heavy text work"): text parquet compresses
+    * ~10×, so a 56 MB file is ONE 128 MB-bound scan partition carrying
+    * ~1.5 GB of explode/hash work — at ladder rung 2 the whole q267/
+    * q268 token pipeline ran on 1–2 cores of 32 and went FLAT from
+    * sf10→sf30 (parallelism grew with the data instead of the work
+    * shrinking). The q261-precedent repartition decouples CPU-work
+    * parallelism from scan-split parallelism; at 100 TB the scan has
+    * thousands of splits anyway and the exchange is scan-cost-bounded. */
   private def toks(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
@@ -192,7 +203,10 @@ object AnalyticsQueries10 extends QueryPack {
     // Scale shape: one window per (lang, shard) — parallelism grows
     // with the shard knob, never a global order — then two tiny aggs.
     "q270_context_pack" -> { (s, dir) =>
+      // same scan-vs-CPU-parallelism fix as toks() — the token count
+      // is per-row split work on the compact text column
       val d = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"),
           when(length(trim(col("text"))) === 0, 0L)
             .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
@@ -290,6 +304,11 @@ object AnalyticsQueries10 extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
           .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        // position ≤ 40 implies per-lang rank ≤ 40, so this filter is
+        // a no-op semantically — but it lets Spark plan the rank
+        // window as WindowGroupLimit (map-side per-partition top-40
+        // per lang), so a 100 TB language never pays a full sort
+        .filter(col("r") <= 40)
       ranked.orderBy(col("r"), col("lang")).limit(40)
         .withColumn("pos", row_number()
           .over(Window.orderBy(col("r"), col("lang"))).cast("long"))
@@ -343,6 +362,18 @@ object AnalyticsQueries10 extends QueryPack {
           col("sum_cents") === col("m_eq"))
         .select(col("user_id"), col("n_events"), col("sum_cents"))
         .orderBy(col("n_events").desc, col("sum_cents").desc, col("user_id"))
+    },
+    // STREAM-STREAM LEFT SEMI interval join — the last missing mode
+    // of the streaming join matrix (q76 inner, q193 left outer, q250
+    // full outer): per user, how many views converted (a same-user
+    // click within the following hour), each view counted AT MOST
+    // ONCE however many clicks follow. Semi state is strictly smaller
+    // than inner's (no match multiplication) — the reason "has a
+    // conversion" questions plan semi, never inner + distinct. See
+    // EventStream.leftSemiJoinRollup for the state-machine argument;
+    // drained ≡ the batch EXISTS the oracle runs.
+    "q274_stream_semi" -> { (s, dir) =>
+      graft.streaming.EventStream.leftSemiJoinRollup(s, dir)
     },
   )
 
@@ -475,6 +506,22 @@ object AnalyticsQueries10 extends QueryPack {
         |  WHERE q.n_events >= p.n_events AND q.sum_cents >= p.sum_cents
         |    AND (q.n_events > p.n_events OR q.sum_cents > p.sum_cents))
         |ORDER BY n_events DESC, sum_cents DESC, user_id""".stripMargin,
+
+    // Mirrors q193's oracle time handling: epoch_ns with the window
+    // as a raw ns literal (the stream side's µs truncation is exact —
+    // the corpus timestamps carry µs precision, ts_ns % 1000 = 0).
+    "q274_stream_semi" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id AS u,
+        |    epoch_ns(ts) AS vns, CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS u, epoch_ns(ts) AS cns
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT * FROM v WHERE EXISTS (
+        |  SELECT 1 FROM c WHERE c.u = v.u
+        |    AND c.cns >= v.vns AND c.cns <= v.vns + 3600000000000))
+        |SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_converted_views,
+        |  CAST(coalesce(sum(vc), 0) AS BIGINT) AS converted_value_c
+        |FROM m GROUP BY u ORDER BY u""".stripMargin,
 
     "q270_context_pack" -> {
       val uh = Q.uhashSql("27000", "doc_id")

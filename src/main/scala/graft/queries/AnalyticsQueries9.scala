@@ -56,7 +56,12 @@ object AnalyticsQueries9 extends QueryPack {
     // learned merge table (step, pair, pair_count).
     "q263_bpe_merges" -> { (s, dir) =>
       import s.implicits._
+      // repartition: scan-split parallelism ≠ CPU-work parallelism on
+      // compact text (the measured rung-2 finding, AnalyticsQueries10
+      // .toks) — the corpus tokenize+partial-agg must not run on the
+      // 1–2 tasks a 128 MB-bound parquet split gives a 56 MB file
       val words = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         // [a-z]+ is the PRECONDITION the merge machinery depends on
         // (symbols are injected into expression text and '+' is the
@@ -185,6 +190,7 @@ object AnalyticsQueries9 extends QueryPack {
     // ppm output (the q176 policy).
     "q266_bpe_tokenize" -> { (s, dir) =>
       val words = Tables.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // the toks() scan-parallelism fix
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))

@@ -314,6 +314,43 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream LEFT SEMI interval join (q274): views that ARE
+    * followed by a same-user click within the hour, each view emitted
+    * AT MOST ONCE — the last missing mode of the stream-stream join
+    * matrix (q76 inner, q193 left outer, q250 full outer). Semi is
+    * its own state machine, not a projection of inner: a view must
+    * emit on its FIRST arriving match and then be remembered as
+    * emitted (a second click must NOT re-emit it) while it stays in
+    * state until the watermark passes vets + 1 h. The drained output
+    * provably equals the batch EXISTS the oracle runs. At scale the
+    * semi's state is STRICTLY SMALLER than the inner join's output
+    * side (no match multiplication — one output row per view
+    * maximum), which is exactly why retrieval-style "has a
+    * conversion" questions should plan semi, never inner+distinct. */
+  def leftSemiJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_semi_" + math.abs(sfDir.hashCode).toString
+    spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())
+    val src = sentinelReplay(spark, "graft_stream_semi", sfDir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"),
+        col("ets").as("vets"), col("value_c"))
+      .withWatermark("vets", "1 minute")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ets").as("cets"))
+      .withWatermark("cets", "1 minute")
+    val joined = views.join(clicks,
+      col("v_uid") === col("c_uid") &&
+        col("cets") >= col("vets") &&
+        col("cets") <= col("vets") + expr("INTERVAL 1 HOUR"),
+      "leftSemi")
+    runDrained(spark, name, joined)
+      .filter(col("v_uid") >= 0) // sentinels carry user -1 and match themselves
+      .groupBy(col("v_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_converted_views"),
+        coalesce(sum(col("value_c")), lit(0L)).as("converted_value_c"))
+      .orderBy(col("user_id"))
+  }
+
   def outerJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_outer_" + math.abs(sfDir.hashCode).toString
     spark.streams.active.filter(q => Option(q.name).exists(_ == name)).foreach(_.stop())

@@ -99,8 +99,13 @@ class SelectionPackSpec extends SparkSpec {
   }
 
   test("q272: positions are contiguous and the head block round-robins the languages") {
-    val rows = SparkEntry.queries("q272_curriculum_interleave")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toList
+    val df = SparkEntry.queries("q272_curriculum_interleave")(spark, sf001)
+    // the r <= 40 filter must plan as WindowGroupLimit (map-side
+    // per-partition top-40 per lang) — without it a 100 TB language
+    // pays a full per-lang sort for a 40-row answer
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "q272's rank window lost its WindowGroupLimit rewrite")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toList
     assert(rows.map(_._1) === (1L to 40L).toList)
     val langs = rows.map(_._2).distinct.size
     // rank-major order: the first |langs| positions are the rank-1
