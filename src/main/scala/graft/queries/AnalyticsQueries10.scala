@@ -44,8 +44,7 @@ object AnalyticsQueries10 extends QueryPack {
     * parallelism from scan-split parallelism; at 100 TB the scan has
     * thousands of splits anyway and the exchange is scan-cost-bounded. */
   private def toks(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.documentsWide(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
@@ -205,8 +204,7 @@ object AnalyticsQueries10 extends QueryPack {
     "q270_context_pack" -> { (s, dir) =>
       // same scan-vs-CPU-parallelism fix as toks() — the token count
       // is per-row split work on the compact text column
-      val d = Tables.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val d = Tables.documentsWide(s, dir)
         .select(col("doc_id"), col("lang"),
           when(length(trim(col("text"))) === 0, 0L)
             .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))

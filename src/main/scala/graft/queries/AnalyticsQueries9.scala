@@ -56,12 +56,11 @@ object AnalyticsQueries9 extends QueryPack {
     // learned merge table (step, pair, pair_count).
     "q263_bpe_merges" -> { (s, dir) =>
       import s.implicits._
-      // repartition: scan-split parallelism ≠ CPU-work parallelism on
-      // compact text (the measured rung-2 finding, AnalyticsQueries10
-      // .toks) — the corpus tokenize+partial-agg must not run on the
-      // 1–2 tasks a 128 MB-bound parquet split gives a 56 MB file
-      val words = Tables.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      // scan-split parallelism ≠ CPU-work parallelism on compact text
+      // (the measured ladder finding, Tables.documentsWide) — the
+      // corpus tokenize+partial-agg must not run on the 1–2 tasks a
+      // 128 MB-bound parquet split gives a 56 MB file
+      val words = Tables.documentsWide(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         // [a-z]+ is the PRECONDITION the merge machinery depends on
         // (symbols are injected into expression text and '+' is the
@@ -189,8 +188,7 @@ object AnalyticsQueries9 extends QueryPack {
     // at that scale widen to DECIMAL internally and keep the BIGINT
     // ppm output (the q176 policy).
     "q266_bpe_tokenize" -> { (s, dir) =>
-      val words = Tables.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // the toks() scan-parallelism fix
+      val words = Tables.documentsWide(s, dir) // the scan-parallelism guard
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))

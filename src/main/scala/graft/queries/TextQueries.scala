@@ -173,7 +173,7 @@ object TextQueries extends QueryPack {
     // fractions are single integer divisions (bit-exact on both
     // engines).
     "q75_doc_repetition" -> { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents")
+      val docs = Tables.documentsWide(s, dir) // scan-vs-CPU parallelism guard
       val wc = docs
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wn"))
@@ -382,7 +382,7 @@ object TextQueries extends QueryPack {
     // note); weights are the offline-trained artifact, inference is a
     // per-row dot product after one word-count aggregation.
     "q96_quality_classifier" -> { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents")
+      val docs = Tables.documentsWide(s, dir) // scan-vs-CPU parallelism guard
       val wc = TextOps.wordCounts(docs, "doc_id", "text")
         .groupBy(col("doc_id"))
         .agg(sum(col("wn")).as("n_tokens"), count(lit(1)).as("n_distinct"))

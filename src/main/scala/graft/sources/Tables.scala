@@ -28,6 +28,24 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** documents scan with a CPU-work parallelism guard (the round-17
+    * measured finding, ARCHITECTURE.md "Scan parallelism vs CPU-heavy
+    * text work"): text parquet compresses ~10×, so a 56 MB file is
+    * ONE 128 MB-bound scan split carrying ~1.5 GB of tokenize/hash
+    * work — the ladder probe caught whole text pipelines flat across
+    * a 3× data step because they ran on 1–2 of 32 cores. Widen ONLY
+    * when the scan has fewer splits than the session's parallelism:
+    * at 100 TB the scan has thousands of splits and this is a no-op
+    * (zero shuffle); in the few-large-files regime it decouples
+    * per-row CPU parallelism from the split count. `.rdd` here only
+    * materializes the physical scan to read its partition count — no
+    * job runs. */
+  def documentsWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "documents")
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events with `ts_ns: Long` (epoch nanos) and `ts: Timestamp` (µs).
     *
     * Schema-adaptive: the driver's generator has shipped `ts` both as
