@@ -98,9 +98,16 @@ object AnalyticsQueries10 extends QueryPack {
         .select(col("b"), expr(
           "(((t_b + 1) * 1000000 DIV (tt + 128)) + 1) * 1000 DIV " +
             "(((r_b + 1) * 1000000 DIV (rt + 128)) + 1)").as("score"))
+      // persist: scored is consumed twice (the 1-row max normalizer +
+      // the resample) and its lineage re-runs the corpus tokenize/join
+      // otherwise; the cached frame is ONE ROW PER DOC (not per token),
+      // so the footprint is doc-count-bounded at any scale. The token
+      // stream itself is deliberately NOT persisted — materializing an
+      // exploded corpus is the thing that doesn't survive 100 TB.
       val scored = t.join(broadcast(model), Seq("b"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("score")).as("doc_score"), count(lit(1)).as("n_toks"))
+        .persist()
       val mx = scored.agg(max(col("doc_score")).as("max_score"))
       scored.crossJoin(broadcast(mx))
         .withColumn("h", expr("(" + Q.uhashSql("26701", "doc_id") + ") % 1000000"))
