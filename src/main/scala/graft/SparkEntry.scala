@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] =
-    Seq(Relational, Windowed, TextQueries, VectorQueries, KernelQueries, DomainQueries, RefOps, NnQueries, ShapeQueries, AnalyticsQueries, AnalyticsQueries2, AnalyticsQueries3, AnalyticsQueries4, AnalyticsQueries5, AnalyticsQueries6, AnalyticsQueries7, AnalyticsQueries8, AnalyticsQueries9, AnalyticsQueries10)
+    Seq(Relational, Windowed, TextQueries, VectorQueries, KernelQueries, DomainQueries, RefOps, NnQueries, ShapeQueries, AnalyticsQueries, AnalyticsQueries2, AnalyticsQueries3, AnalyticsQueries4, AnalyticsQueries5, AnalyticsQueries6, AnalyticsQueries7, AnalyticsQueries8, AnalyticsQueries9, AnalyticsQueries10, AnalyticsQueries11)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. q62 is the reference's hallmark relational shape: the

@@ -254,4 +254,100 @@ object TextOps {
           .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
       .orderBy(col(idCol))
   }
+
+  // ——— BPE learn / apply (the q263/q266 tokenizer loop as reusable
+  // operators — round-14 verdict task 5: a real pipeline learns ONCE,
+  // persists the merge table (the q44 checkpoint contract models the
+  // store), and applies it to every later corpus vintage) ———
+
+  /** Word-frequency dict with initial single-character symbol arrays —
+    * the shared learn/apply input. The [a-z]+ gate is the PRECONDITION
+    * the merge machinery depends on (symbols are injected into
+    * expression text and '+' is the pair separator) — enforced here on
+    * the one shared path, so a data vintage with punctuation degrades
+    * to training on the alphabetic sub-dict instead of mis-parsing.
+    * Classic BPE trains on the DISTINCT-WORD dict, not the corpus: the
+    * corpus is touched exactly once (this one groupBy(word) shuffle);
+    * at 100 TB the dict is billions of rows where the corpus is
+    * trillions of tokens. `keys` prepends grouping columns (e.g. lang)
+    * for KEYED dicts — the apply-side shape q276's per-language
+    * fertility audit tokenizes; learning still runs on the global
+    * (key-free) dict. */
+  def bpeDict(docs: DataFrame, textCol: String,
+      keys: Seq[String] = Nil): DataFrame =
+    docs.select(keys.map(col) :+ explode(words(col(textCol))).as("word"): _*)
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy((keys :+ "word").map(col): _*).agg(count(lit(1)).as("cnt"))
+      .select(keys.map(col) ++ Seq(col("word"), col("cnt"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms")): _*)
+
+  /** One BPE merge applied to a symbol-array expression, strictly
+    * left-to-right non-overlapping (the reference BPE semantics): fold
+    * the array, merging when the accumulator's LAST symbol is `x` and
+    * the next element is `y`. Greedy non-overlap falls out of the fold
+    * — a just-merged `xy` can never re-match as `x` (symbol lengths
+    * only grow). Runs as a codegen'd higher-order `aggregate`; x/y are
+    * [a-z]+ by the [[bpeDict]] precondition, so literal injection is
+    * safe. `src` is any array<string> expression, which is what lets
+    * [[bpeApply]] compose k merges into ONE map-only pass. */
+  private[graft] def bpeMergeExpr(src: String, x: String, y: String): String =
+    s"aggregate($src, cast(array() as array<string>), (acc, e) -> " +
+      s"IF(size(acc) > 0 AND element_at(acc, -1) = '$x' AND e = '$y', " +
+      s"concat(slice(acc, 1, size(acc) - 1), array('$x$y')), " +
+      s"concat(acc, array(e))))"
+
+  /** Learn `k` BPE merges over a (cnt, syms) dict (Sennrich et al.
+    * 2016): k iterations of adjacent-pair counts → global argmax
+    * (count DESC, pair ASC — deterministic) → non-overlapping merge
+    * rewrite. Returns the merge TABLE rows (step, "x+y", pair_count) —
+    * the persistable artifact between learn and apply. Scale shape:
+    * each iteration shuffles only fixed-width pair keys of the dict
+    * (|vocab| rows, corpus-size-free), the argmax is a TakeOrdered
+    * (no full sort, 1 row to the driver — the same bounded
+    * per-iteration driver scalar as q158's convergence check), and the
+    * rewrite is a map-only array fold onto the pinned previous
+    * generation. */
+  def bpeLearn(dict: DataFrame, k: Int): Seq[(Long, String, Long)] = {
+    var states = dict.select(col("cnt"), col("syms")).persist()
+    states.count() // materialize gen 0 once; later gens fold onto it
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (step <- 1 to k) {
+      val best = states
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> concat(syms[i], '+', syms[i+1]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        merges += ((step.toLong, pair, best(0).getLong(1)))
+        val Array(x, y) = pair.split("\\+", 2)
+        val next = states.select(col("cnt"),
+          expr(bpeMergeExpr("syms", x, y)).as("syms")).persist()
+        next.count() // pin THIS generation, then free the previous
+        states.unpersist()
+        states = next
+      }
+    }
+    states.unpersist()
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table (the "x+y" pairs, IN LEARNED ORDER)
+    * to a dict's syms column: the k folds compose into ONE map-only
+    * select — applying merge 1 to every word and then merge 2 equals
+    * composing the two per-row folds, so the apply side needs no
+    * iteration state, no persists, and exactly zero shuffles. This is
+    * the production read path: tokenize any corpus vintage with a
+    * stored merge table at scan speed. */
+  def bpeApply(dict: DataFrame, merges: Seq[String]): DataFrame = {
+    val chained = merges.foldLeft("syms") { (src, pair) =>
+      val Array(x, y) = pair.split("\\+", 2)
+      bpeMergeExpr(src, x, y)
+    }
+    dict.withColumn("syms", expr(chained))
+  }
 }

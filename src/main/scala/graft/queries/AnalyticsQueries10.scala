@@ -75,6 +75,12 @@ object AnalyticsQueries10 extends QueryPack {
     // ratio is monotone in the same per-bucket evidence. Since the
     // target is a subset of the raw corpus, r_b ≥ t_b bounds
     // score_b ≤ ~(R/T)·1000, so doc_score·1e6 stays far under 2⁶³.
+    // The MODEL arithmetic widens to DECIMAL(38,0) before its ×1e6
+    // (the q176/q269 policy): t_b/r_b are corpus-scale token counts,
+    // so (t_b+1)·1e6 on BIGINT would wrap past 2⁶³ at ~9.2e12 tokens
+    // — silently on Spark, loudly on DuckDB (HUGEINT there). The
+    // per-bucket ppm the DIV returns is ≤1e6 and lands back in
+    // BIGINT, so score/doc_score keep their types and bounds.
     //
     // Scale shape: the bucket model is ONE corpus-sized hash agg onto
     // 128 fixed buckets (map-side partial combine does the heavy
@@ -96,8 +102,8 @@ object AnalyticsQueries10 extends QueryPack {
           sum(col("r_b")).over(wAll).as("rt"),
           sum(col("t_b")).over(wAll).as("tt"))
         .select(col("b"), expr(
-          "(((t_b + 1) * 1000000 DIV (tt + 128)) + 1) * 1000 DIV " +
-            "(((r_b + 1) * 1000000 DIV (rt + 128)) + 1)").as("score"))
+          "(((CAST(t_b AS DECIMAL(38,0)) + 1) * 1000000 DIV (tt + 128)) + 1) * 1000 DIV " +
+            "(((CAST(r_b AS DECIMAL(38,0)) + 1) * 1000000 DIV (rt + 128)) + 1)").as("score"))
       // persist: scored is consumed twice (the 1-row max normalizer +
       // the resample) and its lineage re-runs the corpus tokenize/join
       // otherwise; the cached frame is ONE ROW PER DOC (not per token),
@@ -109,7 +115,7 @@ object AnalyticsQueries10 extends QueryPack {
         .agg(sum(col("score")).as("doc_score"), count(lit(1)).as("n_toks"))
         .persist()
       val mx = scored.agg(max(col("doc_score")).as("max_score"))
-      scored.crossJoin(broadcast(mx))
+      val out = scored.crossJoin(broadcast(mx))
         .withColumn("h", expr("(" + Q.uhashSql("26701", "doc_id") + ") % 1000000"))
         .withColumn("keep", expr("h < (doc_score * 1000000) DIV max_score"))
         .groupBy(col("lang"))
@@ -117,6 +123,13 @@ object AnalyticsQueries10 extends QueryPack {
           sum(expr("IF(keep, 1L, 0L)")).as("n_sampled"),
           sum(expr("IF(keep, n_toks, 0L)")).as("sampled_tokens"))
         .orderBy(col("lang"))
+      // pin the ≤|langs|-row result, then free the per-doc frame —
+      // the q269 pin-then-free pattern, so a multi-query session
+      // (tools/newops_probe.sh) doesn't keep a corpus-sized-per-doc
+      // cache resident after the query returns
+      out.persist().count()
+      scored.unpersist()
+      out
     },
 
     // MISRA–GRIES HEAVY HITTERS (deterministic frequency sketch —
@@ -135,17 +148,22 @@ object AnalyticsQueries10 extends QueryPack {
     // stream (the driver corpus's word distribution is flat — no word
     // reaches 1/17 — while its letter frequencies are natural-language
     // skewed: 7 of 24 letters exceed the bound, and 24 > k forces the
-    // decrement path the sketch exists for). Scale shape: pass 1
-    // shuffles k-entry maps (one per partition), pass 2 is a scan +
-    // 16-way hash-set filter + a 16-group agg; the driver holds ≤16
-    // single-char strings.
+    // decrement path the sketch exists for). Scale shape: EXACTLY TWO
+    // corpus scans — the MG buffer carries the exact stream length N
+    // alongside the counters (it sees every item anyway and N merges
+    // by summation, MisraGries.scala), so the guarantee threshold
+    // needs no separate count() pass (round-14 fold of the r13
+    // three-pass shape). Pass 1 shuffles k-entry maps (one per
+    // partition), pass 2 is a scan + 16-way hash-set filter + a
+    // 16-group agg; the driver holds ≤16 single-char strings + one
+    // long. MgScanCountSpec pins the ≤2-scan property.
     "q268_misra_gries" -> { (s, dir) =>
       import s.implicits._
       val chars = toks(s, dir).select(explode(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as("ch"))
-      val candidates = chars.as[String].select(MisraGries(16).toColumn).head()
-      val total = chars.count()
+      val (candidates, total) =
+        chars.as[String].select(MisraGries(16).toColumn).head()
       chars.filter(col("ch").isin(candidates: _*))
         .groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * lit(17L) > lit(total))
@@ -162,28 +180,41 @@ object AnalyticsQueries10 extends QueryPack {
     // as ppm (TV over JS/KL by the no-ln house policy — and TV is the
     // distance with the direct data-mixing reading: the mass you must
     // move). Absent-word terms are closed-form — Σ_{a-only} c_a·N_b =
-    // (N_a − S_a)·N_b with S_a the common-support sum — so an INNER
-    // word join suffices; no full-outer, no missing-row handling.
+    // (N_a − S_a)·N_b with S_a the common-support sum — so the
+    // word-level join stays INNER; pairs with ZERO shared vocabulary
+    // (TV exactly 1, tv_ppm = 1000000) still appear because the pair
+    // SPINE is a lang×lang cross of the ≤|langs|-row totals LEFT-
+    // joined to the common-support agg with d/s coalesced to 0 — an
+    // inner-only shape would silently drop exactly the maximally-
+    // drifted pairs the audit exists to surface.
     // Scale shape: one corpus-sized (lang, word) hash agg, then
     // dict-sized shuffles only (the word self-join is ≤|langs|² rows
-    // per word); products widen to DECIMAL(38,0) before summing (the
-    // q176 policy — c·N reaches 10²⁴ at 100 TB) and the ppm emits as
-    // BIGINT.
+    // per word; the spine cross is bounded-agg × bounded-agg — the
+    // whitelisted 1-BNLJ shape); products widen to DECIMAL(38,0)
+    // before summing (the q176 policy — c·N reaches 10²⁴ at 100 TB)
+    // and the ppm emits as BIGINT.
     "q269_tv_drift" -> { (s, dir) =>
       val wc = toks(s, dir)
         .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
         .persist() // two references below: the pair join's both sides + totals
       val totals = wc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val ta = totals.select(col("lang").as("lang_a"), col("n").as("n_a"))
+      val tb = totals.select(col("lang").as("lang_b"), col("n").as("n_b"))
+      val spine = ta.crossJoin(broadcast(tb)).filter(col("lang_a") < col("lang_b"))
       val a = wc.select(col("lang").as("lang_a"), col("word"), col("c").as("c_a"))
       val b = wc.select(col("lang").as("lang_b"), col("word"), col("c").as("c_b"))
-      val out = a.join(b, Seq("word")).filter(col("lang_a") < col("lang_b"))
-        .join(broadcast(totals.select(col("lang").as("lang_a"), col("n").as("n_a"))), Seq("lang_a"))
-        .join(broadcast(totals.select(col("lang").as("lang_b"), col("n").as("n_b"))), Seq("lang_b"))
+      val common = a.join(b, Seq("word")).filter(col("lang_a") < col("lang_b"))
+        .join(broadcast(ta), Seq("lang_a"))
+        .join(broadcast(tb), Seq("lang_b"))
         .groupBy(col("lang_a"), col("lang_b"))
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum(abs(col("c_a").cast("decimal(38,0)") * col("n_b") -
-            col("c_b").cast("decimal(38,0)") * col("n_a"))).as("d_common"),
+        .agg(sum(abs(col("c_a").cast("decimal(38,0)") * col("n_b") -
+          col("c_b").cast("decimal(38,0)") * col("n_a"))).as("d_common"),
           sum(col("c_a")).as("s_a"), sum(col("c_b")).as("s_b"))
+      val out = spine.join(common, Seq("lang_a", "lang_b"), "left")
+        .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+          coalesce(col("d_common"), lit(0).cast("decimal(38,0)")).as("d_common"),
+          coalesce(col("s_a"), lit(0L)).as("s_a"),
+          coalesce(col("s_b"), lit(0L)).as("s_b"))
         .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
           expr("CAST(((d_common + (n_a - s_a) * CAST(n_b AS DECIMAL(38,0)) + " +
             "(n_b - s_b) * CAST(n_a AS DECIMAL(38,0))) * 1000000) DIV " +
@@ -269,11 +300,12 @@ object AnalyticsQueries10 extends QueryPack {
         .persist()
       // The round count is STATIC — unlike q263's argmax loop there is
       // no per-iteration driver decision, so the whole peel stays ONE
-      // lazy plan with zero driver actions: each level persist()s (a
-      // level is consumed twice — by the next peel and by its own
-      // stats row) and the curve is a 5-branch union evaluated in a
-      // single job. At sf0.001 this is the difference between 1 job
-      // and ~10 (the per-action overhead dominated a first cut).
+      // lazy plan with no per-round driver actions: each level
+      // persist()s (a level is consumed twice — by the next peel and
+      // by its own stats row) and the curve is a 5-branch union
+      // evaluated in a single job (the pin count() below). At sf0.001
+      // this is the difference between 1 job and ~10 (the per-action
+      // overhead dominated a first cut).
       def peel(alive: DataFrame): DataFrame =
         edges
           .join(alive.select(col("node").as("src")), Seq("src"))
@@ -284,11 +316,19 @@ object AnalyticsQueries10 extends QueryPack {
       val levels = Iterator
         .iterate(edges.select(col("src").as("node")).distinct().persist())(peel)
         .take(5).toSeq
-      levels.zipWithIndex.map { case (df, r) =>
+      val curve = levels.zipWithIndex.map { case (df, r) =>
         df.agg(count(lit(1)).as("n_alive"),
             coalesce(sum(col("node")), lit(0L)).as("key_sum"))
           .select(lit(r.toLong).as("round"), col("n_alive"), col("key_sum"))
       }.reduce(_.union(_)).orderBy(col("round"))
+      // pin the 5-row curve (one job evaluates the whole lazy peel),
+      // then free the edge list and every level — without this the
+      // co-purchase graph stays resident in executor memory for the
+      // rest of a multi-query session (the q269 pin-then-free pattern)
+      curve.persist().count()
+      levels.foreach(_.unpersist())
+      edges.unpersist()
+      curve
     },
 
     // CURRICULUM INTERLEAVE (the deterministic epoch-ordering step of
@@ -396,8 +436,8 @@ object AnalyticsQueries10 extends QueryPack {
          |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_b
          |  FROM t GROUP BY b),
          |m2 AS (
-         |  SELECT b, (((t_b + 1) * 1000000 // (tt + 128)) + 1) * 1000 //
-         |            (((r_b + 1) * 1000000 // (rt + 128)) + 1) AS score
+         |  SELECT b, (((CAST(t_b AS HUGEINT) + 1) * 1000000 // (tt + 128)) + 1) * 1000 //
+         |            (((CAST(r_b AS HUGEINT) + 1) * 1000000 // (rt + 128)) + 1) AS score
          |  FROM (SELECT *, CAST(sum(r_b) OVER () AS BIGINT) AS rt,
          |               CAST(sum(t_b) OVER () AS BIGINT) AS tt FROM model)),
          |scored AS (
@@ -435,9 +475,11 @@ object AnalyticsQueries10 extends QueryPack {
          |  SELECT lang, word, CAST(count(*) AS BIGINT) AS c
          |  FROM ($toksSql) GROUP BY lang, word),
          |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY lang),
+         |spine AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b
+         |  FROM tot a JOIN tot b ON a.lang < b.lang),
          |p AS (
          |  SELECT a.lang AS lang_a, b.lang AS lang_b,
-         |    max(ta.n) AS n_a, max(tb.n) AS n_b,
          |    sum(abs(CAST(a.c AS HUGEINT) * tb.n - CAST(b.c AS HUGEINT) * ta.n)) AS d_common,
          |    CAST(sum(a.c) AS BIGINT) AS s_a, CAST(sum(b.c) AS BIGINT) AS s_b
          |  FROM wc a JOIN wc b ON a.word = b.word AND a.lang < b.lang
@@ -445,10 +487,11 @@ object AnalyticsQueries10 extends QueryPack {
          |  JOIN tot tb ON tb.lang = b.lang
          |  GROUP BY a.lang, b.lang)
          |SELECT lang_a, lang_b, n_a, n_b,
-         |  CAST(((d_common + (n_a - s_a) * CAST(n_b AS HUGEINT) +
-         |         (n_b - s_b) * CAST(n_a AS HUGEINT)) * 1000000) //
+         |  CAST(((COALESCE(d_common, 0) + (n_a - COALESCE(s_a, 0)) * CAST(n_b AS HUGEINT) +
+         |         (n_b - COALESCE(s_b, 0)) * CAST(n_a AS HUGEINT)) * 1000000) //
          |       (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS tv_ppm
-         |FROM p ORDER BY lang_a, lang_b""".stripMargin,
+         |FROM spine LEFT JOIN p USING (lang_a, lang_b)
+         |ORDER BY lang_a, lang_b""".stripMargin,
 
     // Mirrors the Spark peel round for round: the li/edges CTEs are
     // q191's oracle edge build (both directions fall out of the

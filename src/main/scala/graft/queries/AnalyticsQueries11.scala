@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.operators.{Components, Dedup, TextOps}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-18 pack: split hygiene and tokenizer-economics operators for
+  * the training-data pipeline — leakage-safe cluster-aware train/val
+  * splitting (q275: near-duplicate clusters assigned to splits WHOLE,
+  * the hygiene step every dedup-then-split pipeline needs), a
+  * per-language BPE fertility audit (q276: the learn-once
+  * apply-everywhere read of the q263/q266 TextOps operators — the
+  * number that decides whether a tokenizer taxes some languages), and
+  * a context-length packing sweep (q277: q270's waste accounting
+  * across candidate window sizes — the knob-decision table).
+  *
+  * House float/determinism policy throughout (QueryPack.scala):
+  * splits are q264-style hash thresholds (zero RNG state), fertility
+  * ratios are exact milli-scaled integer rationals, and the sweep's
+  * ppm arithmetic is the q270 integer form.
+  */
+object AnalyticsQueries11 extends QueryPack {
+  import Q.Fn
+
+  val queries = Map[String, Fn](
+
+    // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (the hygiene rule of every
+    // eval: near-duplicates of a validation document must not sit in
+    // train — Lee et al. 2021 measure the perplexity inflation when
+    // they do). A doc-level hash split (q49) leaks by construction on
+    // a duplicate-rich corpus; the fix is to split by near-dup
+    // CLUSTER: q40's banded MinHash candidates → q72's connected
+    // components → ONE hash decision per cluster_id (80/10/10),
+    // inherited by every member. The leakage audit — clusters whose
+    // members straddle >1 split — is COMPUTED from the assignment
+    // (not asserted), so the output proves the zero the doc-level
+    // split cannot deliver. Scale shape: candidates stay banded
+    // (corpus never self-joins), components shuffle only (id, comp)
+    // longs (q72's star machinery, output localCheckpointed so the
+    // two consumers below never re-run MinHash), assignment is
+    // map-only arithmetic, and the audit + rollup are cluster-keyed
+    // hash aggs; the 1-row leak scalar is the q85/q86 broadcast
+    // attach.
+    "q275_leakage_split" -> { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents")
+      val edges = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.6,
+        shingleK = 3, hashFn = Dedup.polyHash)
+      val assigned = Components.dedupClusters(
+          docs.select(col("doc_id").as("id")), edges)
+        .withColumn("h", expr("(" + Q.uhashSql("27500", "cluster_id") + ") % 10"))
+        .withColumn("split", expr(
+          "CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END"))
+      val leak = assigned.groupBy(col("cluster_id"))
+        .agg(count_distinct(col("split")).as("n_splits"))
+        .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+          .as("n_leaky_clusters"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("cluster_id")).as("n_clusters"),
+          sum(when(col("cluster_n") > 1, 1L).otherwise(0L))
+            .as("n_clustered_docs"))
+        .crossJoin(broadcast(leak))
+        .orderBy(col("split"))
+    },
+
+    // PER-LANGUAGE BPE FERTILITY AUDIT (tokenizer economics: a vocab
+    // learned on the POOLED corpus spends its merges on the majority
+    // language, so minority languages pay more tokens per word — the
+    // fertility gap that silently reweights a token-budgeted mixture;
+    // cf. the multilingual-tokenizer audits around XLM-R/BLOOM). The
+    // merge table is learned ONCE on the global dict and applied to
+    // each language's dict through the SAME TextOps operators q263/
+    // q266 share — the learn-once apply-everywhere contract, exercised
+    // across a key boundary. Output per lang: words, tokens, chars,
+    // and the exact milli-ratios tokens/word and chars/token (a
+    // fertility of 1000 = every word one token; higher = taxed).
+    // Scale shape: ONE corpus scan builds the (lang, word) dict
+    // (pinned — both the global roll-up for learning and the apply
+    // read it from cache); learning is q263's dict-sized loop; the
+    // apply is bpeApply's zero-shuffle composed fold; the final agg
+    // is ≤|langs| rows.
+    "q276_bpe_fertility" -> { (s, dir) =>
+      val langDict = TextOps.bpeDict(Tables.documentsWide(s, dir), "text",
+        keys = Seq("lang")).persist()
+      langDict.count() // the one corpus scan
+      val globalDict = langDict.groupBy(col("word"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(col("cnt"), expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      val merges = TextOps.bpeLearn(globalDict, 6)
+      val out = TextOps.bpeApply(langDict, merges.map(_._2))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * size(col("syms"))).as("n_tokens"),
+          sum(col("cnt") * length(col("word"))).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr("n_tokens * 1000 DIV n_words").as("tokens_per_word_milli"),
+          expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_milli"))
+        .orderBy(col("lang"))
+      out.persist().count() // pin the ≤|langs|-row result, free the dict
+      langDict.unpersist()
+      out
+    },
+
+    // CONTEXT-LENGTH PACKING SWEEP (the knob decision q270 feeds:
+    // for candidate window sizes C ∈ {128, 256, 512}, what do the
+    // SAME packer shards pay in padding waste and split documents?
+    // Bigger C wastes less padding but splits more docs across
+    // example boundaries — this emits the whole trade curve in one
+    // query). Shard dealing and doc order are IDENTICAL to q270
+    // (same uhash salt), so the curve is exactly "q270 at three C
+    // values", not three different packings. Scale shape: the
+    // per-(lang, shard) cumulative window runs ONCE on pre-explode
+    // rows; the C explode is per-row (×3) AFTER the window; then two
+    // tiny aggs per C — sweeping the knob costs one extra projection,
+    // never a re-pack.
+    "q277_context_sweep" -> { (s, dir) =>
+      val d = Tables.documentsWide(s, dir)
+        .select(col("doc_id"), col("lang"),
+          when(length(trim(col("text"))) === 0, 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("shard", expr("(" + Q.uhashSql("27000", "doc_id") + ") % 8"))
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      d.withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("lang"), col("shard"), col("n_tokens"), col("cum"),
+          explode(expr("array(128L, 256L, 512L)")).as("c"))
+        .withColumn("split_doc",
+          expr("IF((cum - 1) DIV c > (cum - n_tokens) DIV c, 1L, 0L)"))
+        .groupBy(col("c"), col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("toks"),
+          sum(col("split_doc")).as("n_split"))
+        .withColumn("n_chunks", expr("(toks + c - 1) DIV c"))
+        .groupBy(col("c"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_split")).as("n_split_docs"))
+        .withColumn("waste_ppm", expr(
+          "(n_chunks * c - total_tokens) * 1000000 DIV (n_chunks * c)"))
+        .orderBy(col("c"), col("lang"))
+    },
+  )
+
+  // ——— DuckDB restatements ———
+
+  /** One BPE APPLY stage: rewrite chain l0..lk against the learned
+    * b1..bk (the bpeStage rewrite with the learn chain's pair tables,
+    * applied to a DIFFERENT dict — the SQL mirror of
+    * TextOps.bpeApply's learned-table reuse). */
+  private def bpeApplyStage(k: Int): String =
+    s"""l$k AS (
+       |  SELECT s.lang, s.word, s.cnt,
+       |    list_reduce(string_split(s.state, chr(1)), (bacc, be) ->
+       |      CASE WHEN be = b.y AND (bacc = b.x OR bacc LIKE '%' || chr(1) || b.x)
+       |           THEN substr(bacc, 1, length(bacc) - length(b.x)) || b.x || b.y
+       |           ELSE bacc || chr(1) || be END) AS state
+       |  FROM l${k - 1} s CROSS JOIN b$k b)""".stripMargin
+
+  val oracle = Map(
+    "q275_leakage_split" -> {
+      val uh = Q.uhashSql("27500", "cluster_id")
+      s"""WITH RECURSIVE ${DomainQueries.mhPairsCte("documents")},
+         |ccn AS (SELECT doc_id AS id FROM documents),
+         |ccs AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mhpairs
+         |        UNION ALL SELECT id_b, id_a FROM mhpairs),
+         |walk AS (
+         |  SELECT id, id AS r FROM ccn
+         |  UNION
+         |  SELECT s.b AS id, w.r FROM walk w JOIN ccs s ON s.a = w.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_n FROM comp GROUP BY cluster_id),
+         |asg AS (
+         |  SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_n,
+         |    CASE WHEN ($uh) % 10 < 8 THEN 'train'
+         |         WHEN ($uh) % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM comp JOIN sizes USING (cluster_id)),
+         |leak AS (
+         |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaky_clusters
+         |  FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+         |        FROM asg GROUP BY cluster_id))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN cluster_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered_docs,
+         |  n_leaky_clusters
+         |FROM asg CROSS JOIN leak
+         |GROUP BY split, n_leaky_clusters ORDER BY split""".stripMargin
+    },
+
+    // Learn chain = q263's oracle verbatim (global dict, 6 bpeStage
+    // rounds); apply chain = the same rewrite driven by the learned
+    // b1..b6 over the per-language dict — the independent SQL
+    // restatement of learn-once apply-everywhere.
+    "q276_bpe_fertility" ->
+      ("""WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |s0 AS (
+        |  SELECT cnt, list_reduce(
+        |    list_transform(range(1, length(word)+1),
+        |      bci -> substr(word, CAST(bci AS INT), 1)),
+        |    (ba, bb) -> ba || chr(1) || bb) AS state FROM w),
+        |""".stripMargin
+        + (1 to 6).map(AnalyticsQueries9.bpeStage(_)).mkString(",\n") + ",\n"
+        + """lw AS (
+        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY lang, word),
+        |l0 AS (
+        |  SELECT lang, word, cnt, list_reduce(
+        |    list_transform(range(1, length(word)+1),
+        |      bci -> substr(word, CAST(bci AS INT), 1)),
+        |    (ba, bb) -> ba || chr(1) || bb) AS state FROM lw),
+        |""".stripMargin
+        + (1 to 6).map(bpeApplyStage).mkString(",\n") + ",\n"
+        + """f AS (
+        |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(sum(cnt * len(string_split(state, chr(1)))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars
+        |  FROM l6 GROUP BY lang)
+        |SELECT lang, n_words, n_tokens, n_chars,
+        |  n_tokens * 1000 // n_words AS tokens_per_word_milli,
+        |  n_chars * 1000 // n_tokens AS chars_per_token_milli
+        |FROM f ORDER BY lang""".stripMargin),
+
+    "q277_context_sweep" -> {
+      val uh = Q.uhashSql("27000", "doc_id")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |    END AS n_tokens,
+         |    ($uh) % 8 AS shard
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE n_tokens > 0),
+         |cumm AS (
+         |  SELECT lang, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM f),
+         |x AS (
+         |  SELECT lang, shard, n_tokens, cum,
+         |    unnest([CAST(128 AS BIGINT), 256, 512]) AS c
+         |  FROM cumm),
+         |sh AS (
+         |  SELECT c, lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS toks,
+         |    CAST(sum(CASE WHEN (cum - 1) // c > (cum - n_tokens) // c
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM x GROUP BY c, lang, shard)
+         |SELECT c, lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum((toks + c - 1) // c) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_split) AS BIGINT) AS n_split_docs,
+         |  (CAST(sum((toks + c - 1) // c) AS BIGINT) * c -
+         |   CAST(sum(toks) AS BIGINT)) * 1000000 //
+         |  (CAST(sum((toks + c - 1) // c) AS BIGINT) * c) AS waste_ppm
+         |FROM sh GROUP BY c, lang ORDER BY c, lang""".stripMargin
+    },
+  )
+}

@@ -22,20 +22,6 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries9 extends QueryPack {
   import Q.Fn
 
-  /** One BPE merge applied to a symbol array, strictly left-to-right
-    * non-overlapping (the reference BPE semantics): fold the array,
-    * merging when the accumulator's LAST symbol is `x` and the next
-    * element is `y`. Greedy non-overlap falls out of the fold — a
-    * just-merged `xy` can never re-match as `x` (symbol lengths only
-    * grow). Runs as a codegen'd higher-order `aggregate` over arrays
-    * of ≤ word-length strings; x/y are [a-z]+ by construction (the
-    * corpus tokenizer), so literal injection is safe. */
-  private def mergeExpr(x: String, y: String): String =
-    s"aggregate(syms, cast(array() as array<string>), (acc, e) -> " +
-      s"IF(size(acc) > 0 AND element_at(acc, -1) = '$x' AND e = '$y', " +
-      s"concat(slice(acc, 1, size(acc) - 1), array('$x$y')), " +
-      s"concat(acc, array(e))))"
-
   val queries = Map[String, Fn](
 
     // DISTRIBUTED BPE TOKENIZER TRAINING (the merge-learning loop of
@@ -53,50 +39,16 @@ object AnalyticsQueries9 extends QueryPack {
     // check), and the rewrite is a map-only array fold. At 100 TB the
     // dict is billions of rows where the corpus is trillions of
     // tokens; every per-iteration cost is dict-sized. Output: the
-    // learned merge table (step, pair, pair_count).
+    // learned merge table (step, pair, pair_count). The whole loop —
+    // dict build (with the Tables.documentsWide scan-parallelism
+    // guard and the [a-z]+ precondition), learn, merge fold — lives
+    // in TextOps.bpeDict/bpeLearn, the SHARED operator q266's apply
+    // side consumes: learn once, persist the table, apply everywhere.
     "q263_bpe_merges" -> { (s, dir) =>
       import s.implicits._
-      // scan-split parallelism ≠ CPU-work parallelism on compact text
-      // (the measured ladder finding, Tables.documentsWide) — the
-      // corpus tokenize+partial-agg must not run on the 1–2 tasks a
-      // 128 MB-bound parquet split gives a 56 MB file
-      val words = Tables.documentsWide(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-        // [a-z]+ is the PRECONDITION the merge machinery depends on
-        // (symbols are injected into expression text and '+' is the
-        // pair separator) — enforced as a filter on BOTH engines, so
-        // a regenerated data vintage with punctuation degrades to
-        // training on the alphabetic sub-dict instead of mis-parsing
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("syms"))
-      var states = words.persist()
-      states.count() // materialize gen 0 once; later gens fold onto it
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (step <- 1 to 6) {
-        val best = states
-          .filter(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(syms) - 2), " +
-              "i -> concat(syms[i], '+', syms[i+1]))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
-          .orderBy(col("pc").desc, col("pair").asc)
-          .limit(1).collect()
-        if (best.nonEmpty) {
-          val pair = best(0).getString(0)
-          merges += ((step.toLong, pair, best(0).getLong(1)))
-          val Array(x, y) = pair.split("\\+", 2)
-          val next = states.select(col("cnt"),
-            expr(mergeExpr(x, y)).as("syms")).persist()
-          next.count() // pin THIS generation, then free the previous
-          states.unpersist()
-          states = next
-        }
-      }
-      states.unpersist()
-      merges.toSeq.toDF("step", "pair", "pair_count").orderBy(col("step"))
+      val dict = graft.operators.TextOps.bpeDict(Tables.documentsWide(s, dir), "text")
+      graft.operators.TextOps.bpeLearn(dict, 6)
+        .toDF("step", "pair", "pair_count").orderBy(col("step"))
     },
 
     // FRACTIONAL-REPEAT DOMAIN REBALANCING (the upsampling step of
@@ -170,52 +122,32 @@ object AnalyticsQueries9 extends QueryPack {
     // BPE TOKENIZATION WITH LEARNED MERGES (the apply side of q263,
     // closing the tokenizer-training loop: learn merges → tokenize
     // the corpus with them → audit the resulting subword vocabulary,
-    // the q247 audit re-run on SUBWORD units). The 6 merges are
-    // re-learned by the identical q263 loop (same dict, same
-    // deterministic argmax — the tables agree by construction; in
-    // production you'd learn once and reuse), then the token stream
-    // is audited per subword: corpus frequency, distinct words
-    // containing it, and the char-coverage share. After 6 merges
-    // every token is a single [a-z] char or one of the ≤6 merge
-    // results, so the output vocabulary is ≤32 rows by construction.
-    // Scale shape: the learning loop is q263's (corpus touched once,
-    // per-iteration cost dict-sized, 1-row argmax collects); the
-    // apply is a map-only array fold over the dict; the audit is ONE
-    // dict-sized shuffle keyed by token; the char-coverage total
-    // rides a global window over the ≤32 already-aggregated token
-    // rows (the q145 whitelisted shape). tok_len·corpus_freq·1e6
-    // stays under 2⁶³ until the corpus passes ~9e12 chars per token —
-    // at that scale widen to DECIMAL internally and keep the BIGINT
-    // ppm output (the q176 policy).
+    // the q247 audit re-run on SUBWORD units). Learn and apply are
+    // the SHARED TextOps operators: bpeLearn returns the merge TABLE
+    // (here re-learned on the same dict — identical to q263's by the
+    // deterministic argmax; in production the table is persisted
+    // between learn and apply, the q44 checkpoint contract), and
+    // bpeApply composes the 6 merges into ONE map-only fold over the
+    // pinned dict — no per-generation persists on the apply side.
+    // The audited token stream: corpus frequency per subword,
+    // distinct words containing it, and the char-coverage share.
+    // After 6 merges every token is a single [a-z] char or one of
+    // the ≤6 merge results, so the output vocabulary is ≤32 rows by
+    // construction. Scale shape: the learning loop is q263's (corpus
+    // touched ONCE for the pinned dict, per-iteration cost
+    // dict-sized, 1-row argmax collects); the audit is ONE dict-sized
+    // shuffle keyed by token; the char-coverage total rides a global
+    // window over the ≤32 already-aggregated token rows (the q145
+    // whitelisted shape). tok_len·corpus_freq·1e6 stays under 2⁶³
+    // until the corpus passes ~9e12 chars per token — at that scale
+    // widen to DECIMAL internally and keep the BIGINT ppm output
+    // (the q176 policy).
     "q266_bpe_tokenize" -> { (s, dir) =>
-      val words = Tables.documentsWide(s, dir) // the scan-parallelism guard
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(col("word"), col("cnt"), expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("syms"))
-      var states = words.persist()
-      states.count()
-      for (_ <- 1 to 6) {
-        val best = states
-          .filter(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(syms) - 2), " +
-              "i -> concat(syms[i], '+', syms[i+1]))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
-          .orderBy(col("pc").desc, col("pair").asc)
-          .limit(1).collect()
-        if (best.nonEmpty) {
-          val Array(x, y) = best(0).getString(0).split("\\+", 2)
-          val next = states.select(col("word"), col("cnt"),
-            expr(mergeExpr(x, y)).as("syms")).persist()
-          next.count()
-          states.unpersist()
-          states = next
-        }
-      }
-      val audit = states
+      import graft.operators.TextOps
+      val dict = TextOps.bpeDict(Tables.documentsWide(s, dir), "text").persist()
+      dict.count() // the one corpus scan: learn's gen 0 AND the apply read this
+      val merges = TextOps.bpeLearn(dict, 6)
+      val audit = TextOps.bpeApply(dict, merges.map(_._2))
         .select(col("word"), col("cnt"), explode(col("syms")).as("tok"))
         .groupBy(col("tok"))
         .agg(sum(col("cnt")).as("corpus_freq"),
@@ -230,7 +162,7 @@ object AnalyticsQueries9 extends QueryPack {
         .orderBy(col("corpus_freq").desc, col("tok").asc)
         .persist()
       audit.count() // pin the ≤32-row result, then free the dict
-      states.unpersist()
+      dict.unpersist()
       audit
     },
   )
@@ -249,7 +181,7 @@ object AnalyticsQueries9 extends QueryPack {
     * at sf0.001: bit-identical merge tables. `carry` threads extra
     * s-columns through the rewrite stages (q266 carries `s.word, `
     * for its distinct-word audit; q263 carries nothing). */
-  private def bpeStage(k: Int, carry: String = ""): String =
+  private[queries] def bpeStage(k: Int, carry: String = ""): String =
     s"""p$k AS (
        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
        |    SELECT cnt, unnest(list_transform(range(1, len(sy)),

@@ -489,8 +489,9 @@ object DomainQueries extends QueryPack {
   }
 
   /** The q40 pair derivation as a reusable CTE chain (`mhpairs` =
-    * verified near-dup pairs) — shared by the q72 closure oracle. */
-  private def mhPairsCte(src: String): String = {
+    * verified near-dup pairs) — shared by the q72 closure oracle and
+    * q275's leakage-split oracle (AnalyticsQueries11). */
+  private[queries] def mhPairsCte(src: String): String = {
     s"""${sigCte(src)},
        |cand AS (
        |  SELECT a.id AS id_a, b.id AS id_b, a.toks AS ta, b.toks AS tb

@@ -14,7 +14,7 @@ class MisraGriesSpec extends AnyFunSuite {
   private val mg = MisraGries(16)
 
   /** Reduce a stream chunk into a fresh buffer. */
-  private def summarize(chunk: Seq[String]): Map[String, Long] =
+  private def summarize(chunk: Seq[String]): (Map[String, Long], Long) =
     chunk.foldLeft(mg.zero)(mg.reduce)
 
   /** Zipf-ish deterministic stream: item i appears ~N/(i+1) times,
@@ -44,12 +44,16 @@ class MisraGriesSpec extends AnyFunSuite {
       val leftFold = chunks.foldLeft(mg.zero)(mg.merge)
       val rightFold = chunks.reverse.foldLeft(mg.zero)((a, b) => mg.merge(b, a))
       for (buf <- Seq(leftFold, rightFold)) {
-        val candidates = mg.finish(buf).toSet
+        val (candidateSeq, total) = mg.finish(buf)
+        val candidates = candidateSeq.toSet
         assert(heavy.subsetOf(candidates),
           s"seed=$seed parts=$parts: missing ${heavy.diff(candidates)}")
         assert(candidates.size <= 16)
+        // the carried stream length is EXACT under any merge order
+        // (unlike the counters) — q268's threshold depends on it
+        assert(total == n, s"seed=$seed parts=$parts: N carried $total != $n")
         // the estimate error bound itself: est ≥ f − N/(k+1)
-        for ((w, est) <- buf; f = exact(w))
+        for ((w, est) <- buf._1; f = exact(w))
           assert(est >= f - n / 17L - 1 && est <= f)
       }
     }

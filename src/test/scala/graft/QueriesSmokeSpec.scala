@@ -116,11 +116,26 @@ class QueriesSmokeSpec extends SparkSpec {
     "q208_drift_audit" -> 1,
     // q267 attaches the 1-row max-score normalizer to the scored docs
     // — the q85/q86 scalar shape; the model join is b-keyed hash.
-    "q267_dsir_resample" -> 1,
+    // Count 2, not 1: the pin-then-free persist means the spec sees
+    // an EXECUTED cached plan, and an executed AdaptiveSparkPlan
+    // prints BOTH its Final and Initial trees inside the
+    // InMemoryRelation — the one deliberate BNLJ appears twice in
+    // the string. One join, two printings.
+    "q267_dsir_resample" -> 2,
+    // q269's lang×lang pair spine crosses the ≤|langs|-row totals
+    // aggregate with itself so zero-shared-vocabulary pairs still
+    // emit (TV = 1) — bounded-agg × bounded-agg; the corpus-sized
+    // work stays on the word-keyed inner hash join. Count 2 = the
+    // q267 Final+Initial double printing of the pinned plan.
+    "q269_tv_drift" -> 2,
     // q273 attaches the 1-row max-x bucketing boundary — the q85/q86
     // scalar shape; the bucketed subtree is referenced twice (the
     // 64-row threshold build + the final filter) so it inlines ×2.
-    "q273_pareto_frontier" -> 2)
+    "q273_pareto_frontier" -> 2,
+    // q275 attaches the 1-row leakage-count scalar to the ≤3-row
+    // split rollup — the q85/q86 scalar shape; the candidate and
+    // component joins themselves are banded/keyed hash.
+    "q275_leakage_split" -> 1)
 
   /** name → MAX deliberate shrinking-frame count. A window frame
     * whose LOWER bound is not UNBOUNDED PRECEDING but whose UPPER
@@ -153,12 +168,19 @@ class QueriesSmokeSpec extends SparkSpec {
     // an upstream aggregate or TakeOrdered limit:
     "q86_bm25" -> 1, // rank over the ≤20 rows a TakeOrdered(20) kept
     "q145_temperature_mix" -> 1, // largest-remainder rank over ≤|langs| rows
-    "q172_cusum_changepoint" -> 2, // cusum + rank over the per-day series (≤|days|)
+    // q172's input is aggregated to ONE ROW PER CALENDAR DAY before
+    // either window — cardinality grows with the time span (~365/yr),
+    // never with data volume, so a 100 TB year is still ≤366 rows;
+    // the cusum recurrence is inherently sequential over that series
+    "q172_cusum_changepoint" -> 2,
     "q177_top_paths" -> 1, // rank over distinct 3-type paths (≤|types|³ = 125)
     "q188_collocation_lift" -> 1, // rank over the ≤50 rows a TakeOrdered(50) kept
     "q205_countmin" -> 1, // rank over the ≤20 rows a TakeOrdered(20) kept
     "q209_vocab_growth" -> 1, // cumulative sums over the 10 decile rows
-    "q231_peak_concurrency" -> 1, // hour-carry prefix sum over ≤|hours| rows
+    // q231's carry runs over one row per CALENDAR HOUR (≤8784/yr —
+    // time-span-bounded like q172, independent of data volume) after
+    // the corpus-sized work aggregated per hour in parallel
+    "q231_peak_concurrency" -> 1,
     "q233_quota_allocation" -> 2, // largest-remainder ranks over ≤|langs| rows
     "q253_hybrid_rrf" -> 2, // per-leg rank over the ≤20 rows each TakeOrdered kept
     "q255_random_projection" -> 1, // rank over the 10-row exact top-k
