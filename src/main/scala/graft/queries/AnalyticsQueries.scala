@@ -67,11 +67,17 @@ object AnalyticsQueries extends QueryPack {
       // degree-10⁵ full lists (the r11 rung-2 spill driver: 50% of
       // the box's RAM in per-edge full-list intersects) carries only
       // its higher-ranked neighbors out, so the hot key disappears
-      // by construction instead of by salting. The degree table is
-      // |V| rows (broadcast); the out-adjacency is half the full
-      // adjacency's entries with the skew tail gone. Past broadcast
-      // reach both attachments become shuffle joins on u/v — the
-      // per-edge out-intersect shape survives unchanged.
+      // by construction instead of by salting. The degree and
+      // out-adjacency attachments carry NO broadcast hint: a hint
+      // FORCES a driver-side collect whatever the size, and the
+      // out-adjacency grows with the graph — at ladder rung 3 the
+      // forced build exceeded spark.driver.maxResultSize and killed
+      // the query (the round-18 rung-4 finding). Unhinted, AQE
+      // measures the REAL built size at runtime and still broadcasts
+      // while the tables are small; past broadcast reach both
+      // attachments become shuffle joins on u/v — the per-edge
+      // out-intersect shape survives unchanged, which is the whole
+      // 100 TB posture.
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -85,16 +91,16 @@ object AnalyticsQueries extends QueryPack {
         .persist()
       val degs = adj.select(col("node"), size(col("nbrs")).as("d"))
       val op = adj.select(col("node").as("u"), explode(col("nbrs")).as("v"))
-        .join(broadcast(degs.select(col("node").as("u"), col("d").as("du"))), Seq("u"))
-        .join(broadcast(degs.select(col("node").as("v"), col("d").as("dv"))), Seq("v"))
+        .join(degs.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(degs.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
         .filter(struct(col("dv"), col("v")) > struct(col("du"), col("u")))
         .select(col("u"), col("v"))
       val outAdj = op.groupBy(col("u"))
         .agg(array_sort(collect_set(col("v"))).as("onbrs"))
         .persist()
       val tri = op
-        .join(broadcast(outAdj.select(col("u"), col("onbrs").as("nu"))), Seq("u"))
-        .join(broadcast(outAdj.select(col("u").as("v"), col("onbrs").as("nv"))), Seq("v"))
+        .join(outAdj.select(col("u"), col("onbrs").as("nu")), Seq("u"))
+        .join(outAdj.select(col("u").as("v"), col("onbrs").as("nv")), Seq("v"))
         .select(col("u"), col("v"),
           explode(array_intersect(col("nu"), col("nv"))).as("w"))
         .select(explode(array(col("u"), col("v"), col("w"))).as("node"))

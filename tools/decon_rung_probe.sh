@@ -13,9 +13,10 @@
 #      DeconCompositionSpec pins the expansion identity)
 set -u
 OUT=${1:-/dev/shm/graft-dedup10}
+COPIES=${GRAFT_DECON_COPIES:-10}
 if [ ! -f "$OUT/documents.parquet" ]; then
-  echo "== generating 10x dedup corpus"
-  GRAFT_DEDUP_COPIES=10 python3 tools/gen_dedup_rung.py "$OUT"
+  echo "== generating ${COPIES}x dedup corpus"
+  GRAFT_DEDUP_COPIES=$COPIES python3 tools/gen_dedup_rung.py "$OUT"
 fi
 ENVC="SPARK_DRIVER_MEM=60g SPARK_GRAFT_ONESHOT=1 SPARK_GRAFT_TMPFS_SCRATCH=1"
 run() { # run <label> <queries>
