@@ -52,62 +52,62 @@ object AnalyticsQueries extends QueryPack {
     // times (both wedge sides + closure) — one build, ReusedExchange
     // after.
     "q173_triangle_count" -> { (s, dir) =>
-      // DEGREE-ORDERED oriented-intersection plan (round-11 verdict
-      // task 4; NOT the naive wedge join the oracle runs): per-order
-      // part sets explode to co-occurrence pairs, ONE collect_set
-      // shuffle builds the neighbor arrays, then every edge is
-      // DIRECTED low-rank → high-rank under the (degree, id) total
-      // order and each oriented edge intersects OUT-sets only. Each
-      // triangle {a<b<c} is found exactly once — at its (a,b) edge,
-      // with c the common out-neighbor — and credits all three
-      // nodes via a 3-way credit explode, so per-node totals equal
-      // the undirected count. Why orient: the intersect mass drops
-      // from Σ_e d(u)+d(v) to Σ_e d⁺(u)+d⁺(v), and max out-degree is
-      // O(√m) by arboricity REGARDLESS of skew — a hub with
-      // degree-10⁵ full lists (the r11 rung-2 spill driver: 50% of
-      // the box's RAM in per-edge full-list intersects) carries only
-      // its higher-ranked neighbors out, so the hot key disappears
-      // by construction instead of by salting. The degree and
-      // out-adjacency attachments carry NO broadcast hint: a hint
-      // FORCES a driver-side collect whatever the size, and the
-      // out-adjacency grows with the graph — at ladder rung 3 the
-      // forced build exceeded spark.driver.maxResultSize and killed
-      // the query (the round-18 rung-4 finding). Unhinted, AQE
-      // measures the REAL built size at runtime and still broadcasts
-      // while the tables are small; past broadcast reach both
-      // attachments become shuffle joins on u/v — the per-edge
-      // out-intersect shape survives unchanged, which is the whole
-      // 100 TB posture.
+      // DEGREE-ORDERED FLAT WEDGE-JOIN plan (the distributed-
+      // textbook shape; round-18 rewrite). History, because each
+      // predecessor's failure is the design rationale: (1) the naive
+      // wedge join over un-oriented edges paid hub-degree² wedges;
+      // (2) the r11 broadcast-adjacency rewrite intersected per-edge
+      // OUT-arrays against broadcast out-adjacency — fast at rung 2,
+      // but the broadcast HINT forces a driver-side build whatever
+      // the size, and at rung 3+ the out-adjacency blew past
+      // spark.driver.maxResultSize; (3) de-hinting it shuffled the
+      // per-NODE arrays once per EDGE row — array duplication made
+      // the exchange Σ_e d⁺ entries of serialized arrays and filled
+      // the box's scratch. The plan below keeps (2)'s degree
+      // orientation (max out-degree O(√m) by arboricity — hub keys
+      // disappear by construction) but materializes wedges as FLAT
+      // 3-long rows: oriented edges op(u→v) under the (degree, id)
+      // total order, wedges from op ⋈ op on the shared lower
+      // endpoint u (rank-ordered v < w), closed by ONE equi join on
+      // the (v, w) edge key. Every exchange row is fixed-width;
+      // shuffle volume is exactly the wedge mass Σ_u C(d⁺(u), 2) —
+      // the algorithm's true cost, spilling gracefully instead of
+      // dying at either memory cliff. Each triangle {a<b<c by rank}
+      // is found exactly once (wedge at a, closure edge b→c) and
+      // credits all three corners, so per-node totals equal the
+      // undirected count. AQE broadcasts the closure side while the
+      // edge list is genuinely small; past that every join shuffles
+      // on equi keys — the 100 TB posture with no size cliff.
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val pairs = li.groupBy(col("ok"))
+      val edges = li.groupBy(col("ok"))
         .agg(collect_set(col("pk")).as("ps"))
         .select(explode(col("ps")).as("node"), col("ps"))
         .select(col("node"), explode(col("ps")).as("nbr"))
         .filter(col("node") =!= col("nbr"))
-      val adj = pairs.groupBy(col("node"))
-        .agg(array_sort(collect_set(col("nbr"))).as("nbrs"))
-        .persist()
-      val degs = adj.select(col("node"), size(col("nbrs")).as("d"))
-      val op = adj.select(col("node").as("u"), explode(col("nbrs")).as("v"))
-        .join(degs.select(col("node").as("u"), col("d").as("du")), Seq("u"))
-        .join(degs.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
-        .filter(struct(col("dv"), col("v")) > struct(col("du"), col("u")))
-        .select(col("u"), col("v"))
-      val outAdj = op.groupBy(col("u"))
-        .agg(array_sort(collect_set(col("v"))).as("onbrs"))
-        .persist()
-      val tri = op
-        .join(outAdj.select(col("u"), col("onbrs").as("nu")), Seq("u"))
-        .join(outAdj.select(col("u").as("v"), col("onbrs").as("nv")), Seq("v"))
-        .select(col("u"), col("v"),
-          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .distinct()
+      val degs = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val op = edges
+        .join(degs.select(col("node"), col("d").as("du")), Seq("node"))
+        .join(degs.select(col("node").as("nbr"), col("d").as("dv")), Seq("nbr"))
+        .filter(struct(col("dv"), col("nbr")) > struct(col("du"), col("node")))
+        .select(col("node").as("u"), col("nbr").as("v"), col("dv"))
+        .persist() // 3 references: both wedge sides + the closure key
+      val wedges = op.as("a")
+        .join(op.as("b"), col("a.u") === col("b.u") &&
+          struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
+        .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+      val tri = wedges
+        .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
         .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      tri.groupBy(col("node"))
+      val out = tri.groupBy(col("node"))
         .agg(count(lit(1)).as("triangles"))
         .orderBy(col("triangles").desc, col("node"))
         .limit(100)
+      out.persist().count() // pin the 100-row result, free the edge list
+      op.unpersist()
+      out
     },
 
     // ORDERED LIST AGGREGATION (listagg/string_agg): per source, the
