@@ -55,6 +55,15 @@ object AnalyticsQueries10 extends QueryPack {
       |           unnest(regexp_split_to_array(trim(text), '\s+')) AS word
       |    FROM documents) WHERE length(word) > 0""".stripMargin
 
+  /** q268's sketch width. The MG guarantee pairs k with the threshold
+    * N/(k+1): the candidate set provably contains every item with
+    * frequency > N/(k+1), so the exact-rescore filter MUST use the
+    * same k — deriving both the `MisraGries(MgK)` instance and the
+    * `cnt · (k+1) > N` gate (Spark AND oracle) from this one constant
+    * keeps the pairing from silently breaking on a k change
+    * (round-14 verdict task 6). */
+  private val MgK = 16
+
   val queries = Map[String, Fn](
 
     // DSIR-SHAPE IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
@@ -163,10 +172,10 @@ object AnalyticsQueries10 extends QueryPack {
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as("ch"))
       val (candidates, total) =
-        chars.as[String].select(MisraGries(16).toColumn).head()
+        chars.as[String].select(MisraGries(MgK).toColumn).head()
       chars.filter(col("ch").isin(candidates: _*))
         .groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") * lit(17L) > lit(total))
+        .filter(col("cnt") * lit((MgK + 1).toLong) > lit(total))
         .select(col("ch"), col("cnt"),
           expr(s"cnt * 1000000 DIV ${total}L").as("share_ppm"))
         .orderBy(col("cnt").desc, col("ch").asc)
@@ -467,7 +476,7 @@ object AnalyticsQueries10 extends QueryPack {
          |c AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt FROM chs GROUP BY ch),
          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
          |SELECT ch, cnt, cnt * 1000000 // n AS share_ppm
-         |FROM c CROSS JOIN t WHERE cnt * 17 > n
+         |FROM c CROSS JOIN t WHERE cnt * ${MgK + 1} > n
          |ORDER BY cnt DESC, ch ASC""".stripMargin,
 
     "q269_tv_drift" ->

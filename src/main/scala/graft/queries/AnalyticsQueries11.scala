@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.{Components, Dedup, TextOps}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries11 extends QueryPack {
   import Q.Fn
+
+  /** Global triangle count of an undirected edge list (symmetric
+    * (node, nbr) rows) via the q173 degree-oriented flat wedge join —
+    * the SAME plan shape q173 runs, minus the per-node explode: orient
+    * under the (degree, id) total order (max out-degree O(√m) by
+    * arboricity), wedges as fixed-width rows self-joined on the lower
+    * endpoint, closed by one (v, w) equi join, then ONE count. Every
+    * exchange row is fixed-width; shuffle volume is exactly the wedge
+    * mass Σ_u C(d⁺(u), 2). Returns (1-row count frame, the persisted
+    * oriented-edge list) — the caller pins its output and unpersists
+    * the op frame (three references: both wedge sides + closure). */
+  private[graft] def wedgeTriangleCount(edges: DataFrame, outCol: String)
+      : (DataFrame, DataFrame) = {
+    val degs = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val op = edges
+      .join(degs.select(col("node"), col("d").as("du")), Seq("node"))
+      .join(degs.select(col("node").as("nbr"), col("d").as("dv")), Seq("nbr"))
+      .filter(struct(col("dv"), col("nbr")) > struct(col("du"), col("node")))
+      .select(col("node").as("u"), col("nbr").as("v"), col("dv"))
+      .persist()
+    val wedges = op.as("a")
+      .join(op.as("b"), col("a.u") === col("b.u") &&
+        struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
+      .select(col("a.v").as("v"), col("b.v").as("w"))
+    val cnt = wedges
+      .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as(outCol))
+    (cnt, op)
+  }
 
   val queries = Map[String, Fn](
 
@@ -145,6 +175,60 @@ object AnalyticsQueries11 extends QueryPack {
           "(n_chunks * c - total_tokens) * 1000000 DIV (n_chunks * c)"))
         .orderBy(col("c"), col("lang"))
     },
+
+    // DOULION-STYLE SAMPLED TRIANGLE COUNTING (Tsourakakis et al.
+    // 2009, "DOULION: counting triangles in massive graphs with a
+    // coin") beside exact q173 — the estimate-vs-exact pattern
+    // (q194/q205/q224/q228) applied to the graph family. Each
+    // UNDIRECTED co-purchase edge is kept with probability p = 1/5 by
+    // the pinned-hash policy (q159/q254: a deterministic uhash
+    // threshold on the canonical (min, max) pair key — zero RNG
+    // state, both directions of an edge decide together, the same
+    // edges survive at any parallelism on any cluster), the SAME
+    // degree-oriented wedge-join plan runs on the sample, and the
+    // count scales by 1/p³ = 125 exactly (integer, no float). Output:
+    // one row with the exact count, the sampled count, the estimate,
+    // and the error ppm — the calibration row a 100 TB run uses to
+    // pick p. WHY this exists: exact q173's cost IS the wedge mass
+    // (~270 GB at sf30 — past one box's scratch); sampling at p cuts
+    // the wedge mass by ~p² and the closure probes by p³, so the
+    // rung-3 scale the exact plan provably cannot reach on one box is
+    // measurable here (ARCHITECTURE.md "Sampled triangles rung").
+    // Edge sampling happens BEFORE degrees/orientation — the sampled
+    // subgraph's own degree order keeps the O(√(m·p)) hub bound.
+    "q278_doulion_triangles" -> { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.groupBy(col("ok"))
+        .agg(collect_set(col("pk")).as("ps"))
+        .select(explode(col("ps")).as("node"), col("ps"))
+        .select(col("node"), explode(col("ps")).as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+        .distinct()
+        .persist() // shared: exact plan + sampled plan + the edge tallies
+      // canonical 64-bit pair key: partkey < 2^25 at sf100, so
+      // least·2^32 + greatest never wraps; uhash reduces mod P32
+      // identically on both engines
+      val keepSql = "(" + Q.uhashSql("27800",
+        "least(node, nbr) * 4294967296 + greatest(node, nbr)") + ") % 5 = 0"
+      val (exact, opX) = wedgeTriangleCount(edges, "exact_triangles")
+      val (samp, opS) = wedgeTriangleCount(edges.filter(expr(keepSql)),
+        "sampled_triangles")
+      val tallies = edges
+        .agg(expr("count(*) DIV 2").as("n_edges"),
+          expr(s"count_if($keepSql) DIV 2").as("n_sampled_edges"))
+      val out = exact.crossJoin(samp).crossJoin(tallies)
+        .select(col("exact_triangles"), col("n_edges"),
+          col("n_sampled_edges"), col("sampled_triangles"),
+          expr("sampled_triangles * 125").as("est_triangles"),
+          expr("CASE WHEN exact_triangles = 0 THEN NULL ELSE " +
+            "abs(sampled_triangles * 125 - exact_triangles) * 1000000 " +
+            "DIV exact_triangles END").as("err_ppm"))
+      out.persist().count() // pin the 1-row result, free the graph
+      opX.unpersist(); opS.unpersist(); edges.unpersist()
+      out
+    },
   )
 
   // ——— DuckDB restatements ———
@@ -152,7 +236,13 @@ object AnalyticsQueries11 extends QueryPack {
   /** One BPE APPLY stage: rewrite chain l0..lk against the learned
     * b1..bk (the bpeStage rewrite with the learn chain's pair tables,
     * applied to a DIFFERENT dict — the SQL mirror of
-    * TextOps.bpeApply's learned-table reuse). */
+    * TextOps.bpeApply's learned-table reuse). LEFT JOIN ON TRUE, not
+    * CROSS JOIN: on a degenerate vintage where fewer than 6 merges
+    * are learnable, b$k is EMPTY — a cross join would empty the whole
+    * per-language dict while the Spark side (bpeLearn's best.nonEmpty
+    * guard) gracefully applies fewer merges. With the left join the
+    * row survives with NULL b.x/b.y and the CASE's `be = b.y`
+    * evaluates NULL → ELSE → identity rewrite, matching Spark. */
   private def bpeApplyStage(k: Int): String =
     s"""l$k AS (
        |  SELECT s.lang, s.word, s.cnt,
@@ -160,7 +250,7 @@ object AnalyticsQueries11 extends QueryPack {
        |      CASE WHEN be = b.y AND (bacc = b.x OR bacc LIKE '%' || chr(1) || b.x)
        |           THEN substr(bacc, 1, length(bacc) - length(b.x)) || b.x || b.y
        |           ELSE bacc || chr(1) || be END) AS state
-       |  FROM l${k - 1} s CROSS JOIN b$k b)""".stripMargin
+       |  FROM l${k - 1} s LEFT JOIN b$k b ON TRUE)""".stripMargin
 
   val oracle = Map(
     "q275_leakage_split" -> {
@@ -266,6 +356,34 @@ object AnalyticsQueries11 extends QueryPack {
          |   CAST(sum(toks) AS BIGINT)) * 1000000 //
          |  (CAST(sum((toks + c - 1) // c) AS BIGINT) * c) AS waste_ppm
          |FROM sh GROUP BY c, lang ORDER BY c, lang""".stripMargin
+    },
+
+    // Exact count = q173's oracle triangle join (id-canonical edges —
+    // the triangle SET is orientation-free, so the id order is the
+    // simple restatement of Spark's degree order); the sample replays
+    // the SAME pinned uhash on the canonical u<v pair key, then the
+    // same join counts the sampled subgraph.
+    "q278_doulion_triangles" -> {
+      val uh = Q.uhashSql("27800", "u * 4294967296 + v")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |es AS (SELECT u, v FROM e WHERE ($uh) % 5 = 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS exact_triangles FROM (
+         |  SELECT 1 FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)),
+         |ts AS (SELECT CAST(count(*) AS BIGINT) AS sampled_triangles FROM (
+         |  SELECT 1 FROM es e1 JOIN es e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN es e3 ON e3.u = e1.v AND e3.v = e2.v)),
+         |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM es) AS n_sampled_edges)
+         |SELECT t.exact_triangles, m.n_edges, m.n_sampled_edges,
+         |  ts.sampled_triangles,
+         |  ts.sampled_triangles * 125 AS est_triangles,
+         |  CASE WHEN t.exact_triangles = 0 THEN NULL
+         |       ELSE abs(ts.sampled_triangles * 125 - t.exact_triangles)
+         |            * 1000000 // t.exact_triangles END AS err_ppm
+         |FROM t CROSS JOIN ts CROSS JOIN m""".stripMargin
     },
   )
 }

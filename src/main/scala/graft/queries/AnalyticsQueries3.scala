@@ -41,9 +41,13 @@ object AnalyticsQueries3 extends QueryPack {
         .filter(col("item") =!= col("other"))
         .groupBy(col("item"), col("other"))
         .agg(count(lit(1)).as("c"))
+      // the per-part count table is CATALOG-sized (grows with SF), so
+      // no broadcast hint (round-15 hint audit — the q173 cliff class):
+      // both attachments are item-keyed hash joins and AQE broadcasts
+      // them at runtime while the catalog is genuinely small
       val scored = co
-        .join(broadcast(n.select(col("pk").as("item"), col("n").as("n_item"))), Seq("item"))
-        .join(broadcast(n.select(col("pk").as("other"), col("n").as("n_other"))), Seq("other"))
+        .join(n.select(col("pk").as("item"), col("n").as("n_item")), Seq("item"))
+        .join(n.select(col("pk").as("other"), col("n").as("n_other")), Seq("other"))
         .select(col("item"), col("other"),
           expr("(1000000 * c * c) DIV (n_item * n_other)").as("score"), col("c"))
       val w = Window.partitionBy(col("item"))

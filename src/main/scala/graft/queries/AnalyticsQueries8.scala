@@ -275,8 +275,11 @@ object AnalyticsQueries8 extends QueryPack {
     // that). Plan: distinct (doc, 3-gram) on both sides, ONE
     // gram-keyed equi-join (never doc × item), per-pair count, gate
     // n_shared ≥ 3, ppm by integer DIV. At 100 TB the benchmark side
-    // is dimension-sized → broadcast; hot grams show up in the q197
-    // occupancy audit first.
+    // is eval-suite-sized, so AQE broadcasts it from runtime stats —
+    // deliberately UNHINTED (round-15 hint audit: a hint forces the
+    // driver build even on a vintage where the benchmark slice is
+    // corpus-sized); hot grams show up in the q197 occupancy audit
+    // first.
     "q252_containment_decon" -> { (s, dir) =>
       val gr = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -295,7 +298,7 @@ object AnalyticsQueries8 extends QueryPack {
         .groupBy(col("doc_id"), col("item_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
-        .join(broadcast(itemN), Seq("item_id"))
+        .join(itemN, Seq("item_id"))
         .select(col("doc_id"), col("item_id"), col("n_shared"), col("n_item"),
           expr("n_shared * 1000000 DIV n_item").as("contain_ppm"))
         .orderBy(col("doc_id"), col("item_id"))

@@ -180,7 +180,16 @@ object AnalyticsQueries9 extends QueryPack {
     * metacharacter can appear). Prototyped against a pure-Python BPE
     * at sf0.001: bit-identical merge tables. `carry` threads extra
     * s-columns through the rewrite stages (q266 carries `s.word, `
-    * for its distinct-word audit; q263 carries nothing). */
+    * for its distinct-word audit; q263 carries nothing).
+    *
+    * The rewrite stage joins b$k with LEFT JOIN ON TRUE, not CROSS
+    * JOIN: on a vintage where step k has no learnable pair (b$k
+    * empty — all states single-symbol), a cross join would EMPTY
+    * s$k and every later stage, so q266's final-state audit would
+    * return zero rows while Spark's bpeLearn (best.nonEmpty guard)
+    * stops early and audits the partially-merged states. The left
+    * join keeps the row with NULL b.x/b.y; `be = b.y` is then NULL →
+    * CASE ELSE → identity rewrite — exactly Spark's early stop. */
   private[queries] def bpeStage(k: Int, carry: String = ""): String =
     s"""p$k AS (
        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
@@ -197,7 +206,7 @@ object AnalyticsQueries9 extends QueryPack {
        |    CASE WHEN be = b.y AND (bacc = b.x OR bacc LIKE '%' || chr(1) || b.x)
        |         THEN substr(bacc, 1, length(bacc) - length(b.x)) || b.x || b.y
        |         ELSE bacc || chr(1) || be END) AS state
-       |  FROM s${k - 1} s CROSS JOIN b$k b)""".stripMargin
+       |  FROM s${k - 1} s LEFT JOIN b$k b ON TRUE)""".stripMargin
 
   val oracle = Map(
     "q263_bpe_merges" ->

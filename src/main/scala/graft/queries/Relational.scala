@@ -77,12 +77,18 @@ object Relational extends QueryPack {
         .orderBy($"r_name", $"n_name")
     },
 
-    // Fact ⋈ broadcast dim with dim-side predicate + grouped volume.
+    // Fact ⋈ dim with dim-side predicate + grouped volume. The part
+    // side is deliberately UNHINTED (round-15 hint audit): part grows
+    // linearly with SF (20 G rows at 100 TB — a forced broadcast is
+    // the q173 driver-build cliff), so the ENGINE picks the strategy
+    // from size stats — broadcast-hash while part is genuinely small,
+    // shuffle join past that (AQE re-plans at runtime from actual
+    // sizes either way).
     "q04_brand_volume" -> { (s, dir) =>
       import s.implicits._
       val li = Tables.table(s, dir, "lineitem")
       val part = Tables.table(s, dir, "part")
-      li.join(broadcast(part.filter($"p_size" >= 10)), $"l_partkey" === $"p_partkey")
+      li.join(part.filter($"p_size" >= 10), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(centsSum($"l_quantity").as("qty_c"),
              centsSum($"l_extendedprice").as("price_c"),

@@ -254,12 +254,35 @@ object ShapeQueries extends QueryPack {
         .distinct()
         .persist(lvl)
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist(lvl)
-      val ed = e.join(deg, Seq("src"))
-        .select(col("src"), col("dst"), col("d")).persist(lvl)
-      val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      // Rung-4 isolation knob (round-14 verdict task 2: q158's 6.9× on
+      // 3.33× at sf100 needs its above-linear term NAMED, the q193
+      // treatment). SPARK_GRAFT_PR_VARIANT interleaves at sf100:
+      //   free0 — materialize deg/ed eagerly, then FREE e0: the raw
+      //           pair cache is dead weight once its two consumers are
+      //           pinned (~1/3 of the cached loop-invariant bytes);
+      //   ckpt  — localCheckpoint deg/ed (cuts the orders⋈lineitem
+      //           lineage AND frees every upstream cache) — trades
+      //           serialized-cache compactness for lineage-free blocks.
+      // Default stays the shipped base; the probe is
+      // tools/pr_rung4_ab.sh, results in ARCHITECTURE.md.
+      val (degV, edV) = sys.env.get("SPARK_GRAFT_PR_VARIANT") match {
+        case Some("ckpt") =>
+          val d = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .localCheckpoint()
+          val m = e.join(d, Seq("src"))
+            .select(col("src"), col("dst"), col("d")).localCheckpoint()
+          e0.unpersist()
+          (d, m)
+        case v =>
+          val d = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist(lvl)
+          val m = e.join(d, Seq("src"))
+            .select(col("src"), col("dst"), col("d")).persist(lvl)
+          if (v.contains("free0")) { d.count(); m.count(); e0.unpersist() }
+          (d, m)
+      }
+      val r0 = degV.select(col("src").as("node"), lit(1000000L).as("r"))
       def step(r: DataFrame): DataFrame =
-        ed.join(r.withColumnRenamed("node", "src"), Seq("src"))
+        edV.join(r.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(expr("r DIV d")).as("cs"))
           .select(col("dst").as("node"),

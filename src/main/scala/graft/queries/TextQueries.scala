@@ -619,9 +619,13 @@ object TextQueries extends QueryPack {
       val grams = docs
         .select(col("doc_id"), col("source"), col("w"),
           posexplode(TextOps.ngrams(col("w"), 3)).as(Seq("pos", "gram")))
+      // bv is unhinted (round-15 hint audit): eval-suite-sized in
+      // production, so AQE broadcasts it from actual runtime stats; a
+      // HINT would force the driver build even on a vintage where the
+      // benchmark slice is corpus-sized (the q173 cliff class)
       val bv = grams.filter(bench).select(col("gram")).distinct()
       val covered = grams.filter(!bench)
-        .join(broadcast(bv), Seq("gram"))
+        .join(bv, Seq("gram"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + 2)).as("cpos"))
         .distinct()
