@@ -44,14 +44,22 @@ object TriSampleProbe {
       .select(col("node"), explode(col("ps")).as("nbr"))
       .filter(col("node") =!= col("nbr"))
       .distinct()
+    // the PRODUCTION estimate-only plan: sample FIRST (the whole
+    // point of DOULION is to never pay the exact plan's cost), then
+    // orient the SAMPLE — degree tables and orientation joins are p×
+    // cheaper than the full graph's. q278 itself shares ONE full
+    // orientation between its legs because it must also produce the
+    // exact count (the calibration row); a run that wants only the
+    // estimate takes this plan. Same pinned hash on the canonical
+    // pair → same surviving edges; orientation order is count-free.
     val keepSql = "(" + queries.Q.uhashSql("27800",
       "least(node, nbr) * 4294967296 + greatest(node, nbr)") + ") % 5 = 0"
-    val sampled = edges.filter(expr(keepSql)).persist()
-    val (cnt, op) =
-      queries.AnalyticsQueries11.wedgeTriangleCount(sampled, "sampled")
+    val op = queries.AnalyticsQueries11
+      .orientEdges(edges.filter(expr(keepSql))).persist()
+    val cnt = queries.AnalyticsQueries11.wedgeCountFromOp(op, "sampled")
     val row = cnt.head()
     val dt = (System.nanoTime() - t0) / 1e9
-    op.unpersist(); sampled.unpersist()
+    op.unpersist()
     val s = row.getLong(0)
     println(s"""{"metric":"tri_sample_p0.2","value":${f"$dt%.2f"},""" +
       s""""unit":"sec","sampled_triangles":$s,"est_triangles":${s * 125},""" +
@@ -67,7 +75,8 @@ object TriSampleProbe {
       .select(explode(col("ps")).as("node"), col("ps"))
       .select(col("node"), explode(col("ps")).as("nbr"))
       .filter(col("node") =!= col("nbr")).distinct()
-    val (c, op) = queries.AnalyticsQueries11.wedgeTriangleCount(e, "warm")
-    c.head(); op.unpersist()
+    val op = queries.AnalyticsQueries11.orientEdges(e).persist()
+    queries.AnalyticsQueries11.wedgeCountFromOp(op, "warm").head()
+    op.unpersist()
   }
 }

@@ -24,33 +24,38 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries11 extends QueryPack {
   import Q.Fn
 
-  /** Global triangle count of an undirected edge list (symmetric
-    * (node, nbr) rows) via the q173 degree-oriented flat wedge join —
-    * the SAME plan shape q173 runs, minus the per-node explode: orient
-    * under the (degree, id) total order (max out-degree O(√m) by
-    * arboricity), wedges as fixed-width rows self-joined on the lower
-    * endpoint, closed by one (v, w) equi join, then ONE count. Every
-    * exchange row is fixed-width; shuffle volume is exactly the wedge
-    * mass Σ_u C(d⁺(u), 2). Returns (1-row count frame, the persisted
-    * oriented-edge list) — the caller pins its output and unpersists
-    * the op frame (three references: both wedge sides + closure). */
-  private[graft] def wedgeTriangleCount(edges: DataFrame, outCol: String)
-      : (DataFrame, DataFrame) = {
+  /** Orient a symmetric (node, nbr) edge list under the (degree, id)
+    * total order — q173's degree orientation, factored so q278 can
+    * compute it ONCE and share it between its exact and sampled legs.
+    * Each undirected edge survives exactly once as (u → v) with
+    * rank(v) > rank(u); max out-degree is O(√m) by arboricity. */
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
     val degs = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val op = edges
+    edges
       .join(degs.select(col("node"), col("d").as("du")), Seq("node"))
       .join(degs.select(col("node").as("nbr"), col("d").as("dv")), Seq("nbr"))
       .filter(struct(col("dv"), col("nbr")) > struct(col("du"), col("node")))
       .select(col("node").as("u"), col("nbr").as("v"), col("dv"))
-      .persist()
+  }
+
+  /** Global triangle count from an ORIENTED edge list — the q173
+    * degree-oriented flat wedge join minus the per-node explode:
+    * wedges as fixed-width rows self-joined on the lower endpoint,
+    * closed by one (v, w) equi join, then ONE count. Shuffle volume
+    * is exactly the wedge mass Σ_u C(d⁺(u), 2). The caller persists
+    * `op` (three references: both wedge sides + closure) and frees it
+    * after pinning the count. Any total order on the nodes yields the
+    * same triangle SET, so a sampled subgraph may reuse the FULL
+    * graph's orientation — sampling can only shrink out-degrees. */
+  private[graft] def wedgeCountFromOp(op: DataFrame, outCol: String)
+      : DataFrame = {
     val wedges = op.as("a")
       .join(op.as("b"), col("a.u") === col("b.u") &&
         struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
       .select(col("a.v").as("v"), col("b.v").as("w"))
-    val cnt = wedges
+    wedges
       .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as(outCol))
-    (cnt, op)
   }
 
   val queries = Map[String, Fn](
@@ -206,18 +211,26 @@ object AnalyticsQueries11 extends QueryPack {
         .select(col("node"), explode(col("ps")).as("nbr"))
         .filter(col("node") =!= col("nbr"))
         .distinct()
-        .persist() // shared: exact plan + sampled plan + the edge tallies
-      // canonical 64-bit pair key: partkey < 2^25 at sf100, so
-      // least·2^32 + greatest never wraps; uhash reduces mod P32
-      // identically on both engines
+      // ONE orientation pass shared by both legs (the triangle SET is
+      // total-order-free, so the sample reuses the full graph's
+      // (degree, id) order — sampling only shrinks out-degrees); the
+      // sampled op is a filter over the cached exact op, so the
+      // second leg pays only its p²-scaled wedge join, never a
+      // second degree/orient build.
+      val opX = orientEdges(edges).persist()
+      // canonical 64-bit pair key on the ORIENTED row ((u, v) is the
+      // same unordered pair both directions collapsed to): partkey <
+      // 2^25 at sf100, so least·2^32 + greatest never wraps; uhash
+      // reduces mod P32 identically on both engines
       val keepSql = "(" + Q.uhashSql("27800",
-        "least(node, nbr) * 4294967296 + greatest(node, nbr)") + ") % 5 = 0"
-      val (exact, opX) = wedgeTriangleCount(edges, "exact_triangles")
-      val (samp, opS) = wedgeTriangleCount(edges.filter(expr(keepSql)),
-        "sampled_triangles")
-      val tallies = edges
-        .agg(expr("count(*) DIV 2").as("n_edges"),
-          expr(s"count_if($keepSql) DIV 2").as("n_sampled_edges"))
+        "least(u, v) * 4294967296 + greatest(u, v)") + ") % 5 = 0"
+      val opS = opX.filter(expr(keepSql)).persist()
+      val exact = wedgeCountFromOp(opX, "exact_triangles")
+      val samp = wedgeCountFromOp(opS, "sampled_triangles")
+      // op holds each undirected edge exactly once — counts need no /2
+      val tallies = opX
+        .agg(count(lit(1)).as("n_edges"),
+          expr(s"count_if($keepSql)").as("n_sampled_edges"))
       val out = exact.crossJoin(samp).crossJoin(tallies)
         .select(col("exact_triangles"), col("n_edges"),
           col("n_sampled_edges"), col("sampled_triangles"),
@@ -226,7 +239,7 @@ object AnalyticsQueries11 extends QueryPack {
             "abs(sampled_triangles * 125 - exact_triangles) * 1000000 " +
             "DIV exact_triangles END").as("err_ppm"))
       out.persist().count() // pin the 1-row result, free the graph
-      opX.unpersist(); opS.unpersist(); edges.unpersist()
+      opS.unpersist(); opX.unpersist()
       out
     },
   )

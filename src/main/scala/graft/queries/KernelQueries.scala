@@ -267,6 +267,51 @@ object KernelQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // REAL MP4 (ISO BMFF) CONTAINER roundtrip under the oracle — the
+    // q121 argument for the SECOND container family the reference
+    // feeds ffmpeg (its demo assets are .mp4; demoTalkNet.py:486–494
+    // accepts any readable container): 4 deterministic 16×16 rasters
+    // per doc → PNG (ImageIO) → a complete box tree (Mp4Codec: ftyp/
+    // mdat/moov with the full stsd/stts/stsc/stsz/stco sample table)
+    // → parse back → decode pixels → exact gray/value sums. The
+    // oracle recomputes the sums from the raster FORMULA plus the
+    // container constants (n/w/h/fps/fourcc read from the PARSED
+    // boxes), so the hash matches iff the BMFF framing AND the codec
+    // are lossless. Scale shape: per-row map, embarrassingly
+    // parallel, no shuffle but the output sort — and the demuxer's
+    // moov-seek / ranged-sample reads (Mp4CodecSpec) are the catalog-
+    // scan pattern a 100 TB video corpus needs.
+    "q279_mp4_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { d =>
+          import graft.operators.{ImageCodec, Mp4Codec, Visual}
+          val pngs = (0 until 4).map { f =>
+            val raster = Array.tabulate(768)(k => ((d * 31 + f * 7 + k * 5 + 29) % 256).toInt)
+            ImageCodec.encodePng(raster, 16, 16)
+          }
+          val mp4 = Mp4Codec.encode(16, 16, 25, "png ", pngs)
+          val back = Mp4Codec.decode(mp4)
+          var graySum = 0L; var vSum = 0L
+          back.frames.foreach { png =>
+            val px = ImageCodec.decodeBgrAuto(png, 16, 16)
+            var p = 0
+            while (p < 256) {
+              val b = px(3 * p); val g = px(3 * p + 1); val r = px(3 * p + 2)
+              graySum += Visual.grayFixedPoint(b, g, r)
+              vSum += math.max(b, math.max(g, r))
+              p += 1
+            }
+          }
+          (d, back.frames.length.toLong, back.width.toLong, back.height.toLong,
+            back.fps.toLong, back.fourcc, graySum, vSum)
+        })
+        .toDF("doc_id", "n_frames", "w", "h", "fps", "fourcc", "gray_sum", "v_sum")
+        .orderBy(col("doc_id"))
+    },
+
     // The StatsManager side of scene detection (demoTalkNet.py:95):
     // the per-frame metric rows the detector consumes, as a table of
     // EXACT integer channel |Δ| sums — pins the full fixed-point HSV
@@ -549,6 +594,24 @@ object KernelQueries extends QueryPack {
       |  CAST(sum(greatest(b, g, r)) AS BIGINT) AS v_sum
       |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirrors q279 from the raster formula + container constants: the
+    * Spark side's n/w/h/fps/fourcc come from PARSED MP4 boxes and its
+    * sums from decoded PNG frames, so matching this recomputation
+    * proves the ISO BMFF container + codec roundtrip lossless. */
+  private val q279Sql =
+    """WITH px AS (SELECT doc_id, f, p,
+      |    CAST((doc_id*31 + f*7 + (3*p+0)*5 + 29) % 256 AS INT) AS b,
+      |    CAST((doc_id*31 + f*7 + (3*p+1)*5 + 29) % 256 AS INT) AS g,
+      |    CAST((doc_id*31 + f*7 + (3*p+2)*5 + 29) % 256 AS INT) AS r
+      |  FROM documents, range(0, 4) rf(f), range(0, 256) rp(p))
+      |SELECT doc_id,
+      |  CAST(4 AS BIGINT) AS n_frames, CAST(16 AS BIGINT) AS w,
+      |  CAST(16 AS BIGINT) AS h, CAST(25 AS BIGINT) AS fps,
+      |  'png ' AS fourcc,
+      |  CAST(sum((r*4899 + g*9617 + b*1868 + 8192) // 16384) AS BIGINT) AS gray_sum,
+      |  CAST(sum(greatest(b, g, r)) AS BIGINT) AS v_sum
+      |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mirrors q129: gray sums from the (+23) raster formula, the PCM
     * sum from the sample formula, container constants from the parsed
     * headers on the Spark side. */
@@ -574,6 +637,7 @@ object KernelQueries extends QueryPack {
     "q66_visual_preprocess" -> q66Sql,
     "q121_avi_roundtrip" -> q121Sql,
     "q129_avi_mux" -> q129Sql,
+    "q279_mp4_roundtrip" -> q279Sql,
 
     // The stream's converged state ≡ the batch compaction (q106's SQL).
     "q130_stream_cdc" ->

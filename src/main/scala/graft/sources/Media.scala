@@ -53,25 +53,29 @@ object Media {
 
   /** Decoder-seat resolution for FrameSource's `decoder` option:
     * "stub" (default), "avi:<root>" for [[AviFileFrameDecoder]],
+    * "mp4:<root>" for the pure-JVM [[Mp4FileFrameDecoder]],
     * "ffmpeg:<root>" for the shelling [[FfmpegFrameDecoder]] (any
-    * container the executor's ffmpeg can read — mp4/h264/…), or
+    * container the executor's ffmpeg can read — h264/vp9/…), or
     * "auto:<root>" for per-file magic-byte dispatch between them. */
   def resolveDecoder(spec: String): FrameDecoder = spec match {
     case null | "" | "stub" => StubFrameDecoder
     case s if s.startsWith("avi:") => new AviFileFrameDecoder(s.substring(4))
+    case s if s.startsWith("mp4:") => new Mp4FileFrameDecoder(s.substring(4))
     case s if s.startsWith("ffmpeg:") => new FfmpegFrameDecoder(s.substring(7))
     case s if s.startsWith("auto:") => new AutoFrameDecoder(s.substring(5))
     case other => throw new IllegalArgumentException(
       s"unknown frame decoder '$other' (want 'stub', 'avi:<root>', " +
-        "'ffmpeg:<root>' or 'auto:<root>')")
+        "'mp4:<root>', 'ffmpeg:<root>' or 'auto:<root>')")
   }
 
-  /** `root/<name>`, falling back to `root/<name>.avi` — the shared
-    * resolution of the file-backed decoders. */
+  /** `root/<name>`, falling back to `root/<name>.avi` then `.mp4` —
+    * the shared resolution of the file-backed decoders. */
   private[sources] def resolveVideoPath(root: String, name: String): java.nio.file.Path = {
     val bare = java.nio.file.Paths.get(root, name)
     if (java.nio.file.Files.exists(bare)) bare
-    else java.nio.file.Paths.get(root, name + ".avi")
+    else Seq(".avi", ".mp4").map(e => java.nio.file.Paths.get(root, name + e))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(java.nio.file.Paths.get(root, name + ".avi"))
   }
 
   /** Container sniff from the first 12 bytes (the magic every demuxer
@@ -103,9 +107,40 @@ object Media {
       require(java.nio.file.Files.isReadable(path), s"auto decoder: unreadable $path")
       val inner: FrameDecoder = sniffContainer(path) match {
         case "avi" => new AviFileFrameDecoder(root)
+        case "mp4" => new Mp4FileFrameDecoder(root)
         case _ => new FfmpegFrameDecoder(root)
       }
       inner.decode(video, fps, range)
+    }
+  }
+
+  /** REAL frame decoder over MP4/MOV files whose video samples are
+    * JVM-decodable intra-frame payloads (PNG / JPEG sample entries —
+    * the MJPEG-in-MP4 and PNG-in-MOV families): parses the box tree
+    * with operators/Mp4Codec, seeks PAST mdat to moov, and
+    * ranged-reads only the samples in the requested frame range
+    * (Mp4Codec.decodeRangeFile — the -ss/-to pushdown honored at the
+    * I/O layer, the same object-store-GET pattern as the AVI idx1
+    * seek). Any OTHER codec inside the container (h264, av1, …)
+    * needs a real decoder, so those files fall through to the ffmpeg
+    * seat — dispatch by sample-entry fourcc from the PARSED stsd,
+    * never by extension. */
+  final class Mp4FileFrameDecoder(root: String) extends FrameDecoder {
+    private val jvmCodecs = Set("png ", "PNG ", "jpeg", "MJPG", "mjpa")
+    override def decode(video: VideoMeta, fps: Int,
+        range: Option[DecodeRange]): Iterator[Frame] = {
+      val path = resolveVideoPath(root, video.name)
+      val (fourcc, _, _, _, _) = graft.operators.Mp4Codec.probeFile(path)
+      if (!jvmCodecs.contains(fourcc))
+        new FfmpegFrameDecoder(root).decode(video, fps, range)
+      else {
+        val lo = range.map(_.startFrame).getOrElse(0L)
+        val hi = range.map(_.endFrame).getOrElse(Long.MaxValue - 1)
+        graft.operators.Mp4Codec.decodeRangeFile(path, lo, hi)
+          .iterator.zipWithIndex.map { case (payload, i) =>
+            Frame(lo + i, payload, payloadChecksum(payload))
+          }
+      }
     }
   }
 

@@ -56,17 +56,39 @@ class MediaSniffSpec extends AnyFunSuite {
       ranged.head.payload.toSeq == frames(1).toSeq)
   }
 
-  test("auto: non-AVI magic dispatches to the ffmpeg seat") {
+  test("auto: unknown magic dispatches to the ffmpeg seat") {
     val have = try {
       new ProcessBuilder("ffmpeg", "-version").start().waitFor() == 0
     } catch { case _: java.io.IOException => false }
     assume(!have, "ffmpeg present: the dispatch would shell out for real")
     val root = tempRoot()
-    java.nio.file.Files.write(root.resolve("v.mp4"),
-      Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm'))
-    val meta = Media.VideoMeta(2L, "v.mp4", 1.0)
+    // EBML magic (mkv): no pure-JVM demuxer exists for it, so the
+    // dispatch must pick the ffmpeg seat (mp4 now routes to the
+    // pure-JVM Mp4FileFrameDecoder first — Mp4CodecSpec covers it)
+    java.nio.file.Files.write(root.resolve("v.mkv"),
+      Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte, 1, 2, 3, 4))
+    val meta = Media.VideoMeta(2L, "v.mkv", 1.0)
     // with no binary, choosing the ffmpeg branch is observable by its
     // availability error — an AVI-branch bug would fail differently
+    val e = intercept[IllegalStateException] {
+      Media.resolveDecoder(s"auto:$root").decode(meta, 25, None).toSeq
+    }
+    assert(e.getMessage.contains("ffmpeg binary"))
+  }
+
+  test("auto: mp4 with a non-JVM codec falls through to the ffmpeg seat") {
+    val have = try {
+      new ProcessBuilder("ffmpeg", "-version").start().waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+    assume(!have, "ffmpeg present: the dispatch would shell out for real")
+    val root = tempRoot()
+    // a REAL box tree whose stsd sample entry says avc1 (h264): the
+    // pure-JVM demuxer must recognize it cannot decode the samples
+    // and hand the file to the ffmpeg seat by PARSED fourcc
+    java.nio.file.Files.write(root.resolve("h.mp4"),
+      graft.operators.Mp4Codec.encode(4, 4, 25, "avc1",
+        Seq(Array[Byte](1, 2, 3))))
+    val meta = Media.VideoMeta(3L, "h.mp4", 1.0)
     val e = intercept[IllegalStateException] {
       Media.resolveDecoder(s"auto:$root").decode(meta, 25, None).toSeq
     }
