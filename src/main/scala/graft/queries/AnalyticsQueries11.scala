@@ -216,8 +216,14 @@ object AnalyticsQueries11 extends QueryPack {
       // (degree, id) order — sampling only shrinks out-degrees); the
       // sampled op is a filter over the cached exact op, so the
       // second leg pays only its p²-scaled wedge join, never a
-      // second degree/orient build.
-      val opX = orientEdges(edges).persist()
+      // second degree/orient build. The symmetric edge list is pinned
+      // only while orientation consumes it twice (degrees + the join
+      // side), then freed the moment opX materializes — the q158
+      // eager-free discipline: dead caches are the rung-4 bill.
+      val edgesP = edges.persist()
+      val opX = orientEdges(edgesP).persist()
+      opX.count()
+      edgesP.unpersist()
       // canonical 64-bit pair key on the ORIENTED row ((u, v) is the
       // same unordered pair both directions collapsed to): partkey <
       // 2^25 at sf100, so least·2^32 + greatest never wraps; uhash
@@ -240,6 +246,49 @@ object AnalyticsQueries11 extends QueryPack {
             "DIV exact_triangles END").as("err_ppm"))
       out.persist().count() // pin the 1-row result, free the graph
       opS.unpersist(); opX.unpersist()
+      out
+    },
+
+    // DOULION p-SWEEP (the q277 knob-decision pattern applied to the
+    // q278 sampling rate): estimates at p ∈ {1/5, 1/10, 1/20} from
+    // ONE oriented edge list — the calibration curve that picks p
+    // before a 100 TB run commits to it. The same pinned hash with
+    // nested moduli (h % 20 = 0 ⟹ h % 10 = 0 ⟹ h % 5 = 0) makes the
+    // samples a MONOTONE chain: each sparser sample is a subset of
+    // the denser one, so the curve isolates the variance of p itself,
+    // never re-rolled sampling luck. Scale shape: one edge build, one
+    // orientation (both freed eagerly), then three wedge joins whose
+    // combined mass is p₁²+p₂²+p₃² ≈ 5.3% of exact q173's — the
+    // sweep costs less than one exact leg at any SF. Estimates scale
+    // by 1/p³ exactly (125 / 1000 / 8000 — integers, no float).
+    "q280_doulion_sweep" -> { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.groupBy(col("ok"))
+        .agg(collect_set(col("pk")).as("ps"))
+        .select(explode(col("ps")).as("node"), col("ps"))
+        .select(col("node"), explode(col("ps")).as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+        .distinct()
+        .persist() // consumed twice by orientation, freed right after
+      val opX = orientEdges(edges).persist()
+      opX.count()
+      edges.unpersist()
+      val h = "(" + Q.uhashSql("27800",
+        "least(u, v) * 4294967296 + greatest(u, v)") + ")"
+      val legs = Seq(5L, 10L, 20L).map { pd =>
+        val opS = opX.filter(expr(s"$h % $pd = 0"))
+        val nS = opS.agg(count(lit(1)).as("n_sampled_edges"))
+        wedgeCountFromOp(opS, "sampled_triangles")
+          .crossJoin(nS)
+          .select(lit(pd).as("p_denom"), col("n_sampled_edges"),
+            col("sampled_triangles"),
+            (col("sampled_triangles") * lit(pd * pd * pd)).as("est_triangles"))
+      }
+      val out = legs.reduce(_.unionByName(_)).orderBy(col("p_denom"))
+      out.persist().count() // pin the 3-row curve, free the graph
+      opX.unpersist()
       out
     },
   )
@@ -397,6 +446,32 @@ object AnalyticsQueries11 extends QueryPack {
          |       ELSE abs(ts.sampled_triangles * 125 - t.exact_triangles)
          |            * 1000000 // t.exact_triangles END AS err_ppm
          |FROM t CROSS JOIN ts CROSS JOIN m""".stripMargin
+    },
+
+    // The same pinned hash replayed at each modulus; the nested-chain
+    // property (h%20=0 ⟹ h%10=0 ⟹ h%5=0) holds identically on both
+    // engines, so each leg is an independent restatement of one
+    // sample's triangle count.
+    "q280_doulion_sweep" -> {
+      val uh = Q.uhashSql("27800", "u * 4294967296 + v")
+      def leg(pd: Int): String =
+        s"""es$pd AS (SELECT u, v FROM e WHERE ($uh) % $pd = 0),
+           |t$pd AS (SELECT CAST(count(*) AS BIGINT) AS st FROM (
+           |  SELECT 1 FROM es$pd e1 JOIN es$pd e2 ON e1.u = e2.u AND e1.v < e2.v
+           |  JOIN es$pd e3 ON e3.u = e1.v AND e3.v = e2.v)),
+           |n$pd AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM es$pd)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |${Seq(5, 10, 20).map(leg).mkString(",\n")}
+         |SELECT CAST(5 AS BIGINT) AS p_denom, n5.ns AS n_sampled_edges,
+         |  t5.st AS sampled_triangles, t5.st * 125 AS est_triangles
+         |FROM t5 CROSS JOIN n5
+         |UNION ALL
+         |SELECT 10, n10.ns, t10.st, t10.st * 1000 FROM t10 CROSS JOIN n10
+         |UNION ALL
+         |SELECT 20, n20.ns, t20.st, t20.st * 8000 FROM t20 CROSS JOIN n20
+         |ORDER BY p_denom""".stripMargin
     },
   )
 }
