@@ -78,21 +78,13 @@ object AnalyticsQueries extends QueryPack {
       // undirected count. AQE broadcasts the closure side while the
       // edge list is genuinely small; past that every join shuffles
       // on equi keys — the 100 TB posture with no size cliff.
-      val li = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.groupBy(col("ok"))
-        .agg(collect_set(col("pk")).as("ps"))
-        .select(explode(col("ps")).as("node"), col("ps"))
-        .select(col("node"), explode(col("ps")).as("nbr"))
-        .filter(col("node") =!= col("nbr"))
-        .distinct()
-      val degs = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val op = edges
-        .join(degs.select(col("node"), col("d").as("du")), Seq("node"))
-        .join(degs.select(col("node").as("nbr"), col("d").as("dv")), Seq("nbr"))
-        .filter(struct(col("dv"), col("nbr")) > struct(col("du"), col("node")))
-        .select(col("node").as("u"), col("nbr").as("v"), col("dv"))
+      // edge build + orientation are the shared single definitions
+      // (AnalyticsQueries11.coPurchaseEdges / orientEdges — task-5
+      // factoring); this query keeps its own wedge step because it
+      // counts PER NODE (explode + top-100), not the global scalar
+      // wedgeCountFromOp produces
+      val op = AnalyticsQueries11
+        .orientEdges(AnalyticsQueries11.coPurchaseEdges(s, dir))
         .persist() // 3 references: both wedge sides + the closure key
       val wedges = op.as("a")
         .join(op.as("b"), col("a.u") === col("b.u") &&

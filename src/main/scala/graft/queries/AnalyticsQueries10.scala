@@ -292,20 +292,7 @@ object AnalyticsQueries10 extends QueryPack {
     // bounded driver scalar). Output: (round, n_alive, key_sum) —
     // the peel curve, 5 rows.
     "q271_kcore" -> { (s, dir) =>
-      val canon = Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y ->
-            |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
-          .as("e"))
-        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select(col("src"), col("dst"))
-      val edges = canon
-        .union(canon.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = AnalyticsQueries11.coPurchaseEdgesMinSupport(s, dir)
         .persist()
       // The round count is STATIC — unlike q263's argmax loop there is
       // no per-iteration driver decision, so the whole peel stays ONE

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.operators.{Components, Dedup, TextOps}
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,50 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries11 extends QueryPack {
   import Q.Fn
+
+  /** The co-purchase graph's SYMMETRIC edge list — parts that share
+    * an order are adjacent; each undirected edge appears in BOTH
+    * directions as (node, nbr). ONE shuffle gathers each order's
+    * distinct part set (collect_set dedups in-agg — no separate
+    * pair-level exchange), pairs expand INSIDE the array via the
+    * double explode, and the final distinct collapses multi-order
+    * repeats. The single definition behind q173 / q278 / q280 /
+    * q281 / TriSampleProbe (round-15 verdict task 5). */
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("node"), col("ps"))
+      .select(col("node"), explode(col("ps")).as("nbr"))
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+  }
+
+  /** The q191/q271 variant of the co-purchase build: canonical pairs
+    * (src < dst) expanded IN-ARRAY (the self-join's second lineitem
+    * shuffle never exists), kept only with support ≥ 2 co-orders,
+    * then mirrored to both directions AFTER the ~300× HAVING
+    * shrink — the traversal-ready bidirectional list the BFS and
+    * k-core peels consume. Same task-5 factoring: one definition,
+    * both call sites. */
+  private[graft] def coPurchaseEdgesMinSupport(s: SparkSession, dir: String)
+      : DataFrame = {
+    val canon = Tables.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
+        .as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
+  }
 
   /** Orient a symmetric (node, nbr) edge list under the (degree, id)
     * total order — q173's degree orientation, factored so q278 can
@@ -199,18 +243,14 @@ object AnalyticsQueries11 extends QueryPack {
     // the wedge mass by ~p² and the closure probes by p³, so the
     // rung-3 scale the exact plan provably cannot reach on one box is
     // measurable here (ARCHITECTURE.md "Sampled triangles rung").
-    // Edge sampling happens BEFORE degrees/orientation — the sampled
-    // subgraph's own degree order keeps the O(√(m·p)) hub bound.
+    // This query's sampled leg REUSES the full graph's (degree, id)
+    // orientation (the triangle set is total-order-free, so any fixed
+    // total order counts the same set) — it must build that
+    // orientation anyway for the exact calibration leg. A production
+    // estimate-only run samples FIRST and orients the p-fraction
+    // instead (q281 / TriSampleProbe), paying p× the degree build.
     "q278_doulion_triangles" -> { (s, dir) =>
-      val li = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.groupBy(col("ok"))
-        .agg(collect_set(col("pk")).as("ps"))
-        .select(explode(col("ps")).as("node"), col("ps"))
-        .select(col("node"), explode(col("ps")).as("nbr"))
-        .filter(col("node") =!= col("nbr"))
-        .distinct()
+      val edges = coPurchaseEdges(s, dir)
       // ONE orientation pass shared by both legs (the triangle SET is
       // total-order-free, so the sample reuses the full graph's
       // (degree, id) order — sampling only shrinks out-degrees); the
@@ -262,15 +302,7 @@ object AnalyticsQueries11 extends QueryPack {
     // sweep costs less than one exact leg at any SF. Estimates scale
     // by 1/p³ exactly (125 / 1000 / 8000 — integers, no float).
     "q280_doulion_sweep" -> { (s, dir) =>
-      val li = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.groupBy(col("ok"))
-        .agg(collect_set(col("pk")).as("ps"))
-        .select(explode(col("ps")).as("node"), col("ps"))
-        .select(col("node"), explode(col("ps")).as("nbr"))
-        .filter(col("node") =!= col("nbr"))
-        .distinct()
+      val edges = coPurchaseEdges(s, dir)
         .persist() // consumed twice by orientation, freed right after
       val opX = orientEdges(edges).persist()
       opX.count()
@@ -289,6 +321,40 @@ object AnalyticsQueries11 extends QueryPack {
       val out = legs.reduce(_.unionByName(_)).orderBy(col("p_denom"))
       out.persist().count() // pin the 3-row curve, free the graph
       opX.unpersist()
+      out
+    },
+
+    // DOULION ESTIMATE-ONLY PLAN (round-15 verdict task 1): the plan
+    // a 100 TB run ACTUALLY executes when it wants the estimate
+    // without the exact calibration leg — sample FIRST (the whole
+    // point of DOULION is never paying the full graph's cost), then
+    // orient the p-FRACTION: the degree tables, orientation joins,
+    // and the cached oriented list are all built over ~p of the
+    // edges, so beyond q278's p²-scaled wedge mass this plan also
+    // cuts the build ~p×. Same pinned hash as q278/q280 (salt 27800
+    // on the canonical (min, max) pair key, both directions decide
+    // together) ⟹ the SAME undirected edges survive; the sample's
+    // own (degree, id) order is a different total order than the
+    // full graph's, but any fixed total order yields the same
+    // triangle SET (TriangleSpec makes that equivalence executable
+    // at sf0.001), so sampled_triangles is bit-identical to q278's.
+    // Output: the 1-row estimate q278's calibration row prices.
+    "q281_doulion_estimate" -> { (s, dir) =>
+      val keepSql = "(" + Q.uhashSql("27800",
+        "least(node, nbr) * 4294967296 + greatest(node, nbr)") + ") % 5 = 0"
+      val sampled = coPurchaseEdges(s, dir).filter(expr(keepSql))
+        .persist() // consumed twice by orientation (degrees + join side)
+      val op = orientEdges(sampled).persist()
+      op.count()
+      sampled.unpersist() // eager-free: dead caches are the rung-4 bill
+      // op holds each sampled undirected edge exactly once
+      val nS = op.agg(count(lit(1)).as("n_sampled_edges"))
+      val out = wedgeCountFromOp(op, "sampled_triangles")
+        .crossJoin(nS)
+        .select(col("n_sampled_edges"), col("sampled_triangles"),
+          expr("sampled_triangles * 125").as("est_triangles"))
+      out.persist().count() // pin the 1-row result, free the graph
+      op.unpersist()
       out
     },
   )
@@ -472,6 +538,25 @@ object AnalyticsQueries11 extends QueryPack {
          |UNION ALL
          |SELECT 20, n20.ns, t20.st, t20.st * 8000 FROM t20 CROSS JOIN n20
          |ORDER BY p_denom""".stripMargin
+    },
+
+    // Identical pinned hash replayed on the id-canonical u < v pair
+    // (the same different-total-order restatement q278/q280 use —
+    // the triangle set is orientation-free, so agreement here is a
+    // STRONGER check than replaying Spark's degree order would be).
+    "q281_doulion_estimate" -> {
+      val uh = Q.uhashSql("27800", "u * 4294967296 + v")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |es AS (SELECT u, v FROM e WHERE ($uh) % 5 = 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS sampled_triangles FROM (
+         |  SELECT 1 FROM es e1 JOIN es e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN es e3 ON e3.u = e1.v AND e3.v = e2.v)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_edges FROM es)
+         |SELECT n.n_sampled_edges, t.sampled_triangles,
+         |  t.sampled_triangles * 125 AS est_triangles
+         |FROM t CROSS JOIN n""".stripMargin
     },
   )
 }

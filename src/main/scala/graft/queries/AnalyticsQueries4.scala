@@ -117,20 +117,7 @@ object AnalyticsQueries4 extends QueryPack {
       // measurement in ARCHITECTURE.md). The HAVING
       // survivor set is ~300× smaller than the raw pairs, so
       // mirroring to both directions after the c ≥ 2 filter is free.
-      val canon = Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y ->
-            |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
-          .as("e"))
-        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select(col("src"), col("dst"))
-      val edges = canon
-        .union(canon.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = AnalyticsQueries11.coPurchaseEdgesMinSupport(s, dir)
         .persist()
       val seeds = Tables.table(s, dir, "part")
         .select(col("p_partkey").as("node"))

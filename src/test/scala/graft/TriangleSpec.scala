@@ -1,0 +1,31 @@
+package graft
+
+import graft.queries.AnalyticsQueries11
+
+/** Executable form of the order-free sampling argument (round-15
+  * verdict task 1): q278's sampled leg filters the FULL graph's
+  * (degree, id) orientation, while q281 — the estimate-only plan a
+  * 100 TB run executes — samples FIRST and orients the p-fraction
+  * under the SAMPLE's own degree order. Two different total orders
+  * over the same pinned-hash survivor edges; the triangle SET of an
+  * oriented wedge count is invariant under the choice of total order
+  * (each triangle closes exactly once whatever the order), so both
+  * plans must report identical sampled counts over identical
+  * surviving edge tallies. */
+class TriangleSpec extends SparkSpec {
+
+  test("q281 (sample-first) counts the same triangle set as q278's sampled leg") {
+    val r278 = AnalyticsQueries11
+      .queries("q278_doulion_triangles")(spark, sf001).collect().head
+    val r281 = AnalyticsQueries11
+      .queries("q281_doulion_estimate")(spark, sf001).collect().head
+    assert(r281.getAs[Long]("n_sampled_edges") ===
+      r278.getAs[Long]("n_sampled_edges"),
+      "the pinned hash must keep the same undirected edges in both plans")
+    assert(r281.getAs[Long]("sampled_triangles") ===
+      r278.getAs[Long]("sampled_triangles"),
+      "different total orders must count the same triangle set")
+    assert(r281.getAs[Long]("est_triangles") ===
+      125L * r281.getAs[Long]("sampled_triangles"))
+  }
+}
