@@ -296,10 +296,16 @@ object AnalyticsQueries11 extends QueryPack {
     // nested moduli (h % 20 = 0 ⟹ h % 10 = 0 ⟹ h % 5 = 0) makes the
     // samples a MONOTONE chain: each sparser sample is a subset of
     // the denser one, so the curve isolates the variance of p itself,
-    // never re-rolled sampling luck. Scale shape: one edge build, one
-    // orientation (both freed eagerly), then three wedge joins whose
-    // combined mass is p₁²+p₂²+p₃² ≈ 5.3% of exact q173's — the
-    // sweep costs less than one exact leg at any SF. Estimates scale
+    // never re-rolled sampling luck. Scale shape (round-16 rewrite):
+    // the nesting means every sparser leg's triangle SET is exactly
+    // the p=1/5 triangles whose three edges all survive the sparser
+    // modulus — so the sweep runs ONE wedge join (the densest leg's
+    // p² ≈ 4% of exact q173's mass, down from the three-join 5.3%)
+    // and derives the 1/10 and 1/20 points as per-TRIANGLE edge-hash
+    // filters over that leg's closure rows: adding a sweep point
+    // costs three hash tests per triangle, never another wedge
+    // shuffle. (h % 20 determines h % 10 and h % 5 — 10 and 5 divide
+    // 20 — so one stored residue serves every leg.) Estimates scale
     // by 1/p³ exactly (125 / 1000 / 8000 — integers, no float).
     "q280_doulion_sweep" -> { (s, dir) =>
       val edges = coPurchaseEdges(s, dir)
@@ -309,18 +315,41 @@ object AnalyticsQueries11 extends QueryPack {
       edges.unpersist()
       val h = "(" + Q.uhashSql("27800",
         "least(u, v) * 4294967296 + greatest(u, v)") + ")"
+      val opS = opX.filter(expr(s"$h % 5 = 0")).persist()
+      // the one wedge join: closure ROWS (u, v, w) of the p=1/5
+      // sample, each carrying its three edges' mod-20 residues
+      val wedges = opS.as("a")
+        .join(opS.as("b"), col("a.u") === col("b.u") &&
+          struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
+        .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+      def h20(x: String, y: String): String = "(" + Q.uhashSql("27800",
+        s"least($x, $y) * 4294967296 + greatest($x, $y)") + s") % 20"
+      val triCounts = wedges
+        .join(opS.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+        .select(expr(h20("u", "v")).as("huv"),
+          expr(h20("v", "w")).as("hvw"), expr(h20("u", "w")).as("huw"))
+        .agg(count(lit(1)).as("t5"),
+          expr("count_if(huv % 10 = 0 AND hvw % 10 = 0 AND huw % 10 = 0)")
+            .as("t10"),
+          expr("count_if(huv = 0 AND hvw = 0 AND huw = 0)").as("t20"))
+      val edgeCounts = opS.select(expr(s"$h % 20").as("he"))
+        .agg(count(lit(1)).as("n5"),
+          expr("count_if(he % 10 = 0)").as("n10"),
+          expr("count_if(he = 0)").as("n20"))
+      // pin the 1-row scalar pair so the three output legs below read
+      // cache, not three replays of the wedge join
+      val row = triCounts.crossJoin(edgeCounts).persist()
+      row.count()
+      opS.unpersist(); opX.unpersist()
       val legs = Seq(5L, 10L, 20L).map { pd =>
-        val opS = opX.filter(expr(s"$h % $pd = 0"))
-        val nS = opS.agg(count(lit(1)).as("n_sampled_edges"))
-        wedgeCountFromOp(opS, "sampled_triangles")
-          .crossJoin(nS)
-          .select(lit(pd).as("p_denom"), col("n_sampled_edges"),
-            col("sampled_triangles"),
-            (col("sampled_triangles") * lit(pd * pd * pd)).as("est_triangles"))
+        row.select(lit(pd).as("p_denom"),
+          col(s"n$pd").as("n_sampled_edges"),
+          col(s"t$pd").as("sampled_triangles"),
+          (col(s"t$pd") * lit(pd * pd * pd)).as("est_triangles"))
       }
       val out = legs.reduce(_.unionByName(_)).orderBy(col("p_denom"))
-      out.persist().count() // pin the 3-row curve, free the graph
-      opX.unpersist()
+      out.persist().count() // pin the 3-row curve, free the scalar row
+      row.unpersist()
       out
     },
 

@@ -106,17 +106,11 @@ object AnalyticsQueries4 extends QueryPack {
     // state beyond the plan itself. Output: distance histogram with a
     // key-sum checksum per level.
     "q191_bfs_hops" -> { (s, dir) =>
-      // Edge build by the q173 array-local pattern: ONE shuffle
-      // gathers each order's distinct part set (collect_set dedups
-      // in-agg — no separate 60 M-row DISTINCT exchange), then the
-      // canonical pairs (src < dst, each unordered pair once) are
-      // expanded INSIDE the array and counted — the self-join's
-      // second full shuffle of lineitem never exists, and the pair
-      // aggregation moves half the rows of the bidirectional form
-      // (canonical pairs, not both directions — see the rung-2
-      // measurement in ARCHITECTURE.md). The HAVING
-      // survivor set is ~300× smaller than the raw pairs, so
-      // mirroring to both directions after the c ≥ 2 filter is free.
+      // Edge build = the shared array-local canonical-pair helper
+      // (AnalyticsQueries11.coPurchaseEdgesMinSupport — ONE lineitem
+      // shuffle, in-array pair expansion, co-count ≥ 2, mirrored
+      // after the ~300× HAVING shrink; rung-2 measurement in
+      // ARCHITECTURE.md).
       val edges = AnalyticsQueries11.coPurchaseEdgesMinSupport(s, dir)
         .persist()
       val seeds = Tables.table(s, dir, "part")
