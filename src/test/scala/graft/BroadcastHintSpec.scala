@@ -60,6 +60,38 @@ class BroadcastHintSpec extends SparkSpec {
     assert(unproven(docs.join(broadcast(perDoc), Seq("doc_id"))) == 1)
   }
 
+  test("a corpus key RENAMED to a bounded name is NOT bounded " +
+      "(round-15 verdict task 3: name collisions must fail)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // doc_id values under the name "lang": the r15 name-based gate
+    // "proved" this bounded; the alias chase resolves it to doc_id
+    val perFakeLang = docs.select(col("doc_id").as("lang"), col("n_chars"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(unproven(docs.join(broadcast(perFakeLang), Seq("lang"))) == 1)
+  }
+
+  test("modulus bucket keys are bounded by the expression, renames included") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val bucketed = docs.withColumn("bkt", expr("doc_id % 128"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    assert(unproven(docs.withColumn("bkt", expr("doc_id % 128"))
+      .join(broadcast(bucketed), Seq("bkt"))) == 0)
+    // but a corpus-sized modulus proves nothing
+    val huge = docs.withColumn("bkt", expr("doc_id % 1000000000"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    assert(unproven(docs.withColumn("bkt", expr("doc_id % 1000000000"))
+      .join(broadcast(huge), Seq("bkt"))) == 1)
+  }
+
+  test("all-literal CASE keys are bounded") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val split = docs.withColumn("split",
+        expr("CASE WHEN doc_id % 10 < 8 THEN 'train' " +
+          "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    assert(unproven(docs.crossJoin(broadcast(split))) == 0)
+  }
+
   test("explode over a bounded input is NOT bounded without a whitelist") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val grams = docs.agg(collect_list(col("lang")).as("ls"))

@@ -183,7 +183,13 @@ class QueriesSmokeSpec extends SparkSpec {
     "q119_mad_outlier" -> (1, "Aggregate [lang, med]: med is the " +
       "per-lang median (functionally dependent on lang) — ≤|langs| rows"),
     "q155_heavy_hitters" -> (1, "candidates = words with cnt·k > N: at " +
-      "most k−1 items can exceed N/k, by counting"))
+      "most k−1 items can exceed N/k, by counting"),
+    "q273_pareto_frontier" -> (1, "thr groups by bucket = least(63, " +
+      "n_events * 64 DIV (max_x + 1)) — both operands are non-negative " +
+      "counts, so the ratio is ≥ 0 and the least() caps it at 63: ≤64 " +
+      "rows by construction (the structural prover rejects least() " +
+      "because it bounds only one side; the non-negativity argument " +
+      "lives here instead)"))
 
   /** name → MAX deliberate shrinking-frame count. A window frame
     * whose LOWER bound is not UNBOUNDED PRECEDING but whose UPPER
