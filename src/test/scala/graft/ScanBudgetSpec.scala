@@ -59,7 +59,33 @@ class ScanBudgetSpec extends SparkSpec {
         "the rep join, the benchmark side of the union, the gram/bloom " +
         "stage, the final n_copies attach) instead of pinning corpus " +
         "text in the block manager — scan cost is the 100 TB trade " +
-        "the operator documents. Measured exactly 5.00R."))
+        "the operator documents. Measured exactly 5.00R."),
+    ("q275_leakage_split", 7.0, 8.29,
+      "MinHash shingle scan feeds the banded candidate build, the " +
+        "node-id list is its own scan, the q72 component loop prices " +
+        "its deterministic localCheckpoint block re-reads, and the " +
+        "CHECKPOINTED assignment is what the leak audit + split " +
+        "rollup both read — MinHash itself never re-runs (the " +
+        "operator's stated contract). Measured 7.79R; one extra " +
+        "corpus pass (+1.0R) trips the 0.5R headroom."),
+    ("q200_fuzzy_clusters", 4.5, 5.82,
+      "q196's blocked pair join reads corpus text on BOTH self-join " +
+        "sides (unpersisted lineage, by the q261 don't-pin-text " +
+        "policy), the component node list adds one scan, and the " +
+        "q72 loop's localCheckpoint re-reads price the rest. " +
+        "Measured 5.32R."),
+    ("q210_canonical_pick", 5.5, 6.82,
+      "q200's structure plus exactly ONE more corpus scan: the " +
+        "(doc_id, n_chars) attach that sizes each cluster for the " +
+        "canonical max_by pick. Measured 6.32R = q200's 5.32R + " +
+        "1.00R, pinning that the pick stage re-reads metadata " +
+        "columns once, never text twice."),
+    ("q244_dedup_compose", 1.9, 2.5,
+      "TWO corpus text scans by design: the md5 fingerprint agg and " +
+        "the representative re-join each re-derive the unpersisted " +
+        "fp lineage; the blocked pair join's a/b sides then reuse " +
+        "the one shuffled reps exchange, so blocking never touches " +
+        "text again. Measured exactly 2.00R."))
 
   test("multi-pass corpus queries stay inside their scan budgets") {
     val docRows = spark.read.parquet(s"$sf001/documents.parquet").count()
