@@ -41,6 +41,40 @@ class FfmpegSeatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { FfmpegFrameDecoder.readPng(in) }
   }
 
+  test("MP4 h264 fourcc falls through to the ffmpeg seat by PARSED stsd " +
+      "(cancelled without a binary)") {
+    // the AVI seat test's MP4 sibling (round-15 verdict task 8): the
+    // Mp4FileFrameDecoder dispatches on the fourcc parsed from the
+    // moov's stsd sample entry — never the extension — so a real
+    // codec inside the container must reach the ffmpeg seat.
+    val have = sys.env.getOrElse("PATH", "").split(':')
+      .exists(p => new java.io.File(p, "ffmpeg").canExecute)
+    assume(have, "no ffmpeg binary on this machine")
+    val dir = java.nio.file.Files.createTempDirectory("ffm4").toString
+    // let ffmpeg itself author a REAL codec-bearing mp4 from PNG input
+    for (f <- 0 until 5) {
+      val png = graft.operators.ImageCodec.encodePng(
+        Array.tabulate(16 * 16 * 3)(i => (i + f * 7) % 256), 16, 16)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"in$f%06d.png"), png)
+    }
+    val enc = new ProcessBuilder("ffmpeg", "-y", "-framerate", "25",
+      "-i", s"$dir/in%06d.png", "-pix_fmt", "yuv420p", s"$dir/v.mp4")
+      .redirectErrorStream(true).start()
+    enc.getInputStream.readAllBytes()
+    assume(enc.waitFor() == 0, "ffmpeg could not encode the fixture mp4")
+    // the parsed stsd fourcc is a real codec, not a JVM-decodable one
+    val (fourcc, _, _, _, n) = graft.operators.Mp4Codec.probeFile(
+      java.nio.file.Paths.get(dir, "v.mp4"))
+    assert(!Set("png ", "PNG ", "jpeg", "MJPG", "mjpa").contains(fourcc),
+      s"expected a codec fourcc, got '$fourcc'")
+    assert(n == 5)
+    // and the MP4 decoder reaches the seat and decodes for real
+    val dec = new Media.Mp4FileFrameDecoder(dir)
+    val out = dec.decode(Media.VideoMeta(1L, "v.mp4", 0.2), 25, None).toSeq
+    assert(out.nonEmpty && out.forall(_.payload.length > 8))
+  }
+
   test("real decode when an ffmpeg binary exists (cancelled without one)") {
     val have = sys.env.getOrElse("PATH", "").split(':')
       .exists(p => new java.io.File(p, "ffmpeg").canExecute)
