@@ -44,16 +44,15 @@ object AnalyticsQueries11 extends QueryPack {
       .distinct()
   }
 
-  /** The q191/q271 variant of the co-purchase build: canonical pairs
-    * (src < dst) expanded IN-ARRAY (the self-join's second lineitem
-    * shuffle never exists), kept only with support ≥ 2 co-orders,
-    * then mirrored to both directions AFTER the ~300× HAVING
-    * shrink — the traversal-ready bidirectional list the BFS and
-    * k-core peels consume. Same task-5 factoring: one definition,
-    * both call sites. */
-  private[graft] def coPurchaseEdgesMinSupport(s: SparkSession, dir: String)
-      : DataFrame = {
-    val canon = Tables.table(s, dir, "lineitem")
+  /** Canonical co-purchase pair SUPPORTS: (src < dst, c = number of
+    * co-orders), pairs expanded IN-ARRAY per order (the self-join's
+    * second lineitem shuffle never exists — ONE shuffle gathers each
+    * order's distinct part set, collect_set dedups in-agg), then one
+    * hash agg counts each unordered pair's support. The common base
+    * of the q191/q271 traversal edges and q282's butterfly count. */
+  private[graft] def coPurchasePairSupports(s: SparkSession, dir: String)
+      : DataFrame =
+    Tables.table(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(expr(
@@ -63,6 +62,15 @@ object AnalyticsQueries11 extends QueryPack {
         .as("e"))
       .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
       .agg(count(lit(1)).as("c"))
+
+  /** The q191/q271 variant of the co-purchase build: the pair
+    * supports kept only with c ≥ 2 co-orders, then mirrored to both
+    * directions AFTER the ~300× HAVING shrink — the traversal-ready
+    * bidirectional list the BFS and k-core peels consume. Same
+    * task-5 factoring: one definition, both call sites. */
+  private[graft] def coPurchaseEdgesMinSupport(s: SparkSession, dir: String)
+      : DataFrame = {
+    val canon = coPurchasePairSupports(s, dir)
       .filter(col("c") >= 2)
       .select(col("src"), col("dst"))
     canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
@@ -386,6 +394,35 @@ object AnalyticsQueries11 extends QueryPack {
       op.unpersist()
       out
     },
+
+    // BUTTERFLY COUNTING over the BIPARTITE order–part graph (the
+    // 2×2-biclique cohesion primitive of bipartite networks —
+    // Sanei-Mehri et al. 2018, "Butterfly Counting in Bipartite
+    // Networks"): a butterfly is (o₁, o₂, p₁, p₂) with all four
+    // incidences present — two orders co-purchasing the SAME two
+    // parts. The triangle family (q173/q278) measures the PROJECTED
+    // co-purchase graph; butterflies measure the bipartite structure
+    // the projection is built FROM, and drive the projection's own
+    // cost model (every butterfly is a support-≥2 co-purchase pair
+    // pumping the q191 HAVING shrink). The exact count needs NO new
+    // join machinery: per part-pair with c common orders the
+    // butterflies are C(c, 2), so the whole number is ONE arithmetic
+    // agg over the SAME pair-support table the q191/q271 edge build
+    // already computes (coPurchasePairSupports — shared definition).
+    // Scale shape: the only super-linear term is the in-array pair
+    // expansion Σ_o C(|basket|, 2), the documented cost of that
+    // build (baskets are catalog-bounded, never corpus-bounded);
+    // everything after is a pair-keyed hash agg into one row. Output
+    // also carries the pair-support profile a planner consults:
+    // support-≥2 pair count (the q191 edge-list size) and the max
+    // support (the hub pair).
+    "q282_butterfly_count" -> { (s, dir) =>
+      coPurchasePairSupports(s, dir)
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("n_butterflies"),
+          expr("count_if(c >= 2)").as("n_support_pairs"),
+          count(lit(1)).as("n_pairs"),
+          max(col("c")).as("max_support"))
+    },
   )
 
   // ——— DuckDB restatements ———
@@ -587,5 +624,21 @@ object AnalyticsQueries11 extends QueryPack {
          |  t.sampled_triangles * 125 AS est_triangles
          |FROM t CROSS JOIN n""".stripMargin
     },
+
+    // The pair supports restated as the plain bipartite self-join
+    // (DISTINCT incidences, a.pk < b.pk, count per pair) — a
+    // different derivation of the same table, which is the point of
+    // the oracle: C(c, 2) summed over pairs counts each butterfly
+    // exactly once whichever way the supports were produced.
+    "q282_butterfly_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS c
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2)
+        |SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies,
+        |  CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_support_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  max(c) AS max_support
+        |FROM p""".stripMargin,
   )
 }

@@ -28,4 +28,25 @@ class TriangleSpec extends SparkSpec {
     assert(r281.getAs[Long]("est_triangles") ===
       125L * r281.getAs[Long]("sampled_triangles"))
   }
+
+  test("q282 counts each butterfly exactly once on a constructed bipartite graph") {
+    import spark.implicits._
+    // Orders 1, 2, 3 all buy {10, 20} → pair (10, 20) has support 3 →
+    // C(3,2) = 3 butterflies; order 4 = {10, 30} adds a support-1
+    // pair contributing none. Duplicate incidence rows must dedup.
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L)
+    ).toDF("l_orderkey", "l_partkey")
+    val dir = graft.queries.Q.scratchDir(spark, "butterflyspec")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = AnalyticsQueries11.queries("q282_butterfly_count")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_butterflies") === 3L)
+    assert(r.getAs[Long]("n_support_pairs") === 1L)
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    assert(r.getAs[Long]("max_support") === 3L)
+  }
 }
