@@ -110,6 +110,27 @@ object AnalyticsQueries11 extends QueryPack {
       .agg(count(lit(1)).as(outCol))
   }
 
+  /** Closed-triangle RESIDUE rows from an ORIENTED edge list: one row
+    * per triangle of `op`, carrying each of its three edges' pinned
+    * pair-hash residues mod `m` (salt 27800 — the DOULION sample
+    * hash). Because the pinned samples are nested hash-threshold
+    * sets, the triangle count of ANY `h % k = 0` subsample with
+    * k | m is a count_if over these rows — every estimate leg rides
+    * the ONE wedge join for free (q278's sampled calibration leg at
+    * m = 5, q280's whole p sweep at m = 20). */
+  private[graft] def triangleResidues(op: DataFrame, m: Long): DataFrame = {
+    val wedges = op.as("a")
+      .join(op.as("b"), col("a.u") === col("b.u") &&
+        struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
+      .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+    def hm(x: String, y: String): String = "(" + Q.uhashSql("27800",
+      s"least($x, $y) * 4294967296 + greatest($x, $y)") + s") % $m"
+    wedges
+      .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(expr(hm("u", "v")).as("huv"),
+        expr(hm("v", "w")).as("hvw"), expr(hm("u", "w")).as("huw"))
+  }
+
   val queries = Map[String, Fn](
 
     // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (the hygiene rule of every
@@ -259,15 +280,18 @@ object AnalyticsQueries11 extends QueryPack {
     // instead (q281 / TriSampleProbe), paying p× the degree build.
     "q278_doulion_triangles" -> { (s, dir) =>
       val edges = coPurchaseEdges(s, dir)
-      // ONE orientation pass shared by both legs (the triangle SET is
-      // total-order-free, so the sample reuses the full graph's
-      // (degree, id) order — sampling only shrinks out-degrees); the
-      // sampled op is a filter over the cached exact op, so the
-      // second leg pays only its p²-scaled wedge join, never a
-      // second degree/orient build. The symmetric edge list is pinned
-      // only while orientation consumes it twice (degrees + the join
-      // side), then freed the moment opX materializes — the q158
-      // eager-free discipline: dead caches are the rung-4 bill.
+      // ONE orientation pass AND ONE wedge join for both legs
+      // (round-16 rewrite): the sampled subgraph's triangles are
+      // exactly the exact triangles whose three edges all survive
+      // the pinned hash (the q280 nesting argument with the full
+      // edge set as the densest "sample"), so the sampled count is a
+      // count_if over the exact leg's closure-residue rows — the
+      // calibration estimate costs three hash tests per triangle,
+      // not a second p²-scaled wedge join. The symmetric edge list
+      // is pinned only while orientation consumes it twice (degrees
+      // + the join side), then freed the moment opX materializes —
+      // the q158 eager-free discipline: dead caches are the rung-4
+      // bill.
       val edgesP = edges.persist()
       val opX = orientEdges(edgesP).persist()
       opX.count()
@@ -278,14 +302,15 @@ object AnalyticsQueries11 extends QueryPack {
       // reduces mod P32 identically on both engines
       val keepSql = "(" + Q.uhashSql("27800",
         "least(u, v) * 4294967296 + greatest(u, v)") + ") % 5 = 0"
-      val opS = opX.filter(expr(keepSql)).persist()
-      val exact = wedgeCountFromOp(opX, "exact_triangles")
-      val samp = wedgeCountFromOp(opS, "sampled_triangles")
+      val counts = triangleResidues(opX, 5L)
+        .agg(count(lit(1)).as("exact_triangles"),
+          expr("count_if(huv = 0 AND hvw = 0 AND huw = 0)")
+            .as("sampled_triangles"))
       // op holds each undirected edge exactly once — counts need no /2
       val tallies = opX
         .agg(count(lit(1)).as("n_edges"),
           expr(s"count_if($keepSql)").as("n_sampled_edges"))
-      val out = exact.crossJoin(samp).crossJoin(tallies)
+      val out = counts.crossJoin(tallies)
         .select(col("exact_triangles"), col("n_edges"),
           col("n_sampled_edges"), col("sampled_triangles"),
           expr("sampled_triangles * 125").as("est_triangles"),
@@ -293,7 +318,7 @@ object AnalyticsQueries11 extends QueryPack {
             "abs(sampled_triangles * 125 - exact_triangles) * 1000000 " +
             "DIV exact_triangles END").as("err_ppm"))
       out.persist().count() // pin the 1-row result, free the graph
-      opS.unpersist(); opX.unpersist()
+      opX.unpersist()
       out
     },
 
@@ -324,18 +349,11 @@ object AnalyticsQueries11 extends QueryPack {
       val h = "(" + Q.uhashSql("27800",
         "least(u, v) * 4294967296 + greatest(u, v)") + ")"
       val opS = opX.filter(expr(s"$h % 5 = 0")).persist()
-      // the one wedge join: closure ROWS (u, v, w) of the p=1/5
-      // sample, each carrying its three edges' mod-20 residues
-      val wedges = opS.as("a")
-        .join(opS.as("b"), col("a.u") === col("b.u") &&
-          struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
-        .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
-      def h20(x: String, y: String): String = "(" + Q.uhashSql("27800",
-        s"least($x, $y) * 4294967296 + greatest($x, $y)") + s") % 20"
-      val triCounts = wedges
-        .join(opS.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-        .select(expr(h20("u", "v")).as("huv"),
-          expr(h20("v", "w")).as("hvw"), expr(h20("u", "w")).as("huw"))
+      // the one wedge join: closure-residue rows of the p=1/5 sample
+      // (triangleResidues at m = 20 — each row carries its three
+      // edges' mod-20 residues, which determine the mod-10 and mod-5
+      // survivals too)
+      val triCounts = triangleResidues(opS, 20L)
         .agg(count(lit(1)).as("t5"),
           expr("count_if(huv % 10 = 0 AND hvw % 10 = 0 AND huw % 10 = 0)")
             .as("t10"),
