@@ -33,8 +33,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Mp4Codec {
 
+  /** Parsed MP4: the video track plus, when a PCM `soun` track is
+    * present (audioFourcc "sowt"/"twos"), its decoded mono samples —
+    * the ffmpeg `-c:v copy -c:a copy` A/V mux surface (q129's AVI
+    * shape) for the second container family. A non-PCM audio codec
+    * (mp4a/esds) leaves pcm empty with its fourcc reported, the
+    * honest analog of the video side's ffmpeg-seat fallthrough. */
   final case class Mp4(width: Int, height: Int, fps: Int,
-      fourcc: String, frames: Vector[Array[Byte]])
+      fourcc: String, frames: Vector[Array[Byte]],
+      audioRate: Int = 0, pcm: Array[Short] = Array.empty,
+      audioFourcc: String = "")
 
   private def be32(i: Int): Array[Byte] =
     ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(i).array()
@@ -72,50 +80,60 @@ object Mp4Codec {
     * Movie timescale is 1000 (the mvhd convention); the media
     * timescale IS the fps, so every sample's stts delta is exactly 1
     * — integer-exact fps recovery on decode, no 1001/30000 rationals
-    * needed for the driver's integer-fps fixtures. */
+    * needed for the driver's integer-fps fixtures. `audio` adds a
+    * second `soun` trak of PCM16 mono ('sowt', media timescale = the
+    * sample rate) — the A/V mux surface q283 oracles. */
   def encode(width: Int, height: Int, fps: Int, fourcc: String,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]],
+      audio: Option[(Int, Array[Short])] = None): Array[Byte] = {
     require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
     require(fps > 0, s"fps must be positive: $fps")
     val n = frames.length
+    val videoDur = n * 1000 / fps
+    val audioDur = audio.map { case (rate, pcm) =>
+      (pcm.length.toLong * 1000 / rate).toInt }.getOrElse(0)
 
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
       "isomiso2mp41".getBytes("US-ASCII"))
-    // mdat sits directly after ftyp; first sample = after its header
+    // mdat sits directly after ftyp; first sample = after its header.
+    // Layout: all video frames, then the one audio chunk.
     val firstSampleOffset = ftyp.length + 8
+    val audioChunkOffset =
+      (firstSampleOffset + frames.map(_.length.toLong).sum).toInt
 
     val mvhd = {
       val b = ByteBuffer.allocate(96).order(ByteOrder.BIG_ENDIAN)
       b.putInt(0); b.putInt(0)        // creation, modification (epoch 1904: 0)
       b.putInt(1000)                  // movie timescale
-      b.putInt(n * 1000 / fps)        // duration in movie ticks
+      b.putInt(math.max(videoDur, audioDur)) // duration in movie ticks
       b.putInt(0x00010000)            // rate 1.0
       b.putShort(0x0100)              // volume 1.0
       b.putShort(0); b.putInt(0); b.putInt(0) // reserved
       b.put(unityMatrix)
       (0 until 6).foreach(_ => b.putInt(0))   // pre_defined
-      b.putInt(2)                     // next_track_ID
+      b.putInt(if (audio.isDefined) 3 else 2) // next_track_ID
       b.array()
     }
-    val tkhd = {
+    def tkhd(trackId: Int, durTicks: Int, volume: Int, w: Int, h: Int)
+        : Array[Byte] = {
       val b = ByteBuffer.allocate(80).order(ByteOrder.BIG_ENDIAN)
       b.putInt(0); b.putInt(0)        // creation, modification
-      b.putInt(1)                     // track_ID
+      b.putInt(trackId)
       b.putInt(0)                     // reserved
-      b.putInt(n * 1000 / fps)        // duration in MOVIE ticks
+      b.putInt(durTicks)              // duration in MOVIE ticks
       b.putInt(0); b.putInt(0)        // reserved
       b.putShort(0); b.putShort(0)    // layer, alternate_group
-      b.putShort(0); b.putShort(0)    // volume (video: 0), reserved
+      b.putShort(volume.toShort); b.putShort(0) // volume, reserved
       b.put(unityMatrix)
-      b.putInt(width << 16)           // 16.16 fixed
-      b.putInt(height << 16)
+      b.putInt(w << 16)               // 16.16 fixed
+      b.putInt(h << 16)
       b.array()
     }
-    val mdhd = {
+    def mdhd(timescale: Int, duration: Int): Array[Byte] = {
       val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
       b.putInt(0); b.putInt(0)        // creation, modification
-      b.putInt(fps)                   // media timescale = fps
-      b.putInt(n)                     // duration = n samples
+      b.putInt(timescale)             // video: fps; audio: sample rate
+      b.putInt(duration)              // media samples
       b.putShort(0x55c4)              // language 'und'
       b.putShort(0)                   // pre_defined
       b.array()
@@ -123,9 +141,12 @@ object Mp4Codec {
     // handler name is NUL-terminated; the terminator is an explicit
     // appended zero byte, NOT a raw 0x00 in the string literal (which
     // would make git classify this source file as binary)
-    val hdlr = fullBox("hdlr", 0, 0, be32(0),
-      "vide".getBytes("US-ASCII"), new Array[Byte](12),
-      "GraftVideoHandler".getBytes("US-ASCII") :+ 0.toByte)
+    def hdlr(kind: String, name: String): Array[Byte] =
+      fullBox("hdlr", 0, 0, be32(0),
+        kind.getBytes("US-ASCII"), new Array[Byte](12),
+        name.getBytes("US-ASCII") :+ 0.toByte)
+    val dinf = box("dinf",
+      fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1)))
 
     val sampleEntry = {
       val name = "graft"
@@ -154,15 +175,57 @@ object Mp4Codec {
     val stco = fullBox("stco", 0, 0, be32(1), be32(firstSampleOffset))
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
     val vmhd = fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
-    val dref = fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1))
-    val minf = box("minf", vmhd, box("dinf", dref), stbl)
-    val mdia = box("mdia", fullBox("mdhd", 0, 0, mdhd), hdlr, minf)
-    val trak = box("trak", fullBox("tkhd", 0, 7, tkhd), mdia)
-    val moov = box("moov", fullBox("mvhd", 0, 0, mvhd), trak)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", fullBox("mdhd", 0, 0, mdhd(fps, n)),
+      hdlr("vide", "GraftVideoHandler"), minf)
+    val trak = box("trak",
+      fullBox("tkhd", 0, 7, tkhd(1, videoDur, 0, width, height)), mdia)
+
+    // Optional PCM16 mono audio as a SECOND trak: 'sowt' sample
+    // entry (little-endian signed 16-bit — the WAV byte order), one
+    // media sample per PCM sample (fixed stsz size 2, media
+    // timescale = the sample rate, so stts stays the uniform delta-1
+    // run), one chunk placed after the video bytes — the ffmpeg
+    // `-c:v copy -c:a copy` A/V mux surface, MP4 edition of
+    // AviCodec's interleaved PCM stream (q129).
+    val audioTrak = audio.map { case (rate, pcm) =>
+      val m = pcm.length
+      val entry = {
+        val b = ByteBuffer.allocate(28).order(ByteOrder.BIG_ENDIAN)
+        b.put(new Array[Byte](6))     // reserved
+        b.putShort(1)                 // data_reference_index
+        b.putShort(0); b.putShort(0)  // version, revision
+        b.putInt(0)                   // vendor
+        b.putShort(1)                 // channelcount (mono)
+        b.putShort(16)                // samplesize bits
+        b.putShort(0); b.putShort(0)  // compression_id, packet_size
+        b.putInt(rate << 16)          // samplerate 16.16
+        box("sowt", b.array())
+      }
+      val aStbl = box("stbl",
+        fullBox("stsd", 0, 0, be32(1), entry),
+        fullBox("stts", 0, 0, be32(1), be32(m), be32(1)),
+        fullBox("stsc", 0, 0, be32(1), be32(1), be32(math.max(m, 1)), be32(1)),
+        fullBox("stsz", 0, 0, be32(2), be32(m)),
+        fullBox("stco", 0, 0, be32(1), be32(audioChunkOffset)))
+      val aMinf = box("minf", fullBox("smhd", 0, 0, be16(0), be16(0)),
+        dinf, aStbl)
+      val aMdia = box("mdia", fullBox("mdhd", 0, 0, mdhd(rate, m)),
+        hdlr("soun", "GraftAudioHandler"), aMinf)
+      box("trak", fullBox("tkhd", 0, 7, tkhd(2, audioDur, 0x0100, 0, 0)), aMdia)
+    }
+    val moov = box("moov",
+      (Seq(fullBox("mvhd", 0, 0, mvhd), trak) ++ audioTrak): _*)
+
+    val pcmBytes = audio.map { case (_, pcm) =>
+      val b = ByteBuffer.allocate(pcm.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      pcm.foreach(b.putShort)
+      b.array()
+    }.getOrElse(Array.empty[Byte])
 
     val out = new ByteArrayOutputStream()
     out.write(ftyp)
-    out.write(box("mdat", frames.toArray.flatten[Byte]))
+    out.write(box("mdat", frames.toArray.flatten[Byte], pcmBytes))
     out.write(moov)
     out.toByteArray
   }
@@ -232,34 +295,7 @@ object Mp4Codec {
           require(delta > 0 && timescale % delta == 0,
             s"fps not integral: timescale $timescale / delta $delta")
           val fps = timescale / delta
-          val (szS, _) = find(sb, "stsz").get
-          val fixed = u32(bytes, szS + 4).toInt
-          val n = u32(bytes, szS + 8).toInt
-          val sizes = Array.tabulate(n)(i =>
-            if (fixed != 0) fixed else u32(bytes, szS + 12 + 4 * i).toInt)
-          val (scS, _) = find(sb, "stsc").get
-          val nsc = u32(bytes, scS + 4).toInt
-          val stscRows = Array.tabulate(nsc)(i => (
-            u32(bytes, scS + 8 + 12 * i).toInt,       // first_chunk (1-based)
-            u32(bytes, scS + 8 + 12 * i + 4).toInt))  // samples_per_chunk
-          val (coS, _) = find(sb, "stco").get
-          val nch = u32(bytes, coS + 4).toInt
-          val chunkOff = Array.tabulate(nch)(i => u32(bytes, coS + 8 + 4 * i))
-          // expand stsc over chunks → absolute per-sample offsets
-          val offsets = new Array[Long](n)
-          var sample = 0
-          for (c <- 0 until nch if sample < n) {
-            val perChunk = stscRows.takeWhile(_._1 <= c + 1).lastOption
-              .map(_._2).getOrElse(stscRows.head._2)
-            var off = chunkOff(c)
-            var k = 0
-            while (k < perChunk && sample < n) {
-              offsets(sample) = off
-              off += sizes(sample)
-              sample += 1; k += 1
-            }
-          }
-          require(sample == n, s"stsc/stco cover $sample of $n samples")
+          val (sizes, offsets) = sampleMap(bytes, sb)
           return (fourcc, w, h, fps, sizes, offsets)
         }
       }
@@ -267,7 +303,74 @@ object Mp4Codec {
     throw new IllegalArgumentException("no video (hdlr 'vide') track found")
   }
 
-  /** Parse a complete in-memory MP4 back to frames. */
+  /** stsz/stsc/stco of one stbl expanded to absolute per-sample
+    * (sizes, offsets) — shared by the video and audio tables. */
+  private def sampleMap(bytes: Array[Byte], sb: Seq[(String, Int, Int)])
+      : (Array[Int], Array[Long]) = {
+    val (szS, _) = find(sb, "stsz").get
+    val fixed = u32(bytes, szS + 4).toInt
+    val n = u32(bytes, szS + 8).toInt
+    val sizes = Array.tabulate(n)(i =>
+      if (fixed != 0) fixed else u32(bytes, szS + 12 + 4 * i).toInt)
+    val (scS, _) = find(sb, "stsc").get
+    val nsc = u32(bytes, scS + 4).toInt
+    val stscRows = Array.tabulate(nsc)(i => (
+      u32(bytes, scS + 8 + 12 * i).toInt,       // first_chunk (1-based)
+      u32(bytes, scS + 8 + 12 * i + 4).toInt))  // samples_per_chunk
+    val (coS, _) = find(sb, "stco").get
+    val nch = u32(bytes, coS + 4).toInt
+    val chunkOff = Array.tabulate(nch)(i => u32(bytes, coS + 8 + 4 * i))
+    // expand stsc over chunks → absolute per-sample offsets
+    val offsets = new Array[Long](n)
+    var sample = 0
+    for (c <- 0 until nch if sample < n) {
+      val perChunk = stscRows.takeWhile(_._1 <= c + 1).lastOption
+        .map(_._2).getOrElse(stscRows.head._2)
+      var off = chunkOff(c)
+      var k = 0
+      while (k < perChunk && sample < n) {
+        offsets(sample) = off
+        off += sizes(sample)
+        sample += 1; k += 1
+      }
+    }
+    require(sample == n, s"stsc/stco cover $sample of $n samples")
+    (sizes, offsets)
+  }
+
+  /** Sample table of the FIRST `soun` track, if any: (fourcc,
+    * sampleRate, sizes, offsets). None when the file has no audio
+    * track — callers decide how to treat non-PCM fourccs. */
+  private def soundTable(bytes: Array[Byte], moovS: Int, moovE: Int)
+      : Option[(String, Int, Array[Int], Array[Long])] = {
+    val traks = boxes(bytes, moovS, moovE).filter(_._1 == "trak")
+    for ((_, ts, te) <- traks) {
+      val mdia = find(boxes(bytes, ts, te), "mdia")
+      if (mdia.isDefined) {
+        val (ms, me) = mdia.get
+        val mb = boxes(bytes, ms, me)
+        val isAudio = find(mb, "hdlr").exists { case (hs, _) =>
+          new String(bytes, hs + 8, 4, "US-ASCII") == "soun" }
+        if (isAudio) {
+          val (hs, _) = find(mb, "mdhd").get
+          val timescale = u32(bytes, hs + 12).toInt
+          val (mis, mie) = find(mb, "minf").get
+          val (sts, ste) = find(boxes(bytes, mis, mie), "stbl").get
+          val sb = boxes(bytes, sts, ste)
+          val (sdS, _) = find(sb, "stsd").get
+          val fourcc = new String(bytes, sdS + 8 + 4, 4, "US-ASCII")
+          val (sizes, offsets) = sampleMap(bytes, sb)
+          return Some((fourcc, timescale, sizes, offsets))
+        }
+      }
+    }
+    None
+  }
+
+  /** Parse a complete in-memory MP4 back to frames (and, for a PCM
+    * `soun` track, its mono samples: 'sowt' little-endian / 'twos'
+    * big-endian — any other audio codec reports its fourcc with pcm
+    * left empty). */
   def decode(bytes: Array[Byte]): Mp4 = {
     val top = boxes(bytes, 0, bytes.length)
     require(find(top, "ftyp").isDefined, "not an ISO BMFF file (no ftyp)")
@@ -277,7 +380,24 @@ object Mp4Codec {
     val frames = sizes.indices.map(i =>
       java.util.Arrays.copyOfRange(bytes, offsets(i).toInt,
         offsets(i).toInt + sizes(i))).toVector
-    Mp4(w, h, fps, fourcc, frames)
+    soundTable(bytes, ms, me) match {
+      case Some((afcc, rate, aSizes, aOffs)) =>
+        val pcmCodec = afcc == "sowt" || afcc == "twos"
+        val pcm = if (!pcmCodec) Array.empty[Short] else {
+          val total = aSizes.map(_ / 2).sum
+          val outPcm = new Array[Short](total)
+          val order = if (afcc == "sowt") ByteOrder.LITTLE_ENDIAN
+            else ByteOrder.BIG_ENDIAN
+          var j = 0
+          for (i <- aSizes.indices) {
+            val b = ByteBuffer.wrap(bytes, aOffs(i).toInt, aSizes(i)).order(order)
+            while (b.remaining >= 2) { outPcm(j) = b.getShort; j += 1 }
+          }
+          outPcm
+        }
+        Mp4(w, h, fps, fourcc, frames, rate, pcm, afcc)
+      case None => Mp4(w, h, fps, fourcc, frames)
+    }
   }
 
   /** Container constants without touching mdat: seek past every box

@@ -312,6 +312,52 @@ object KernelQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // REAL MP4 A/V MUX roundtrip: q279 plus a 16 kHz PCM track — the
+    // q129 surface (ffmpeg `-c:v copy -c:a copy`, demoTalkNet.py:
+    // 207–213) for the SECOND container family, closing the "MP4
+    // audio" gap: Mp4Codec writes a second `soun` trak ('sowt'
+    // little-endian PCM16 sample entry, media timescale = rate,
+    // fixed-size-2 stsz, one chunk after the video bytes) and the
+    // demuxer selects it by hdlr and expands its own stsc/stco/stsz
+    // map. Audio length = video length (4 frames × 640 samples @
+    // 16 kHz = 25 fps); the oracle recomputes frame features AND the
+    // sample sum from the formulas plus container constants read
+    // from the PARSED boxes — matching iff BMFF mux framing loses
+    // nothing on either stream.
+    "q283_mp4_mux" -> { (s, dir) =>
+      import s.implicits._
+      graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { d =>
+          import graft.operators.{ImageCodec, Mp4Codec, Visual}
+          val pngs = (0 until 4).map { f =>
+            val raster = Array.tabulate(768)(k => ((d * 31 + f * 7 + k * 5 + 37) % 256).toInt)
+            ImageCodec.encodePng(raster, 16, 16)
+          }
+          val pcm = Array.tabulate[Short](4 * 640)(j =>
+            (((d * 11 + j * 5) % 4001) - 2000).toShort)
+          val mp4 = Mp4Codec.encode(16, 16, 25, "png ", pngs, Some((16000, pcm)))
+          val back = Mp4Codec.decode(mp4)
+          var graySum = 0L
+          back.frames.foreach { png =>
+            val px = ImageCodec.decodeBgrAuto(png, 16, 16)
+            var p = 0
+            while (p < 256) {
+              graySum += Visual.grayFixedPoint(px(3 * p), px(3 * p + 1), px(3 * p + 2))
+              p += 1
+            }
+          }
+          var pcmSum = 0L
+          back.pcm.foreach(pcmSum += _)
+          (d, back.frames.length.toLong, back.audioRate.toLong,
+            back.pcm.length.toLong, back.audioFourcc, graySum, pcmSum)
+        })
+        .toDF("doc_id", "n_frames", "audio_rate", "n_samples", "a_fourcc",
+          "gray_sum", "pcm_sum")
+        .orderBy(col("doc_id"))
+    },
+
     // The StatsManager side of scene detection (demoTalkNet.py:95):
     // the per-frame metric rows the detector consumes, as a table of
     // EXACT integer channel |Δ| sums — pins the full fixed-point HSV
@@ -612,6 +658,28 @@ object KernelQueries extends QueryPack {
       |  CAST(sum(greatest(b, g, r)) AS BIGINT) AS v_sum
       |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirrors q283 (q129's recomputation shape on the MP4 side): gray
+    * sums from the (+37) raster formula, the PCM sum from its sample
+    * formula, container constants — including the 'sowt' PCM sample
+    * entry fourcc — from the parsed boxes on the Spark side. */
+  private val q283Sql =
+    """WITH px AS (SELECT doc_id, f, p,
+      |    CAST((doc_id*31 + f*7 + (3*p+0)*5 + 37) % 256 AS INT) AS b,
+      |    CAST((doc_id*31 + f*7 + (3*p+1)*5 + 37) % 256 AS INT) AS g,
+      |    CAST((doc_id*31 + f*7 + (3*p+2)*5 + 37) % 256 AS INT) AS r
+      |  FROM documents, range(0, 4) rf(f), range(0, 256) rp(p)),
+      |gs AS (SELECT doc_id,
+      |    CAST(sum((r*4899 + g*9617 + b*1868 + 8192) // 16384) AS BIGINT) AS gray_sum
+      |  FROM px GROUP BY 1),
+      |au AS (SELECT doc_id,
+      |    CAST(sum((doc_id*11 + j*5) % 4001 - 2000) AS BIGINT) AS pcm_sum
+      |  FROM documents, range(0, 2560) rj(j) GROUP BY 1)
+      |SELECT gs.doc_id, CAST(4 AS BIGINT) AS n_frames,
+      |  CAST(16000 AS BIGINT) AS audio_rate, CAST(2560 AS BIGINT) AS n_samples,
+      |  'sowt' AS a_fourcc, gs.gray_sum, au.pcm_sum
+      |FROM gs JOIN au ON gs.doc_id = au.doc_id
+      |ORDER BY gs.doc_id""".stripMargin
+
   /** Mirrors q129: gray sums from the (+23) raster formula, the PCM
     * sum from the sample formula, container constants from the parsed
     * headers on the Spark side. */
@@ -638,6 +706,7 @@ object KernelQueries extends QueryPack {
     "q121_avi_roundtrip" -> q121Sql,
     "q129_avi_mux" -> q129Sql,
     "q279_mp4_roundtrip" -> q279Sql,
+    "q283_mp4_mux" -> q283Sql,
 
     // The stream's converged state ≡ the batch compaction (q106's SQL).
     "q130_stream_cdc" ->

@@ -27,6 +27,32 @@ class Mp4CodecSpec extends SparkSpec {
         s"frame $i differs")
   }
 
+  test("a/v mux roundtrips both streams; video-only files stay audio-free") {
+    val frames = pngFrames(5, 4)
+    val pcm = Array.tabulate[Short](2560)(j => (((j * 37) % 4001) - 2000).toShort)
+    val mp4 = Mp4Codec.encode(16, 16, 25, "png ", frames, Some((16000, pcm)))
+    val back = Mp4Codec.decode(mp4)
+    assert(back.fourcc == "png " && back.frames.length == 4)
+    for (i <- frames.indices)
+      assert(java.util.Arrays.equals(back.frames(i), frames(i).toArray))
+    assert(back.audioFourcc == "sowt")
+    assert(back.audioRate == 16000)
+    assert(back.pcm.toSeq == pcm.toSeq, "PCM samples must roundtrip exactly")
+    // the video sample map must be unaffected by the second trak:
+    // ranged file reads still address the right video bytes
+    val f = java.nio.file.Files.createTempFile("graft_mp4av", ".mp4")
+    java.nio.file.Files.write(f, mp4)
+    try {
+      val mid = Mp4Codec.decodeRangeFile(f, 1, 2)
+      assert(mid.length == 2)
+      for ((got, i) <- mid.zipWithIndex)
+        assert(java.util.Arrays.equals(got, frames(1 + i).toArray))
+    } finally java.nio.file.Files.delete(f)
+    // no audio trak → empty audio surface, not a parse failure
+    val plain = Mp4Codec.decode(Mp4Codec.encode(16, 16, 25, "png ", frames))
+    assert(plain.audioFourcc == "" && plain.pcm.isEmpty && plain.audioRate == 0)
+  }
+
   test("ranged file decode returns exactly the requested span, moov found by seek") {
     val frames = pngFrames(11, 8)
     val mp4 = Mp4Codec.encode(16, 16, 25, "jpeg", frames)
