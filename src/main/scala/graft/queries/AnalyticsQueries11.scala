@@ -441,6 +441,40 @@ object AnalyticsQueries11 extends QueryPack {
           count(lit(1)).as("n_pairs"),
           max(col("c")).as("max_support"))
     },
+
+    // SHARDED JSONL EXPORT (the training-data pipeline's output
+    // stage — the shard layout every dataloader consumes): documents
+    // dealt into 8 shards by the pinned hash (zero RNG state, the
+    // q277 dealing), each shard one `shard-<k>.jsonl` file written
+    // FROM THE EXECUTORS in doc_id order (TextSinks.writeJsonlShards
+    // — driver-side file loops do not scale), then the export is
+    // AUDITED BY READING IT BACK: spark.read.json over the written
+    // files re-derives per-shard doc counts, id bounds, and char
+    // sums, and the write manifest attaches the exact byte
+    // accounting. The oracle recomputes everything — including
+    // n_bytes, from the literal line format — straight from the
+    // table, so the row matches iff the export wrote every document
+    // exactly once, byte-exactly, into the right shard. Scale shape:
+    // ONE scan + one shard shuffle for the write, streaming
+    // per-partition file IO, a ≤8-row manifest; the read-back audit
+    // is the second scan an export verification inherently costs.
+    "q284_jsonl_export" -> { (s, dir) =>
+      val out = Q.scratchDir(s, "graft_jsonl")
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("(" + Q.uhashSql("28400", "doc_id") + ") % 8").as("shard"))
+      val manifest = graft.sinks.TextSinks.writeJsonlShards(s, docs, out)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG, shard LONG")
+        .json(s"$out/*.jsonl")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("n_chars")).as("chars_sum"))
+        .join(broadcast(manifest.select(col("shard"), col("n_bytes"))),
+          Seq("shard"))
+        .orderBy(col("shard"))
+    },
   )
 
   // ——— DuckDB restatements ———
@@ -658,5 +692,24 @@ object AnalyticsQueries11 extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_pairs,
         |  max(c) AS max_support
         |FROM p""".stripMargin,
+
+    // Everything — INCLUDING the byte count — recomputed straight
+    // from the table: n_bytes re-derives each line's exact literal
+    // (`{"doc_id":N,...}` + newline; all-ASCII fields, bytes =
+    // chars), so agreement proves the written files carry every
+    // document exactly once, in the right shard, byte-exactly.
+    "q284_jsonl_export" -> {
+      val uh = Q.uhashSql("28400", "doc_id")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, ($uh) % 8 AS shard
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  CAST(sum(length('{"doc_id":' || doc_id || ',"lang":"' || lang ||
+         |    '","n_chars":' || n_chars || ',"shard":' || shard || '}') + 1)
+         |    AS BIGINT) AS n_bytes
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+    },
   )
 }
