@@ -44,6 +44,13 @@ object AnalyticsQueries11 extends QueryPack {
       .distinct()
   }
 
+  /** In-array canonical pair expansion (src < dst per order's part
+    * set) — the shared core of every pair-support build. */
+  private val pairExplode = expr(
+    """flatten(transform(ps, (x, i) ->
+      |  transform(slice(ps, i + 2, size(ps)), y ->
+      |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin)
+
   /** Canonical co-purchase pair SUPPORTS: (src < dst, c = number of
     * co-orders), pairs expanded IN-ARRAY per order (the self-join's
     * second lineitem shuffle never exists — ONE shuffle gathers each
@@ -55,13 +62,25 @@ object AnalyticsQueries11 extends QueryPack {
     Tables.table(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y ->
-          |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin))
-        .as("e"))
+      .select(explode(pairExplode).as("e"))
       .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[coPurchasePairSupports]] with an ORDER-sample tag: `keepSql`
+    * (a boolean over the order key `ok`) marks each order once,
+    * BEFORE the pair expansion, and the agg counts both the full
+    * support c and the kept-order support cs per pair — so a
+    * vertex-sampled estimate rides the one exact build for the cost
+    * of a count_if (q278's residue discipline, bipartite edition). */
+  private[graft] def coPurchasePairSupportsSampled(s: SparkSession,
+      dir: String, keepSql: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .withColumn("kept", expr(keepSql))
+      .select(col("kept"), explode(pairExplode).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("c"), expr("count_if(kept)").as("cs"))
 
   /** The q191/q271 variant of the co-purchase build: the pair
     * supports kept only with c ≥ 2 co-orders, then mirrored to both
@@ -475,6 +494,33 @@ object AnalyticsQueries11 extends QueryPack {
           Seq("shard"))
         .orderBy(col("shard"))
     },
+
+    // VERTEX-SAMPLED BUTTERFLY ESTIMATE (the DOULION calibration
+    // pattern — q278's estimate-beside-exact — applied to the
+    // bipartite family): keep each ORDER with p = 1/5 by the pinned
+    // hash on its key; a butterfly has exactly two orders, so it
+    // survives with p² and the sampled count scales by 1/p² = 25
+    // (exact integer). Unlike q278's p²-wedge saving, the point here
+    // is the SHUFFLE: pair-support mass from the sampled orders is
+    // ~p of the exact build's, which is the cost that dominates
+    // butterfly counting at 100 TB (baskets are catalog-bounded, so
+    // compute is linear — the pair-agg exchange is the bill). This
+    // calibration row prices that trade the way q278 prices p for
+    // triangles — and the sampled count itself rides the ONE exact
+    // build for the cost of a count_if per pair (kept tagged before
+    // the expansion; C(cs, 2) sums butterflies whose both orders
+    // survive), so the row costs nothing beyond q282.
+    "q285_butterfly_sample" -> { (s, dir) =>
+      val keepSql = "(" + Q.uhashSql("28500", "ok") + ") % 5 = 0"
+      coPurchasePairSupportsSampled(s, dir, keepSql)
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("exact_butterflies"),
+          sum(expr("cs * (cs - 1) DIV 2")).as("sampled_butterflies"))
+        .select(col("exact_butterflies"), col("sampled_butterflies"),
+          expr("sampled_butterflies * 25").as("est_butterflies"),
+          expr("CASE WHEN exact_butterflies = 0 THEN NULL ELSE " +
+            "abs(sampled_butterflies * 25 - exact_butterflies) * 1000000 " +
+            "DIV exact_butterflies END").as("err_ppm"))
+    },
   )
 
   // ——— DuckDB restatements ———
@@ -710,6 +756,27 @@ object AnalyticsQueries11 extends QueryPack {
          |    '","n_chars":' || n_chars || ',"shard":' || shard || '}') + 1)
          |    AS BIGINT) AS n_bytes
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+    },
+
+    // Same pinned hash replayed on the order key; the kept-order
+    // support per pair (cs) restated through the plain bipartite
+    // self-join, butterflies among kept orders = C(cs, 2).
+    "q285_butterfly_sample" -> {
+      val uh = Q.uhashSql("28500", "a.ok")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS src, b.pk AS dst,
+         |        CAST(count(*) AS BIGINT) AS c,
+         |        CAST(count(CASE WHEN ($uh) % 5 = 0 THEN 1 END) AS BIGINT) AS cs
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |      GROUP BY 1, 2)
+         |SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS exact_butterflies,
+         |  CAST(sum(cs * (cs - 1) // 2) AS BIGINT) AS sampled_butterflies,
+         |  CAST(sum(cs * (cs - 1) // 2) * 25 AS BIGINT) AS est_butterflies,
+         |  CASE WHEN sum(c * (c - 1) // 2) = 0 THEN NULL
+         |       ELSE CAST(abs(sum(cs * (cs - 1) // 2) * 25 -
+         |            sum(c * (c - 1) // 2)) * 1000000 //
+         |            sum(c * (c - 1) // 2) AS BIGINT) END AS err_ppm
+         |FROM p""".stripMargin
     },
   )
 }

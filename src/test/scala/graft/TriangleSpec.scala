@@ -49,4 +49,28 @@ class TriangleSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pairs") === 2L)
     assert(r.getAs[Long]("max_support") === 3L)
   }
+
+  test("q285's order-sampled butterflies: keep-all equals exact, keep-none zero") {
+    // degenerate sampling rates make the C(cs, 2) identity checkable
+    // exactly: keeping every order must reproduce the exact count,
+    // keeping none must leave zero sampled butterflies
+    val all = AnalyticsQueries11
+      .coPurchasePairSupportsSampled(spark, sf001, "ok % 1 = 0")
+      .agg(org.apache.spark.sql.functions.expr("sum(c*(c-1) DIV 2)"),
+        org.apache.spark.sql.functions.expr("sum(cs*(cs-1) DIV 2)"))
+      .collect().head
+    assert(all.getLong(0) === all.getLong(1))
+    val none = AnalyticsQueries11
+      .coPurchasePairSupportsSampled(spark, sf001, "ok < 0")
+      .agg(org.apache.spark.sql.functions.expr("sum(cs*(cs-1) DIV 2)"))
+      .collect().head
+    assert(none.getLong(0) === 0L)
+    // and the shipped row's scale-up is the exact 25x integer
+    val row = AnalyticsQueries11
+      .queries("q285_butterfly_sample")(spark, sf001).collect().head
+    assert(row.getAs[Long]("est_butterflies") ===
+      25L * row.getAs[Long]("sampled_butterflies"))
+    assert(row.getAs[Long]("sampled_butterflies") <=
+      row.getAs[Long]("exact_butterflies"))
+  }
 }
