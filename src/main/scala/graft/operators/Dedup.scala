@@ -336,7 +336,7 @@ object Dedup {
   def jaccardBlockedPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, blockCols: Seq[String], threshold: Double): DataFrame = {
     import spark.implicits._
-    docs.select(concat_ws("", blockCols.map(col): _*).as("block"),
+    docs.select(concat_ws("\u0001", blockCols.map(col): _*).as("block"),
         col(idCol).cast("long").as("id"),
         tokens(col(textCol)).as("ws"))
       .as[(String, Long, Array[String])]
