@@ -59,11 +59,14 @@ object TriSampleProbe {
     * the exact degree-oriented wedge count, same code path). */
   private def run(spark: SparkSession, sfDir: String, pd: Long): Unit = {
     val t0 = System.nanoTime()
-    val edges = queries.AnalyticsQueries11.coPurchaseEdges(spark, sfDir)
+    // canonical build + in-place orientation — the exact plan q281
+    // ships after the round-16 rewrite (half the symmetric build's
+    // row mass; same oriented row set, TriangleSpec pins the equality)
+    val edges = queries.AnalyticsQueries11.coPurchaseEdgesCanon(spark, sfDir)
     val keepSql = "(" + queries.Q.uhashSql("27800",
-      "least(node, nbr) * 4294967296 + greatest(node, nbr)") + s") % $pd = 0"
+      "least(src, dst) * 4294967296 + greatest(src, dst)") + s") % $pd = 0"
     val sampled = if (pd == 1L) edges else edges.filter(expr(keepSql))
-    val op = queries.AnalyticsQueries11.orientEdges(sampled).persist()
+    val op = queries.AnalyticsQueries11.orientEdgesFromCanon(sampled).persist()
     val cnt = queries.AnalyticsQueries11.wedgeCountFromOp(op, "sampled")
     val row = cnt.head()
     val dt = (System.nanoTime() - t0) / 1e9
@@ -79,8 +82,8 @@ object TriSampleProbe {
 
   private def leadCell(spark: SparkSession): Unit = {
     val e = queries.AnalyticsQueries11
-      .coPurchaseEdges(spark, "/root/testdata/sf0.001")
-    val op = queries.AnalyticsQueries11.orientEdges(e).persist()
+      .coPurchaseEdgesCanon(spark, "/root/testdata/sf0.001")
+    val op = queries.AnalyticsQueries11.orientEdgesFromCanon(e).persist()
     queries.AnalyticsQueries11.wedgeCountFromOp(op, "warm").head()
     op.unpersist()
   }

@@ -83,15 +83,27 @@ object AnalyticsQueries extends QueryPack {
       // factoring); this query keeps its own wedge step because it
       // counts PER NODE (explode + top-100), not the global scalar
       // wedgeCountFromOp produces
-      val op = AnalyticsQueries11
-        .orientEdges(AnalyticsQueries11.coPurchaseEdges(s, dir))
+      // canonical build + in-place orientation (round-16 optimization):
+      // same oriented row set, half the edge rows through the distinct
+      // and both degree-attach joins — see orientEdgesFromCanon. The
+      // canon list is pinned only while orientation consumes it twice
+      // (degrees + join side), then freed the moment op materializes
+      // (the q278 eager-free discipline).
+      val canon = AnalyticsQueries11.coPurchaseEdgesCanon(s, dir).persist()
+      val op = AnalyticsQueries11.orientEdgesFromCanon(canon)
         .persist() // 3 references: both wedge sides + the closure key
+      op.count()
+      canon.unpersist()
+      // shuffle-hash hints (round-16, same rationale as
+      // wedgeCountFromOp): stream the wedge mass unsorted, build the
+      // per-partition map from the edge list — no broadcast cliff
       val wedges = op.as("a")
-        .join(op.as("b"), col("a.u") === col("b.u") &&
+        .join(op.as("b").hint("shuffle_hash"), col("a.u") === col("b.u") &&
           struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
         .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
       val tri = wedges
-        .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+        .join(op.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
+          Seq("v", "w"))
         .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       val out = tri.groupBy(col("node"))
         .agg(count(lit(1)).as("triangles"))

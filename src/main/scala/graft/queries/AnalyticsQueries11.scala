@@ -46,10 +46,27 @@ object AnalyticsQueries11 extends QueryPack {
 
   /** In-array canonical pair expansion (src < dst per order's part
     * set) — the shared core of every pair-support build. */
-  private val pairExplode = expr(
+  private[graft] val pairExplode = expr(
     """flatten(transform(ps, (x, i) ->
       |  transform(slice(ps, i + 2, size(ps)), y ->
       |    struct(least(x, y) AS src, greatest(x, y) AS dst))))""".stripMargin)
+
+  /** Canonical (src < dst) DISTINCT co-purchase edges — the same edge
+    * set as [[coPurchaseEdges]] with each undirected edge held ONCE
+    * instead of twice (round-16 optimization): the distinct exchange
+    * and both orientation joins move HALF the symmetric build's rows,
+    * and the k(k-1)/2 in-array expansion replaces the k(k-1) double
+    * explode. [[orientEdgesFromCanon]] consumes it; the pair is
+    * plan-equivalent to orientEdges∘coPurchaseEdges (same oriented
+    * row set — TriangleSpec pins the equality executably). */
+  private[graft] def coPurchaseEdgesCanon(s: SparkSession, dir: String)
+      : DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(pairExplode).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
 
   /** Canonical co-purchase pair SUPPORTS: (src < dst, c = number of
     * co-orders), pairs expanded IN-ARRAY per order (the self-join's
@@ -109,6 +126,31 @@ object AnalyticsQueries11 extends QueryPack {
       .select(col("node").as("u"), col("nbr").as("v"), col("dv"))
   }
 
+  /** [[orientEdges]] over a CANONICAL (src < dst, each undirected edge
+    * once) list: undirected degrees come from exploding both
+    * endpoints, and each row orients in place under the same
+    * (degree, id) total order — no symmetric mirror ever exists, so
+    * the degree agg input and both degree-attach joins carry half of
+    * orientEdges' rows and the post-join half-discard filter is gone.
+    * Output row set is IDENTICAL to orientEdges(the symmetric list):
+    * for an edge {a, b}, struct-comparing (d_b, b) vs (d_a, a) picks
+    * the same survivor (u → v, dv) the filter kept. */
+  private[graft] def orientEdgesFromCanon(canon: DataFrame): DataFrame = {
+    val degs = canon
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    canon
+      .join(degs.select(col("node").as("src"), col("d").as("ds")), Seq("src"))
+      .join(degs.select(col("node").as("dst"), col("d").as("dd")), Seq("dst"))
+      .select(when(
+          struct(col("dd"), col("dst")) > struct(col("ds"), col("src")),
+          struct(col("src").as("u"), col("dst").as("v"), col("dd").as("dv")))
+        .otherwise(
+          struct(col("dst").as("u"), col("src").as("v"), col("ds").as("dv")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+  }
+
   /** Global triangle count from an ORIENTED edge list — the q173
     * degree-oriented flat wedge join minus the per-node explode:
     * wedges as fixed-width rows self-joined on the lower endpoint,
@@ -120,12 +162,20 @@ object AnalyticsQueries11 extends QueryPack {
     * graph's orientation — sampling can only shrink out-degrees. */
   private[graft] def wedgeCountFromOp(op: DataFrame, outCol: String)
       : DataFrame = {
+    // SHUFFLE_HASH on the edge-list side of both joins (round-16): a
+    // sort-merge closure join must SORT the streamed wedge mass —
+    // O(W log W) over the plan's single biggest intermediate — while a
+    // shuffled-hash join builds its per-partition map from the EDGE
+    // list (bytes/partitions, bounded as partition count scales with
+    // input) and streams the wedges unsorted. No driver build, no
+    // broadcast cliff — the audit exempts shuffle-strategy hints.
     val wedges = op.as("a")
-      .join(op.as("b"), col("a.u") === col("b.u") &&
+      .join(op.as("b").hint("shuffle_hash"), col("a.u") === col("b.u") &&
         struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
       .select(col("a.v").as("v"), col("b.v").as("w"))
     wedges
-      .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .join(op.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
+        Seq("v", "w"))
       .agg(count(lit(1)).as(outCol))
   }
 
@@ -138,14 +188,18 @@ object AnalyticsQueries11 extends QueryPack {
     * the ONE wedge join for free (q278's sampled calibration leg at
     * m = 5, q280's whole p sweep at m = 20). */
   private[graft] def triangleResidues(op: DataFrame, m: Long): DataFrame = {
+    // shuffle-hash hints for the same reason as wedgeCountFromOp: the
+    // streamed wedge mass is never sorted; the build side is the edge
+    // list (per-partition map bytes/partitions — no broadcast cliff)
     val wedges = op.as("a")
-      .join(op.as("b"), col("a.u") === col("b.u") &&
+      .join(op.as("b").hint("shuffle_hash"), col("a.u") === col("b.u") &&
         struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
       .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
     def hm(x: String, y: String): String = "(" + Q.uhashSql("27800",
       s"least($x, $y) * 4294967296 + greatest($x, $y)") + s") % $m"
     wedges
-      .join(op.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .join(op.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
+        Seq("v", "w"))
       .select(expr(hm("u", "v")).as("huv"),
         expr(hm("v", "w")).as("hvw"), expr(hm("u", "w")).as("huw"))
   }
@@ -298,7 +352,7 @@ object AnalyticsQueries11 extends QueryPack {
     // estimate-only run samples FIRST and orients the p-fraction
     // instead (q281 / TriSampleProbe), paying p× the degree build.
     "q278_doulion_triangles" -> { (s, dir) =>
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchaseEdgesCanon(s, dir)
       // ONE orientation pass AND ONE wedge join for both legs
       // (round-16 rewrite): the sampled subgraph's triangles are
       // exactly the exact triangles whose three edges all survive
@@ -312,7 +366,7 @@ object AnalyticsQueries11 extends QueryPack {
       // the q158 eager-free discipline: dead caches are the rung-4
       // bill.
       val edgesP = edges.persist()
-      val opX = orientEdges(edgesP).persist()
+      val opX = orientEdgesFromCanon(edgesP).persist()
       opX.count()
       edgesP.unpersist()
       // canonical 64-bit pair key on the ORIENTED row ((u, v) is the
@@ -360,9 +414,9 @@ object AnalyticsQueries11 extends QueryPack {
     // 20 — so one stored residue serves every leg.) Estimates scale
     // by 1/p³ exactly (125 / 1000 / 8000 — integers, no float).
     "q280_doulion_sweep" -> { (s, dir) =>
-      val edges = coPurchaseEdges(s, dir)
+      val edges = coPurchaseEdgesCanon(s, dir)
         .persist() // consumed twice by orientation, freed right after
-      val opX = orientEdges(edges).persist()
+      val opX = orientEdgesFromCanon(edges).persist()
       opX.count()
       edges.unpersist()
       val h = "(" + Q.uhashSql("27800",
@@ -414,11 +468,13 @@ object AnalyticsQueries11 extends QueryPack {
     // at sf0.001), so sampled_triangles is bit-identical to q278's.
     // Output: the 1-row estimate q278's calibration row prices.
     "q281_doulion_estimate" -> { (s, dir) =>
+      // canonical rows have src < dst, so least/greatest = (src, dst)
+      // — the pinned pair hash is bit-identical to the symmetric form
       val keepSql = "(" + Q.uhashSql("27800",
-        "least(node, nbr) * 4294967296 + greatest(node, nbr)") + ") % 5 = 0"
-      val sampled = coPurchaseEdges(s, dir).filter(expr(keepSql))
+        "least(src, dst) * 4294967296 + greatest(src, dst)") + ") % 5 = 0"
+      val sampled = coPurchaseEdgesCanon(s, dir).filter(expr(keepSql))
         .persist() // consumed twice by orientation (degrees + join side)
-      val op = orientEdges(sampled).persist()
+      val op = orientEdgesFromCanon(sampled).persist()
       op.count()
       sampled.unpersist() // eager-free: dead caches are the rung-4 bill
       // op holds each sampled undirected edge exactly once

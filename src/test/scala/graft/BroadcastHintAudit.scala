@@ -175,7 +175,22 @@ object BroadcastHintAudit {
   }
 
   /** Broadcast-ish hints in `plan` whose subtree has no structural
-    * bound proof. The caller whitelists survivors with written bounds. */
-  def unprovenHints(plan: LogicalPlan): Seq[ResolvedHint] =
-    plan.collect { case h: ResolvedHint if !bounded(h.child) => h }
+    * bound proof. The caller whitelists survivors with written bounds.
+    *
+    * SHUFFLE-strategy hints (SHUFFLE_HASH / SHUFFLE_MERGE) are exempt
+    * from the bound proof: the cliff this gate exists for is the
+    * DRIVER-side build a broadcast hint forces at any size, and a
+    * shuffled join has no driver build — its per-partition hash map is
+    * bounded by (side bytes / shuffle partitions), which scales down
+    * as partition count scales with input (the round-16 wedge-join
+    * hints rely on exactly this). SHUFFLE_REPLICATE_NL is NOT exempt
+    * (it replicates a whole side — the cartesian cliff), and an
+    * unstrategied hint stays conservative. */
+  def unprovenHints(plan: LogicalPlan): Seq[ResolvedHint] = {
+    val shuffleSafe: Set[JoinStrategyHint] = Set(SHUFFLE_HASH, SHUFFLE_MERGE)
+    plan.collect {
+      case h: ResolvedHint
+          if !h.hints.strategy.exists(shuffleSafe) && !bounded(h.child) => h
+    }
+  }
 }

@@ -92,6 +92,18 @@ class BroadcastHintSpec extends SparkSpec {
     assert(unproven(docs.crossJoin(broadcast(split))) == 0)
   }
 
+  test("shuffle-strategy hints are exempt; replicate-NL is not (round-16)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey").as("doc_id"))
+    // a SHUFFLE_HASH hint over a fact table has no driver build and a
+    // per-partition map bounded by (bytes / partitions) — no proof needed
+    assert(unproven(docs.join(li.hint("shuffle_hash"), Seq("doc_id"))) == 0)
+    assert(unproven(docs.join(li.hint("merge"), Seq("doc_id"))) == 0)
+    // but replicating a fact table (cartesian cliff) still trips the gate
+    assert(unproven(docs.crossJoin(li.hint("shuffle_replicate_nl"))) == 1)
+  }
+
   test("explode over a bounded input is NOT bounded without a whitelist") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val grams = docs.agg(collect_list(col("lang")).as("ls"))

@@ -29,6 +29,20 @@ class TriangleSpec extends SparkSpec {
       125L * r281.getAs[Long]("sampled_triangles"))
   }
 
+  test("canonical orientation emits exactly the symmetric build's oriented rows") {
+    // round-16 optimization gate: orientEdgesFromCanon∘coPurchaseEdgesCanon
+    // must produce the SAME (u, v, dv) row set as the symmetric
+    // orientEdges∘coPurchaseEdges it replaces in q173/q278/q280/q281 —
+    // same edges, same (degree, id) total order, half the build mass
+    val canon = AnalyticsQueries11
+      .orientEdgesFromCanon(AnalyticsQueries11.coPurchaseEdgesCanon(spark, sf001))
+    val sym = AnalyticsQueries11
+      .orientEdges(AnalyticsQueries11.coPurchaseEdges(spark, sf001))
+    assert(canon.exceptAll(sym).isEmpty && sym.exceptAll(canon).isEmpty,
+      "the two orientation builds must agree row-for-row")
+    assert(canon.count() > 0L, "the sf0.001 graph must be non-trivial")
+  }
+
   test("q282 counts each butterfly exactly once on a constructed bipartite graph") {
     import spark.implicits._
     // Orders 1, 2, 3 all buy {10, 20} → pair (10, 20) has support 3 →
