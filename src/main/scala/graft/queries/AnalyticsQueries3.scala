@@ -30,17 +30,31 @@ object AnalyticsQueries3 extends QueryPack {
     // are hash aggs/joins on the item key; the top-5 is a per-item
     // row_number window (20 k tiny groups), never a global sort.
     "q185_item_similarity" -> { (s, dir) =>
-      val li = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .persist()
-      val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-      val co = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
-        .select(explode(col("ps")).as("item"), col("ps"))
-        .select(col("item"), explode(col("ps")).as("other"))
-        .filter(col("item") =!= col("other"))
-        .groupBy(col("item"), col("other"))
+      // Round-16 rewrite, results identical: ONE lineitem exchange
+      // gathers each order's distinct part set (collect_set dedups
+      // in-agg — the old standalone distinct exchange is gone); the
+      // per-part order counts n come from exploding the same cached
+      // sets (distinct (ok, pk) incidences by construction); pairs
+      // expand IN-ARRAY canonically (src < dst — HALF the old
+      // item≠other double-explode's rows through the pair exchange),
+      // and both directions are emitted AFTER the count agg by a
+      // 2-element explode (same c each way, no second final-agg pass).
+      val ps = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(col("ps"))
+        .persist() // two readers: the n counts + the pair expansion
+      val n = ps.select(explode(col("ps")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val co = ps
+        .select(explode(AnalyticsQueries11.pairExplode).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
         .agg(count(lit(1)).as("c"))
+        .select(explode(array(
+            struct(col("src").as("item"), col("dst").as("other")),
+            struct(col("dst").as("item"), col("src").as("other")))).as("p"),
+          col("c"))
+        .select(col("p.item").as("item"), col("p.other").as("other"), col("c"))
       // the per-part count table is CATALOG-sized (grows with SF), so
       // no broadcast hint (round-15 hint audit — the q173 cliff class):
       // both attachments are item-keyed hash joins and AQE broadcasts
