@@ -334,10 +334,20 @@ object TextOps {
     var ownsStates =
       dict.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (ownsStates) {
+      // lazy like every later generation: the first argmax job below
+      // materializes gen 0 once; later gens fold onto the cache
       states = states.persist()
-      states.count() // materialize gen 0 once; later gens fold onto it
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    // LAZY generation pinning (round-16): each generation is persisted
+    // but materialized by the NEXT iteration's argmax job (the first
+    // action that reads it), not by an eager count() — the superseded
+    // generation is freed only after that job lands, so lineage never
+    // recomputes. Two jobs per iteration become one, and the FINAL
+    // generation's rewrite — which the old eager count paid in full and
+    // which bpeLearn's output (the merge table) never reads — is never
+    // computed at all.
+    var prevToFree: Option[DataFrame] = None
     for (step <- 1 to k) {
       val best = states
         .filter(size(col("syms")) >= 2)
@@ -347,19 +357,22 @@ object TextOps {
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("pair").asc)
         .limit(1).collect()
+      // the collect above materialized `states`; its predecessor now
+      // has zero readers
+      prevToFree.foreach(_.unpersist()); prevToFree = None
       if (best.nonEmpty) {
         val pair = best(0).getString(0)
         merges += ((step.toLong, pair, best(0).getLong(1)))
         val Array(x, y) = pair.split("\\+", 2)
         val next = states.select(col("cnt"),
           expr(bpeMergeExpr("syms", x, y)).as("syms")).persist()
-        next.count() // pin THIS generation, then free the previous
-        if (ownsStates) states.unpersist()
+        if (ownsStates) prevToFree = Some(states)
         states = next
         ownsStates = true
       }
     }
     if (ownsStates) states.unpersist()
+    prevToFree.foreach(_.unpersist())
     merges.toSeq
   }
 
