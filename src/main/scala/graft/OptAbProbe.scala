@@ -115,6 +115,73 @@ object OptAbProbe {
       report("edges", cells.grouped(2).map(_.head).toSeq,
         cells.grouped(2).map(_.last).toSeq)
     }
+    if (arms("q158")) {
+      import graft.sources.Tables
+      // the pre-round-16 step (no hint): SMJ sorts the cached edge
+      // list every iteration; everything else identical to the query
+      def arm(hinted: Boolean): DataFrame = {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val e0 = Tables.table(spark, sfDir, "orders")
+          .join(Tables.table(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+          .persist(lvl)
+        val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val d = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist(lvl)
+        val m = e.join(d, Seq("src"))
+          .select(col("src"), col("dst"), col("d")).persist(lvl)
+        d.count(); m.count(); e0.unpersist()
+        val r0 = d.select(col("src").as("node"), lit(1000000L).as("r"))
+        def step(r: DataFrame): DataFrame = {
+          val rs = r.withColumnRenamed("node", "src")
+          m.join(if (hinted) rs.hint("shuffle_hash") else rs, Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("r DIV d")).as("cs"))
+            .select(col("dst").as("node"),
+              (lit(150000L) + expr("(85 * cs) DIV 100")).as("r"))
+        }
+        step(step(step(r0)))
+          .orderBy(col("r").desc, col("node"))
+          .limit(50)
+      }
+      timed(arm(hinted = true))
+      val cells = (1 to reps).flatMap(_ =>
+        Seq(timed(arm(hinted = false)), timed(arm(hinted = true))))
+      report("q158", cells.grouped(2).map(_.head).toSeq,
+        cells.grouped(2).map(_.last).toSeq)
+    }
+    if (arms("q280")) {
+      // old = the pre-fix shape (full orientation pinned + counted,
+      // then the %5 filter pinned on top); new = the shipped query
+      // (only the sampled list is ever pinned)
+      def oldArm: DataFrame = {
+        val edges = coPurchaseEdgesCanon(spark, sfDir).persist()
+        val opX = orientEdgesFromCanon(edges).persist()
+        opX.count()
+        edges.unpersist()
+        val h = "(" + graft.queries.Q.uhashSql("27800",
+          "least(u, v) * 4294967296 + greatest(u, v)") + ")"
+        val opS = opX.filter(expr(s"$h % 5 = 0")).persist()
+        val triCounts = triangleResidues(opS, 20L)
+          .agg(count(lit(1)).as("t5"),
+            expr("count_if(huv % 10 = 0 AND hvw % 10 = 0 AND huw % 10 = 0)")
+              .as("t10"),
+            expr("count_if(huv = 0 AND hvw = 0 AND huw = 0)").as("t20"))
+        val edgeCounts = opS.select(expr(s"$h % 20").as("he"))
+          .agg(count(lit(1)).as("n5"),
+            expr("count_if(he % 10 = 0)").as("n10"),
+            expr("count_if(he = 0)").as("n20"))
+        triCounts.crossJoin(edgeCounts)
+      }
+      def newArm: DataFrame =
+        queries("q280_doulion_sweep")(spark, sfDir)
+      timed(newArm)
+      val cells = (1 to reps).flatMap(_ => Seq(timed(oldArm), timed(newArm)))
+      report("q280", cells.grouped(2).map(_.head).toSeq,
+        cells.grouped(2).map(_.last).toSeq)
+    }
     if (arms("replay")) {
       // sentinelReplay's drop-0 write: coalesce(1) (shipped) vs natural
       // parallelism — measures what the single-task encode costs each

@@ -416,12 +416,17 @@ object AnalyticsQueries11 extends QueryPack {
     "q280_doulion_sweep" -> { (s, dir) =>
       val edges = coPurchaseEdgesCanon(s, dir)
         .persist() // consumed twice by orientation, freed right after
-      val opX = orientEdgesFromCanon(edges).persist()
-      opX.count()
-      edges.unpersist()
       val h = "(" + Q.uhashSql("27800",
         "least(u, v) * 4294967296 + greatest(u, v)") + ")"
-      val opS = opX.filter(expr(s"$h % 5 = 0")).persist()
+      // the full orientation's ONLY consumer is this filter, so only
+      // the SAMPLED list is pinned (round-16: the unsampled opX cache
+      // + its eager count were dead weight — the q158 lesson again);
+      // opS has three readers (both wedge sides + the closure key)
+      // plus the edge tallies
+      val opS = orientEdgesFromCanon(edges)
+        .filter(expr(s"$h % 5 = 0")).persist()
+      opS.count()
+      edges.unpersist()
       // the one wedge join: closure-residue rows of the p=1/5 sample
       // (triangleResidues at m = 20 — each row carries its three
       // edges' mod-20 residues, which determine the mod-10 and mod-5
@@ -439,7 +444,7 @@ object AnalyticsQueries11 extends QueryPack {
       // cache, not three replays of the wedge join
       val row = triCounts.crossJoin(edgeCounts).persist()
       row.count()
-      opS.unpersist(); opX.unpersist()
+      opS.unpersist()
       val legs = Seq(5L, 10L, 20L).map { pd =>
         row.select(lit(pd).as("p_denom"),
           col(s"n$pd").as("n_sampled_edges"),

@@ -284,6 +284,13 @@ object ShapeQueries extends QueryPack {
           (d, m)
       }
       val r0 = degV.select(col("src").as("node"), lit(1000000L).as("r"))
+      // A SHUFFLE_HASH hint on the rank side was measured in round 16
+      // (OptAbProbe ab_q158, 4 alternating same-JVM reps at sf0.1) and
+      // came out a WASH (pairwise 2–2, mins 4.67 vs 4.82): edV is
+      // cached with the ordering its own build join produced, so the
+      // per-iteration SMJ never re-sorts it — the sort the hint would
+      // remove does not exist. Kept sort-merge, the rung-4-measured
+      // shape.
       def step(r: DataFrame): DataFrame =
         edV.join(r.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst"))
