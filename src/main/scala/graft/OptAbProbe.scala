@@ -202,6 +202,30 @@ object OptAbProbe {
       report("replay", cells.grouped(2).map(_.head).toSeq,
         cells.grouped(2).map(_.last).toSeq)
     }
+    if (arms("drain")) {
+      // streaming drain state-partition count: 2 (shipped) vs 1 —
+      // halves the state-store instances per stateful operator (and
+      // their per-batch commit files on the throttled disk) against
+      // serializing the 100k-row join compute
+      import graft.streaming.EventStream
+      def cell(n: Int): Double = {
+        spark.conf.set("graft.drain.statePartitions", n.toString)
+        val t0 = System.nanoTime()
+        EventStream.leftSemiJoinRollup(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.catalog.listTables().collect()
+          .filter(_.name.startsWith("graft_stream_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        dt
+      }
+      cell(1)
+      val cells = (1 to reps).flatMap(_ => Seq(cell(2), cell(1)))
+      spark.conf.unset("graft.drain.statePartitions")
+      report("drain", cells.grouped(2).map(_.head).toSeq,
+        cells.grouped(2).map(_.last).toSeq)
+    }
     if (arms("q185")) {
       import graft.sources.Tables
       // the pre-round-16 q185 plan, verbatim

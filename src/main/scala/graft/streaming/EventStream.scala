@@ -315,7 +315,17 @@ object EventStream {
     if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
       spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 2) {
+    // Measurement knob (round-16 optimization A/B): the drained
+    // replays' state-partition count, overridable per session so one
+    // JVM can compare counts under the same regime (the
+    // SPARK_GRAFT_PR_VARIANT pattern). Results are partition-count
+    // independent (deterministic join/agg semantics; the sink is
+    // batch-aggregated after the drain); only the number of state
+    // stores per stateful operator changes. Default 2 — the shipped,
+    // driver-comparable value.
+    val drainParts = spark.conf.getOption("graft.drain.statePartitions")
+      .map(_.toInt).getOrElse(2)
+    try withStatePartitions(spark, drainParts) {
       val q = df.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try q.processAllAvailable()
